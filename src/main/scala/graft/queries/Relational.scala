@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Relational query surface over the driver testdata.
+  *
+  * Covers the Spark operator surface the reference exercises (SURVEY.md
+  * §2.2: scans, projection, filter, hash aggregation, window dedup,
+  * string/math/cast/date functions, JSON round-trip, union, limit) plus
+  * joins to prove the engine surface. Scale notes per query:
+  * small dimensions are broadcast explicitly; aggregations are
+  * partial-aggregate friendly (plain groupBy on low-cardinality keys);
+  * windows partition on high-cardinality keys so state stays bounded.
+  */
+object Relational {
+
+  /** TPC-H Q1 flavored pricing summary: hash aggregate with map-side
+    * partial aggregation; 4 output groups. Scales linearly, no skew. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        dsum2($"l_extendedprice").as("sum_base_price"),
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        (sum($"l_quantity".cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+        davg2($"l_extendedprice").as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 flavored: two joins + agg + top-k. customer is small
+    * relative to lineitem → broadcast; orders⋈lineitem shuffles on
+    * orderkey (both sides already keyed). */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val o = t(s, dir, "orders").filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val l = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 flavored: 5-way join with tiny dims broadcast; the only
+    * shuffle joins are orders⋈lineitem and (customer,supplier) nation
+    * co-location. Revenue per nation within one region. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1999-01-01").cast("timestamp")
+    val r = t(s, dir, "region").filter($"r_name" === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val c = t(s, dir, "customer").join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val o = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lo && $"o_orderdate" < hi)
+      .select($"o_orderkey", $"o_custkey")
+    val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** when/otherwise conditional tagging (ref uses when(col<5,...) in its
+    * sink tests — DnsSinkRelationProviderTest.java:201). */
+  def qPriceBucketWhen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        when($"o_totalprice" >= 300000.0, "high")
+          .when($"o_totalprice" >= 100000.0, "mid")
+          .otherwise("low"))
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus", $"bucket")
+  }
+
+  /** Ranking window: top-3 parts per brand. Partition key (brand) is
+    * low-cardinality here but bounded state per group at scale. */
+  def qWindowTopkParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    t(s, dir, "part")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"rn", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"rn")
+  }
+
+  /** Last-write-wins dedup — the reference's only true aggregation
+    * (DnsUpdate.java:46-54: group by record identity, keep max
+    * timestamp). Window row_number over (key ORDER BY ts DESC) with an
+    * id tiebreak; partitions on high-cardinality (user_id, event_type)
+    * so it scales via hash shuffle. */
+  def qLwwDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts_ns".desc, $"event_id".desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Union with deletes-before-adds ordering (ref emits IXFR deletes
+    * before adds — Xfr.java:55-66); the `ord` column makes the
+    * semantic order explicit and hash-stable. */
+  def qUnionChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val deletes = ev.filter($"event_type" === "error")
+      .select(lit("IXFR_DELETE").as("action"), lit(0).as("ord"), $"user_id", $"event_id")
+    val adds = ev.filter($"event_type" === "purchase")
+      .select(lit("IXFR_ADD").as("action"), lit(1).as("ord"), $"user_id", $"event_id")
+    deletes.unionByName(adds).orderBy($"ord", $"event_id")
+  }
+
+  /** String pipeline mirroring the reference's fqdn handling: build an
+    * fqdn (concat/lower — DnsChangeFactory.java:20), normalize to
+    * absolute form (DnsPartitionHandler.java:85-94), derive the zone by
+    * stripping the first label (DnsPartitionHandler.java:52-62). */
+  def qZoneDerive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .withColumn("host", lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "-")))
+      .withColumn("fqdn_raw", concat($"host", lit("."), lower($"n_name"), lit(".acme")))
+      .withColumn("fqdn",
+        when($"fqdn_raw".endsWith("."), $"fqdn_raw")
+          .otherwise(concat($"fqdn_raw", lit("."))))
+      .withColumn("zone", expr("substring(fqdn, instr(fqdn, '.') + 1)"))
+      .groupBy($"zone").agg(count(lit(1)).as("n_hosts"))
+      .orderBy($"zone")
+  }
+
+  /** JSON round-trip (ref packs rows via to_json(struct(*)) and decodes
+    * per partition — DnsSinkRelationProvider.java:25-27): re-encode the
+    * events row to JSON, extract a field back out, aggregate. */
+  def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("packed", to_json(struct($"event_id", $"k")))
+      .withColumn("k2", get_json_object($"packed", "$.k").cast("long"))
+      .groupBy(($"k2" % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum($"k2").as("sum_k"))
+      .orderBy($"k_mod")
+  }
+
+  /** Aggregation stats: count / count distinct / min / max / exact avg. */
+  def qAggStatsOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        davg2($"o_totalprice").as("avg_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
+    * orders, per market segment. Broadcast the distinct key set. */
+  def qSemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val keys = t(s, dir, "orders").select($"o_custkey")
+    val withO = c.join(keys, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val without = c.join(keys, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("without_orders"))
+    withO.unionByName(without)
+      .select($"c_mktsegment", $"kind", $"n")
+      .orderBy($"c_mktsegment", $"kind")
+  }
+
+  /** Time-bucketed aggregation — the batch equivalent of the streaming
+    * windowed count (graft.streaming). Hour truncation keeps ns-precision
+    * parquet timestamps comparable across engines. */
+  def qHourlyEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum2($"value").as("total_value"))
+      .orderBy($"hour_ts", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q_price_bucket_when" -> qPriceBucketWhen,
+    "q_window_topk_parts" -> qWindowTopkParts,
+    "q_lww_dedup_events" -> qLwwDedupEvents,
+    "q_union_changes" -> qUnionChanges,
+    "q_zone_derive" -> qZoneDerive,
+    "q_json_roundtrip" -> qJsonRoundtrip,
+    "q_agg_stats_orders" -> qAggStatsOrders,
+    "q_semi_anti_join" -> qSemiAntiJoin,
+    "q_hourly_events" -> qHourlyEvents,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_price_bucket_when" ->
+      """SELECT o_orderstatus,
+         CASE WHEN o_totalprice >= 300000.0 THEN 'high'
+              WHEN o_totalprice >= 100000.0 THEN 'mid'
+              ELSE 'low' END AS bucket,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""",
+    "q_window_topk_parts" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+           FROM part) WHERE rn <= 3 ORDER BY p_brand, rn""",
+    "q_lww_dedup_events" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_union_changes" ->
+      """SELECT 'IXFR_DELETE' AS action, 0 AS ord, user_id, event_id FROM events WHERE event_type = 'error'
+         UNION ALL
+         SELECT 'IXFR_ADD' AS action, 1 AS ord, user_id, event_id FROM events WHERE event_type = 'purchase'
+         ORDER BY ord, event_id""",
+    "q_zone_derive" ->
+      """WITH f AS (
+           SELECT lower(regexp_replace(c_name, '[^A-Za-z0-9]', '-', 'g')) || '.' || lower(n_name) || '.acme' AS fqdn_raw
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         g AS (SELECT CASE WHEN fqdn_raw LIKE '%.' THEN fqdn_raw ELSE fqdn_raw || '.' END AS fqdn FROM f)
+         SELECT substring(fqdn, instr(fqdn, '.') + 1) AS zone, count(*) AS n_hosts
+         FROM g GROUP BY 1 ORDER BY zone""",
+    "q_json_roundtrip" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+         count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY 1 ORDER BY k_mod""",
+    "q_agg_stats_orders" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         count(DISTINCT o_custkey) AS n_customers,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_semi_anti_join" ->
+      """SELECT c_mktsegment, 'with_orders' AS kind, count(*) AS n FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY c_mktsegment
+         UNION ALL
+         SELECT c_mktsegment, 'without_orders' AS kind, count(*) AS n FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY c_mktsegment
+         ORDER BY c_mktsegment, kind""",
+    "q_hourly_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+         count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+  )
+}
