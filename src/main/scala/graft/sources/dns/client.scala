@@ -1,0 +1,156 @@
+package graft.sources.dns
+
+import scala.collection.mutable
+
+/** The protocol boundary, abstracted. The reference talks to a live
+  * DNS server through dnsjava (`Xfr.java:37-50` for transfers,
+  * `DnsUpdate.java:46-81` for RFC 2136 updates); this build is
+  * zero-egress, so the same two operations are expressed as traits and
+  * served by an in-process implementation. On a real cluster the
+  * `client` option selects a network-backed implementation; everything
+  * above this boundary (partition planning, offsets, dedup, validation)
+  * is identical either way.
+  */
+trait ZoneTransferClient extends Serializable {
+  /** Run a zone transfer. `serial == 0` or xfr=AXFR means full transfer
+    * (reference DnsZoneRDD.java:76-80, Xfr.java:43-48); an IXFR may
+    * legitimately come back as an AXFR (protocol fallback —
+    * DnsZoneTransferHandler.java:31-40). Throws on unknown zone,
+    * unreachable server, or timeout. */
+  def transfer(zone: String, serial: Long, xfr: XfrType, timeoutSec: Int): TransferResult
+}
+
+trait UpdateEmitter extends Serializable {
+  /** Apply one batch of updates to a zone as a single atomic message
+    * (reference sends one RFC 2136 Update per partition×zone —
+    * DnsUpdate.java:46-81). Throws if the server rejects (rcode != 0). */
+  def update(zone: String, adds: Seq[DnsUpdateRecord], deletes: Seq[DnsUpdateRecord]): Unit
+}
+
+object DnsClients {
+  /** Resolve the client implementation named by the `client` option.
+    * Executors call this from partition readers/writers, so resolution
+    * must be side-effect free and local. */
+  def transferClient(opts: DnsCommonOptions): ZoneTransferClient = opts.client match {
+    case "inmemory" => new InMemoryTransferClient(opts.server, opts.port)
+    case other => throw new IllegalArgumentException(
+      s"unknown dns client '$other' (this build ships: inmemory)")
+  }
+
+  def updateEmitter(opts: DnsCommonOptions): UpdateEmitter = opts.client match {
+    case "inmemory" => new InMemoryUpdateEmitter(opts.server, opts.port)
+    case other => throw new IllegalArgumentException(
+      s"unknown dns client '$other' (this build ships: inmemory)")
+  }
+}
+
+/** In-process DNS server: zones with SOA serials, AXFR/IXFR semantics
+  * and dynamic updates. Thread-safe. Stands in for the reference's
+  * Bind9 testcontainer (BindContainerFactory.java:21-22).
+  */
+final class InMemoryDnsServer {
+  private final class ZoneState {
+    var serial: Long = 1L
+    val records = mutable.LinkedHashSet.empty[ARecord]
+    /** IXFR journal: delta that advanced the zone to `endSerial`. */
+    val journal = mutable.ArrayBuffer.empty[IxfrDelta]
+  }
+
+  private val zones = mutable.Map.empty[String, ZoneState]
+
+  def addZone(zone: String, records: Seq[ARecord]): Unit = synchronized {
+    val st = new ZoneState
+    records.foreach(r => st.records += ARecord(r.fqdn.toLowerCase, r.ip))
+    zones(Fqdn.normalize(zone)) = st
+  }
+
+  def dropZone(zone: String): Unit = synchronized { zones -= Fqdn.normalize(zone) }
+
+  private def state(zone: String): ZoneState =
+    zones.getOrElse(Fqdn.normalize(zone),
+      throw new IllegalArgumentException(s"zone transfer failed: unknown zone '$zone'"))
+
+  def axfr(zone: String): AxfrResult = synchronized {
+    val st = state(zone)
+    AxfrResult(st.serial, st.records.toVector)
+  }
+
+  /** IXFR since `fromSerial`. Falls back to AXFR when the journal no
+    * longer covers the requested serial (DNS protocol behavior). */
+  def ixfr(zone: String, fromSerial: Long): TransferResult = synchronized {
+    val st = state(zone)
+    if (fromSerial >= st.serial) IxfrResult(st.serial, Vector.empty)
+    else {
+      val deltas = st.journal.dropWhile(_.startSerial < fromSerial).toVector
+      if (deltas.headOption.exists(_.startSerial == fromSerial)) IxfrResult(st.serial, deltas)
+      else AxfrResult(st.serial, st.records.toVector) // journal gap → full transfer
+    }
+  }
+
+  /** RFC 2136-style dynamic update: adds then deletes, one serial bump
+    * per message. Unknown zone rejects the whole message (rcode != 0 in
+    * the reference — DnsUpdate.java:76-81). */
+  def update(zone: String, adds: Seq[ARecord], deletes: Seq[ARecord]): Unit = synchronized {
+    val st = state(zone)
+    val appliedAdds = adds.map(r => ARecord(r.fqdn.toLowerCase, r.ip))
+    val appliedDels = deletes.map(r => ARecord(r.fqdn.toLowerCase, r.ip))
+    appliedAdds.foreach(st.records += _)
+    appliedDels.foreach(st.records -= _)
+    val from = st.serial
+    st.serial += 1
+    st.journal += IxfrDelta(from, st.serial, appliedAdds, appliedDels)
+  }
+
+  def lookup(fqdn: String): Seq[String] = synchronized {
+    val name = Fqdn.normalize(fqdn).toLowerCase
+    zones.values.iterator.flatMap(_.records.iterator)
+      .filter(_.fqdn == name).map(_.ip).toVector
+  }
+
+  def serialOf(zone: String): Long = synchronized(state(zone).serial)
+}
+
+/** Process-wide registry of in-memory servers keyed by (host, port).
+  * local[N] runs executors in the driver JVM, so readers/writers reach
+  * the same instance; a networked client implementation replaces this
+  * on a real cluster.
+  */
+object InMemoryDnsServer {
+  private val servers = mutable.Map.empty[(String, Int), InMemoryDnsServer]
+
+  def at(host: String, port: Int): InMemoryDnsServer = synchronized {
+    servers.getOrElseUpdate((host, port), new InMemoryDnsServer)
+  }
+
+  def exists(host: String, port: Int): Boolean = synchronized {
+    servers.contains((host, port))
+  }
+
+  def reset(host: String, port: Int): Unit = synchronized { servers -= ((host, port)) }
+}
+
+final class InMemoryTransferClient(host: String, port: Int) extends ZoneTransferClient {
+  override def transfer(zone: String, serial: Long, xfr: XfrType,
+                        timeoutSec: Int): TransferResult = {
+    if (timeoutSec == 0) // reference failure matrix: timeout 0 always fails
+      throw new java.net.SocketTimeoutException(s"zone transfer of '$zone' timed out (timeout=0)")
+    if (!InMemoryDnsServer.exists(host, port))
+      throw new java.net.ConnectException(s"no DNS server at $host:$port")
+    val server = InMemoryDnsServer.at(host, port)
+    xfr match {
+      case XfrType.AXFR => server.axfr(zone) // always full, serial ignored (DnsZoneRDD.java:76-80)
+      case XfrType.IXFR if serial == 0L => server.axfr(zone) // serial 0 ⇒ AXFR (Xfr.java:43-48)
+      case XfrType.IXFR => server.ixfr(zone, serial)
+    }
+  }
+}
+
+final class InMemoryUpdateEmitter(host: String, port: Int) extends UpdateEmitter {
+  override def update(zone: String, adds: Seq[DnsUpdateRecord],
+                      deletes: Seq[DnsUpdateRecord]): Unit = {
+    if (!InMemoryDnsServer.exists(host, port))
+      throw new java.net.ConnectException(s"no DNS server at $host:$port")
+    InMemoryDnsServer.at(host, port).update(zone,
+      adds.map(u => ARecord(u.fqdn, u.ip)), deletes.map(u => ARecord(u.fqdn, u.ip)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources.dns
+
+import org.apache.spark.sql.types._
+
+/** Data model for the DNS source/sink connector.
+  *
+  * Mirrors the reference's semantics (not its code): the read side
+  * exposes zone transfers as an append-only change log with a 6-column
+  * schema; the write side consumes a 5-column add/delete update log.
+  * Schemas are fixed, code-defined constants in alphabetical field
+  * order (reference derives them via `Encoders.bean`, which reflects
+  * bean properties alphabetically — DnsRecordToRowConverter.java:20,
+  * DnsSinkRelation.java:19).
+  */
+object DnsAction {
+  val Axfr = "AXFR"
+  val IxfrAdd = "IXFR_ADD"
+  val IxfrDelete = "IXFR_DELETE"
+  val all: Set[String] = Set(Axfr, IxfrAdd, IxfrDelete)
+}
+
+/** Transfer mode (reference Xfr.java; `xfr` option, case-insensitive). */
+sealed trait XfrType
+object XfrType {
+  case object AXFR extends XfrType
+  case object IXFR extends XfrType
+  def parse(s: String): XfrType = s.trim.toUpperCase match {
+    case "AXFR" => AXFR
+    case "IXFR" => IXFR
+    case other => throw new IllegalArgumentException(
+      s"invalid xfr type '$other' (expected AXFR or IXFR)")
+  }
+}
+
+object DnsSchemas {
+  /** Read/source schema (FIXTURES.md §1; DnsRecordToRowConverter.java:26-29).
+    * Column order is part of the public API. */
+  val read: StructType = StructType(Seq(
+    StructField("action", StringType, nullable = true),
+    StructField("fqdn", StringType, nullable = true),
+    StructField("ip", StringType, nullable = true),
+    StructField("organization", StringType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("zone", StringType, nullable = true)))
+
+  /** Write/sink schema (FIXTURES.md §2; DnsRecordUpdate.java:15-18). */
+  val write: StructType = StructType(Seq(
+    StructField("action", StringType, nullable = true),
+    StructField("fqdn", StringType, nullable = true),
+    StructField("ip", StringType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("ttl", IntegerType, nullable = true)))
+}
+
+/** One A record inside a zone. */
+case class ARecord(fqdn: String, ip: String)
+
+/** One IXFR delta: changes that moved the zone serial start→end
+  * (reference Delta.java:13-35). */
+case class IxfrDelta(startSerial: Long, endSerial: Long,
+                     adds: Seq[ARecord], deletes: Seq[ARecord])
+
+/** Result of one zone transfer; `serial` is the zone's SOA serial
+  * observed at transfer time. */
+sealed trait TransferResult { def serial: Long }
+case class AxfrResult(serial: Long, records: Seq[ARecord]) extends TransferResult
+case class IxfrResult(serial: Long, deltas: Seq[IxfrDelta]) extends TransferResult
+
+/** A single validated update on the write path. */
+case class DnsUpdateRecord(action: String, fqdn: String, ip: String,
+                           timestampMicros: Long, ttl: Int)
+
+object Fqdn {
+  /** Normalize to an absolute name: append the trailing dot if missing
+    * (reference DnsPartitionHandler.java:85-94). */
+  def normalize(fqdn: String): String =
+    if (fqdn.endsWith(".")) fqdn else fqdn + "."
+
+  /** Derive the zone from an fqdn by stripping the first label, keeping
+    * the absolute form: mail.google.com → google.com.
+    * (reference DnsPartitionHandler.java:52-62). */
+  def zoneOf(fqdn: String): String = {
+    val abs = normalize(fqdn)
+    val i = abs.indexOf('.')
+    require(i >= 0 && i < abs.length - 1, s"fqdn '$fqdn' has no zone part")
+    abs.substring(i + 1)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources.dns
+
+import scala.jdk.CollectionConverters._
+
+/** Option parsing/validation for both connector directions
+  * (reference DnsOptions.java:19-60, DnsSourceOptions.java:28-112,
+  * DnsSinkOptions.java:8-12; README.md:26-37,123-129).
+  *
+  * The full option surface is part of the public API and is reproduced,
+  * including defaults. One reference quirk consciously fixed
+  * (SURVEY.md §2.3.1): `ignore-failures` defaults to a clean `false`
+  * instead of parsing the option *name* as a boolean.
+  */
+final case class DnsCommonOptions(server: String, port: Int, timeoutSec: Int,
+                                  client: String) {
+  require(server.nonEmpty, "option 'server' is required")
+  require(port >= 1 && port <= 65535, s"option 'port' out of range: $port")
+  require(timeoutSec >= 0, s"option 'timeout' must be >= 0: $timeoutSec")
+}
+
+final case class DnsSourceOptions(common: DnsCommonOptions,
+                                  organization: String,
+                                  zones: Seq[String],
+                                  serial: Long,
+                                  xfr: XfrType,
+                                  ignoreFailures: Boolean,
+                                  maxKeptCommits: Int,
+                                  fixedTimestampMicros: Option[Long]) {
+  require(organization.nonEmpty, "option 'organization' is required")
+  require(zones.nonEmpty, "option 'zones' is required (CSV of zone names)")
+  require(serial >= 0, s"option 'serial' must be >= 0: $serial")
+  require(maxKeptCommits > 0, s"option 'max-kept-commits' must be > 0: $maxKeptCommits")
+}
+
+final case class DnsSinkOptions(common: DnsCommonOptions)
+
+object DnsOptions {
+  val DefaultPort = 53
+  val DefaultTimeoutSec = 10
+  val DefaultSerial = 0L
+  val DefaultXfr: XfrType = XfrType.IXFR
+  val DefaultMaxKeptCommits = 10
+  /** Only in-process client exists in this zero-egress build; a real
+    * network client (dnsjava-equivalent) would register here. */
+  val DefaultClient = "inmemory"
+
+  private def common(o: Map[String, String]): DnsCommonOptions =
+    DnsCommonOptions(
+      server = o.getOrElse("server",
+        throw new IllegalArgumentException("option 'server' is required")),
+      port = o.get("port").map(_.toInt).getOrElse(DefaultPort),
+      timeoutSec = o.get("timeout").map(_.toInt).getOrElse(DefaultTimeoutSec),
+      client = o.getOrElse("client", DefaultClient))
+
+  def source(javaMap: java.util.Map[String, String]): DnsSourceOptions =
+    source(lowerKeys(javaMap))
+
+  def source(o: Map[String, String]): DnsSourceOptions = {
+    // Zone list is de-duplicated preserving first occurrence and each
+    // name normalized to absolute form (DnsSourceOptions.java:61-65).
+    val zones = o.getOrElse("zones",
+        throw new IllegalArgumentException("option 'zones' is required"))
+      .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(Fqdn.normalize).distinct.toSeq
+    DnsSourceOptions(
+      common = common(o),
+      organization = o.getOrElse("organization",
+        throw new IllegalArgumentException("option 'organization' is required")),
+      zones = zones,
+      serial = o.get("serial").map(_.toLong).getOrElse(DefaultSerial),
+      xfr = o.get("xfr").map(XfrType.parse).getOrElse(DefaultXfr),
+      ignoreFailures = o.get("ignore-failures").exists(_.trim.equalsIgnoreCase("true")),
+      maxKeptCommits = o.get("max-kept-commits").map(_.toInt).getOrElse(DefaultMaxKeptCommits),
+      fixedTimestampMicros = o.get("fixed-timestamp-micros").map(_.toLong))
+  }
+
+  def sink(javaMap: java.util.Map[String, String]): DnsSinkOptions =
+    sink(lowerKeys(javaMap))
+
+  def sink(o: Map[String, String]): DnsSinkOptions = DnsSinkOptions(common(o))
+
+  private def lowerKeys(m: java.util.Map[String, String]): Map[String, String] =
+    m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+}
