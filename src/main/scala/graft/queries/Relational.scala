@@ -35,9 +35,10 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** TPC-H Q3 flavored: two joins + agg + top-k. customer is small
-    * relative to lineitem → broadcast; orders⋈lineitem shuffles on
-    * orderkey (both sides already keyed). */
+  /** TPC-H Q3 flavored: two joins + agg + top-k. customer scales with
+    * SF (3M+ BUILDING rows at sf100) so no broadcast hint — AQE picks
+    * broadcast when the runtime size is under threshold and a shuffle
+    * hash join otherwise; orders⋈lineitem shuffles on orderkey. */
   def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cutoff = lit("1998-01-01").cast("timestamp")
@@ -48,16 +49,19 @@ object Relational {
     val l = t(s, dir, "lineitem").filter($"l_shipdate" > cutoff)
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
 
-  /** TPC-H Q5 flavored: 5-way join with tiny dims broadcast; the only
-    * shuffle joins are orders⋈lineitem and (customer,supplier) nation
-    * co-location. Revenue per nation within one region. */
+  /** TPC-H Q5 flavored: revenue per nation within one region. Only the
+    * fixed-size dimensions (region: 5 rows, nation: 25) carry broadcast
+    * hints — customer/supplier/orders/lineitem all scale with SF, so
+    * their joins are left to AQE (shuffle hash join on the keyed
+    * columns at 100 TB; a forced broadcast there would OOM the driver
+    * at sf100+). */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lo = lit("1996-01-01").cast("timestamp")
@@ -74,8 +78,8 @@ object Relational {
     val sup = t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
     val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
     l.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
       .groupBy($"n_name")
       .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
@@ -125,7 +129,11 @@ object Relational {
 
   /** Union with deletes-before-adds ordering (ref emits IXFR deletes
     * before adds — Xfr.java:55-66); the `ord` column makes the
-    * semantic order explicit and hash-stable. */
+    * semantic order explicit. NOTE on the final orderBy: the output is
+    * input-sized, so a global range-sort of it is NOT the 100 TB plan —
+    * it exists solely because the driver's hash-compare is row-order
+    * sensitive. The scale deliverable is the unsorted union (consumers
+    * that need order use `ord` per partition via sortWithinPartitions). */
   def qUnionChanges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
@@ -184,7 +192,8 @@ object Relational {
   }
 
   /** Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
-    * orders, per market segment. Broadcast the distinct key set. */
+    * orders, per market segment. Both sides scale with SF, so this is a
+    * plain shuffle semi/anti join on the key column. */
   def qSemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = t(s, dir, "customer")

@@ -25,7 +25,10 @@ object Tables {
     * `div` not `/`: ns-since-epoch ≈ 1.7e18 exceeds double's 2^53
     * integer range, so float division would corrupt timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Verify/Bench/tests set this at session build; the guarded set here
+    // only covers driver-owned sessions that call a query directly.
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_ns", col("ts").cast("long"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

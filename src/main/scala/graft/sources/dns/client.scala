@@ -21,10 +21,15 @@ trait ZoneTransferClient extends Serializable {
 }
 
 trait UpdateEmitter extends Serializable {
-  /** Apply one batch of updates to a zone as a single atomic message
-    * (reference sends one RFC 2136 Update per partition×zone —
-    * DnsUpdate.java:46-81). Throws if the server rejects (rcode != 0). */
-  def update(zone: String, adds: Seq[DnsUpdateRecord], deletes: Seq[DnsUpdateRecord]): Unit
+  /** Apply one ordered batch of updates to a zone as a single atomic
+    * message (reference sends one RFC 2136 Update per partition×zone —
+    * DnsUpdate.java:46-81). The caller passes already-deduplicated
+    * changes; they are applied sequentially in the given order. The
+    * reference iterates a HashMap here (order unspecified —
+    * DnsUpdate.java:52-74); this build fixes the quirk by requiring a
+    * deterministic order (SURVEY §2.3.5, documented divergence).
+    * Throws if the server rejects (rcode != 0). */
+  def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit
 }
 
 object DnsClients {
@@ -87,19 +92,26 @@ final class InMemoryDnsServer {
     }
   }
 
-  /** RFC 2136-style dynamic update: adds then deletes, one serial bump
-    * per message. Unknown zone rejects the whole message (rcode != 0 in
-    * the reference — DnsUpdate.java:76-81). */
-  def update(zone: String, adds: Seq[ARecord], deletes: Seq[ARecord]): Unit = synchronized {
+  /** RFC 2136-style dynamic update: changes applied sequentially in
+    * message order (RFC 2136 §3.4.2), one serial bump per message.
+    * Unknown zone rejects the whole message (rcode != 0 in the
+    * reference — DnsUpdate.java:76-81). */
+  def update(zone: String, changes: Seq[ZoneChange]): Unit = synchronized {
     val st = state(zone)
-    val appliedAdds = adds.map(r => ARecord(r.fqdn.toLowerCase, r.ip))
-    val appliedDels = deletes.map(r => ARecord(r.fqdn.toLowerCase, r.ip))
-    appliedAdds.foreach(st.records += _)
-    appliedDels.foreach(st.records -= _)
+    val applied = changes.map(c => c.copy(record = ARecord(c.record.fqdn.toLowerCase, c.record.ip)))
+    applied.foreach { c =>
+      if (c.delete) st.records -= c.record else st.records += c.record
+    }
     val from = st.serial
     st.serial += 1
-    st.journal += IxfrDelta(from, st.serial, appliedAdds, appliedDels)
+    st.journal += IxfrDelta(from, st.serial,
+      adds = applied.filterNot(_.delete).map(_.record),
+      deletes = applied.filter(_.delete).map(_.record))
   }
+
+  /** Convenience for tests: adds then deletes. */
+  def update(zone: String, adds: Seq[ARecord], deletes: Seq[ARecord]): Unit =
+    update(zone, adds.map(ZoneChange(_, delete = false)) ++ deletes.map(ZoneChange(_, delete = true)))
 
   def lookup(fqdn: String): Seq[String] = synchronized {
     val name = Fqdn.normalize(fqdn).toLowerCase
@@ -146,11 +158,11 @@ final class InMemoryTransferClient(host: String, port: Int) extends ZoneTransfer
 }
 
 final class InMemoryUpdateEmitter(host: String, port: Int) extends UpdateEmitter {
-  override def update(zone: String, adds: Seq[DnsUpdateRecord],
-                      deletes: Seq[DnsUpdateRecord]): Unit = {
+  override def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit = {
     if (!InMemoryDnsServer.exists(host, port))
       throw new java.net.ConnectException(s"no DNS server at $host:$port")
-    InMemoryDnsServer.at(host, port).update(zone,
-      adds.map(u => ARecord(u.fqdn, u.ip)), deletes.map(u => ARecord(u.fqdn, u.ip)))
+    InMemoryDnsServer.at(host, port).update(zone, changes.map { u =>
+      ZoneChange(ARecord(u.fqdn, u.ip), delete = u.action == DnsAction.IxfrDelete)
+    })
   }
 }

@@ -77,12 +77,16 @@ object Fqdn {
     if (fqdn.endsWith(".")) fqdn else fqdn + "."
 
   /** Derive the zone from an fqdn by stripping the first label, keeping
-    * the absolute form: mail.google.com → google.com.
-    * (reference DnsPartitionHandler.java:52-62). */
+    * the absolute form: mail.google.com → google.com. A single-label
+    * name ("host.") belongs to the root zone "." — matching the
+    * reference's dnsjava behavior (DnsPartitionHandler.java:52-62). */
   def zoneOf(fqdn: String): String = {
     val abs = normalize(fqdn)
     val i = abs.indexOf('.')
-    require(i >= 0 && i < abs.length - 1, s"fqdn '$fqdn' has no zone part")
-    abs.substring(i + 1)
+    require(i >= 0, s"fqdn '$fqdn' has no zone part")
+    if (i == abs.length - 1) "." else abs.substring(i + 1)
   }
 }
+
+/** One ordered change inside an RFC 2136 update message. */
+case class ZoneChange(record: ARecord, delete: Boolean)

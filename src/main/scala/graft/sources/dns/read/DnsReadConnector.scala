@@ -36,8 +36,16 @@ final class DnsTableProvider extends TableProvider with DataSourceRegister {
     DnsSchemas.read
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    // Fixed-schema contract: a user-supplied schema that differs from the
+    // connector's constant is an error, not a silent no-op (the reference
+    // ignores it — DnsSourceRelationProvider.java:51-53; we fail fast).
+    if (schema != null && schema != DnsSchemas.read)
+      throw new IllegalArgumentException(
+        s"the dns source has a fixed schema ${DnsSchemas.read.simpleString}; " +
+          s"user-supplied schema ${schema.simpleString} is not supported")
     new DnsTable(DnsOptions.source(properties))
+  }
 }
 
 final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead {
@@ -47,7 +55,8 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead {
   override def schema(): StructType = DnsSchemas.read
 
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      .asJava // streaming: DnsMicroBatchStream (DnsStreamConnector.scala)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DnsScanBuilder(opts)
@@ -119,32 +128,39 @@ final class DnsPartitionReader(opts: DnsSourceOptions, p: DnsZoneInputPartition,
                                acc: Option[ZoneVersion])
   extends PartitionReader[InternalRow] {
 
+  // Configuration errors (unknown client name) must always propagate;
+  // only the transfer itself is subject to the ignore-failures policy
+  // (reference swallows transfer errors only — DnsZoneRDD.java:83-92).
+  private val client = DnsClients.transferClient(opts.common)
+
   private val rows: Iterator[InternalRow] = {
     val tsMicros = opts.fixedTimestampMicros
       .getOrElse(System.currentTimeMillis() * 1000L)
-    try {
-      val client = DnsClients.transferClient(opts.common)
-      val result = client.transfer(p.zone, p.serial, opts.xfr, opts.common.timeoutSec)
-      acc.foreach(_.add(result.serial))
-      val changes: Iterator[(String, ARecord)] = result match {
-        case AxfrResult(_, records) =>
-          records.iterator.map(r => DnsAction.Axfr -> r)
-        case IxfrResult(_, deltas) =>
-          deltas.iterator.flatMap(_.deletes).map(r => DnsAction.IxfrDelete -> r) ++
-            deltas.iterator.flatMap(_.adds).map(r => DnsAction.IxfrAdd -> r)
+    // Materialize the change list inside the guard: a lazy networked
+    // client would otherwise throw during next(), outside the catch.
+    val changes: Seq[(String, ARecord)] =
+      try {
+        val result = client.transfer(p.zone, p.serial, opts.xfr, opts.common.timeoutSec)
+        acc.foreach(_.add(result.serial))
+        result match {
+          case AxfrResult(_, records) =>
+            records.map(r => (DnsAction.Axfr, r))
+          case IxfrResult(_, deltas) =>
+            deltas.flatMap(_.deletes).map(r => (DnsAction.IxfrDelete, r)) ++
+              deltas.flatMap(_.adds).map(r => (DnsAction.IxfrAdd, r))
+        }
+      } catch {
+        case _: Exception if opts.ignoreFailures => Nil // swallow → empty zone (DnsZoneRDD.java:83-92)
       }
-      changes.map { case (action, rec) =>
-        val row = new GenericInternalRow(6)
-        row.update(0, UTF8String.fromString(action))
-        row.update(1, UTF8String.fromString(rec.fqdn.toLowerCase))
-        row.update(2, UTF8String.fromString(rec.ip))
-        row.update(3, UTF8String.fromString(opts.organization))
-        row.setLong(4, tsMicros)
-        row.update(5, UTF8String.fromString(p.zone))
-        row.asInstanceOf[InternalRow]
-      }
-    } catch {
-      case e: Exception if opts.ignoreFailures => Iterator.empty // swallow → empty zone (DnsZoneRDD.java:83-92)
+    changes.iterator.map { case (action, rec) =>
+      val row = new GenericInternalRow(6)
+      row.update(0, UTF8String.fromString(action))
+      row.update(1, UTF8String.fromString(rec.fqdn.toLowerCase))
+      row.update(2, UTF8String.fromString(rec.ip))
+      row.update(3, UTF8String.fromString(opts.organization))
+      row.setLong(4, tsMicros)
+      row.update(5, UTF8String.fromString(p.zone))
+      row.asInstanceOf[InternalRow]
     }
   }
 

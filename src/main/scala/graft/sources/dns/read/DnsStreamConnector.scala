@@ -1,0 +1,191 @@
+package graft.sources.dns.read
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+import graft.sources.dns._
+
+/** Streaming offset: per-zone SOA serials plus an always-advancing
+  * `nonce`. A DNS server cannot be polled for "is there new data?"
+  * without actually transferring the zone, so the offset must compare
+  * unequal on every trigger to force Spark to schedule a batch — the
+  * reference embeds wall-clock time for this (ZoneOffset.java:12-16);
+  * here a deterministic monotonic counter serves the same purpose
+  * without making offsets time-dependent.
+  *
+  * Spark's V2 `Offset.equals` compares the `json()` payload, so the
+  * nonce lives inside the JSON.
+  */
+final case class DnsOffset(serials: Map[String, Long], nonce: Long) extends Offset {
+  override def json(): String = {
+    val zs = serials.toSeq.sortBy(_._1)
+      .map { case (z, s) => s"${DnsOffset.q(z)}:$s" }.mkString("{", ",", "}")
+    s"""{"nonce":$nonce,"zones":$zs}"""
+  }
+}
+
+object DnsOffset {
+  private[read] def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Minimal parser for the exact shape `json()` emits (zone names are
+    * DNS names — no escapes in practice, but handled anyway). */
+  def fromJson(json: String): DnsOffset = {
+    val nonce = """"nonce"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad dns offset json: $json"))
+    val zone = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+    val zonesPart = json.substring(json.indexOf("\"zones\"") + 7)
+    val serials = zone.findAllMatchIn(zonesPart).map { m =>
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+    }.toMap
+    DnsOffset(serials, nonce)
+  }
+}
+
+/** Self-managed commit log under the query's checkpoint location.
+  *
+  * Spark's own offset log stores the offset that *started* a batch, but
+  * the serial a zone transfer actually reached is only known after the
+  * read (reference ProgressSerDe.java:18-21). So committed post-read
+  * serials are persisted as one JSON file per batch under
+  * `<checkpoint>/graft-dns-progress/<batchId>`, restored on (re)start,
+  * with retention of the newest `maxKept` files
+  * (ProgressSerDe.java:23-145). Uses the Hadoop FileSystem API so the
+  * checkpoint can live on HDFS/S3A on a real cluster.
+  */
+final class ProgressLog(checkpointLocation: String, maxKept: Int) extends Serializable {
+  private val dir = new Path(checkpointLocation, "graft-dns-progress")
+
+  private def fs: FileSystem = dir.getFileSystem(new Configuration())
+
+  /** Highest committed batch id, or -1 when none. */
+  def latestBatchId(): Long = {
+    val f = fs
+    if (!f.exists(dir)) -1L
+    else f.listStatus(dir).iterator
+      .flatMap(s => s.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
+  }
+
+  def restore(): Option[Map[String, Long]] = {
+    val id = latestBatchId()
+    if (id < 0) None
+    else {
+      val bytes = {
+        val in = fs.open(new Path(dir, id.toString))
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8")
+        } finally in.close()
+      }
+      Some(DnsOffset.fromJson(bytes).serials)
+    }
+  }
+
+  def commit(batchId: Long, serials: Map[String, Long]): Unit = {
+    val f = fs
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val out = f.create(new Path(dir, batchId.toString), true)
+    try out.write(DnsOffset(serials, batchId).json().getBytes("UTF-8"))
+    finally out.close()
+    // Retention: drop all but the newest maxKept commit files.
+    val ids = f.listStatus(dir).iterator
+      .flatMap(s => s.getPath.getName.toLongOption).toSeq.sorted
+    ids.dropRight(maxKept).foreach(id => f.delete(new Path(dir, id.toString), false))
+  }
+}
+
+/** Micro-batch stream over DNS zone transfers (reference
+  * DnsStreamingSource.java:52-166 re-expressed on the public V2 API —
+  * no `LogicalRelation`/`RowEncoder` internals needed).
+  *
+  * Each trigger: `latestOffset` returns the current per-zone serials
+  * with a bumped nonce (always a "new" offset → batch always runs);
+  * `planInputPartitions` plans one partition per zone transferring
+  * changes *since* the start offset's serial; executors report the
+  * post-transfer serial through the per-zone ZoneVersion accumulators;
+  * `commit` folds those back in and persists them via [[ProgressLog]].
+  */
+final class DnsMicroBatchStream(opts: DnsSourceOptions, checkpointLocation: String)
+  extends MicroBatchStream {
+
+  private val log = new ProgressLog(checkpointLocation, opts.maxKeptCommits)
+
+  private val accs: Map[String, ZoneVersion] = {
+    val sc = SparkSession.active.sparkContext
+    opts.zones.map { z =>
+      val acc = new ZoneVersion
+      sc.register(acc, s"dns.stream.zone.version.$z")
+      z -> acc
+    }.toMap
+  }
+
+  /** Driver-side view of each zone's last committed serial. */
+  private val current: mutable.Map[String, Long] = {
+    val restored = log.restore().getOrElse(Map.empty)
+    mutable.Map(opts.zones.map(z => z -> restored.getOrElse(z, opts.serial)): _*)
+  }
+
+  private var nonce: Long = log.latestBatchId() + 1
+  private var batchId: Long = log.latestBatchId()
+
+  /** Fold executor-observed post-transfer serials (shipped via the
+    * ZoneVersion accumulators) into the driver-side view. */
+  private def absorbAccumulators(): Unit =
+    opts.zones.foreach { z =>
+      accs.get(z).foreach(a => current(z) = math.max(current(z), a.value))
+    }
+
+  override def initialOffset(): Offset = synchronized {
+    DnsOffset(current.toMap, nonce)
+  }
+
+  override def latestOffset(): Offset = synchronized {
+    absorbAccumulators()
+    nonce += 1
+    DnsOffset(current.toMap, nonce)
+  }
+
+  override def deserializeOffset(json: String): Offset = DnsOffset.fromJson(json)
+
+  /** Plans from the END offset's serials — the offset that latestOffset
+    * just minted from committed progress. The start offset is Spark's
+    * WAL replay of the *previous* batch's end, whose serials predate the
+    * data that batch actually read (a poll-incapable source only learns
+    * its real position after transferring — reference getBatch likewise
+    * copies zone params at the end offset, DnsStreamingSource.java:80-94). */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val serials = end.asInstanceOf[DnsOffset].serials
+    opts.zones.zipWithIndex.map { case (zone, i) =>
+      DnsZoneInputPartition(i, zone, serials.getOrElse(zone, opts.serial))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DnsReaderFactory(opts, accs)
+
+  private def persist(): Unit = {
+    absorbAccumulators()
+    batchId += 1
+    log.commit(batchId, current.toMap)
+  }
+
+  /** Spark invokes this lazily — at the start of the batch AFTER `end`
+    * was durably committed, which for Trigger.Once means on the next
+    * run. The durable write that makes resume effectively-once is the
+    * one in [[stop]] (the reference commits in stop() for the same
+    * reason — DnsStreamingSource.java:162-166). */
+  override def commit(end: Offset): Unit = synchronized { persist() }
+
+  override def stop(): Unit = synchronized { persist() }
+}

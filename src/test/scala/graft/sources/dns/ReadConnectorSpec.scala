@@ -1,0 +1,114 @@
+package graft.sources.dns
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Batch read path end-to-end through spark.read.format("dns"):
+  * registry resolution, partition-per-zone scan, action tagging,
+  * failure policy — the reference's read-test matrix
+  * (DnsSourceRelationProviderTest.java:86-200) against the in-memory
+  * server. */
+class ReadConnectorSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def seeded(port: Int): InMemoryDnsServer = {
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    srv.addZone("example.acme.", Seq(
+      ARecord("red.example.acme.", "10.1.0.1"),
+      ARecord("green.example.acme.", "10.1.0.2"),
+      ARecord("BLUE.example.acme.", "10.1.0.3")))
+    srv.addZone("another.zone.", Seq(
+      ARecord("a.another.zone.", "10.2.0.1"),
+      ARecord("b.another.zone.", "10.2.0.2")))
+    srv
+  }
+
+  private def read(port: Int, extra: (String, String)*) = {
+    val base = Map(
+      "server" -> "t", "port" -> port.toString, "organization" -> "acme",
+      "zones" -> "example.acme,another.zone",
+      "fixed-timestamp-micros" -> "1723400000000000")
+    spark.read.format("dns").options(base ++ extra).load()
+  }
+
+  test("short name 'dns' resolves via DataSourceRegister; full AXFR read") {
+    seeded(5301)
+    val df = read(5301, "xfr" -> "AXFR")
+    assert(df.schema == DnsSchemas.read)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(0) == DnsAction.Axfr))
+    assert(rows.forall(_.getString(3) == "acme"))
+    // names are lowercased by the wire→row projection
+    assert(df.filter(col("fqdn") === "blue.example.acme.").count() == 1)
+  }
+
+  test("one input partition per zone") {
+    seeded(5302)
+    val df = read(5302, "xfr" -> "AXFR")
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("IXFR since serial yields delete-before-add tagged changes") {
+    val srv = seeded(5303)
+    srv.update("example.acme.",
+      Seq(ARecord("new.example.acme.", "10.1.0.9")),
+      Seq(ARecord("red.example.acme.", "10.1.0.1")))
+    val df = read(5303, "serial" -> "1").filter(col("zone") === "example.acme.")
+    val acts = df.select("action", "fqdn").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(acts.toSet == Set(
+      (DnsAction.IxfrDelete, "red.example.acme."),
+      (DnsAction.IxfrAdd, "new.example.acme.")))
+    // deletes flatten before adds (Xfr.java:52-74 order preserved)
+    assert(acts.head._1 == DnsAction.IxfrDelete)
+  }
+
+  test("failure matrix: timeout 0 fails, ignore-failures suppresses") {
+    seeded(5304)
+    intercept[Exception](read(5304, "timeout" -> "0").collect())
+    assert(read(5304, "timeout" -> "0", "ignore-failures" -> "true").count() == 0)
+  }
+
+  test("failure matrix: wrong port fails, ignore-failures suppresses") {
+    seeded(5305)
+    intercept[Exception](read(9999).collect())
+    assert(read(9999, "ignore-failures" -> "true").count() == 0)
+  }
+
+  test("unknown zone fails even with one good zone, unless ignored") {
+    val port = 5306
+    InMemoryDnsServer.reset("t", port)
+    InMemoryDnsServer.at(port = port, host = "t")
+      .addZone("example.acme.", Seq(ARecord("x.example.acme.", "10.0.0.1")))
+    val opts = Map("server" -> "t", "port" -> port.toString, "organization" -> "o",
+      "zones" -> "example.acme,ghost.zone", "xfr" -> "AXFR")
+    intercept[Exception](spark.read.format("dns").options(opts).load().collect())
+    val ok = spark.read.format("dns").options(opts + ("ignore-failures" -> "true")).load()
+    assert(ok.count() == 1)
+  }
+
+  test("SQL DDL: CREATE TABLE USING dns + SELECT") {
+    seeded(5307)
+    spark.sql("DROP TABLE IF EXISTS dns_sql_test")
+    spark.sql(
+      """CREATE TABLE dns_sql_test USING dns OPTIONS (
+        | server 't', port '5307', organization 'acme',
+        | zones 'example.acme,another.zone', xfr 'AXFR',
+        | `fixed-timestamp-micros` '1723400000000000')""".stripMargin)
+    assert(spark.sql("SELECT * FROM dns_sql_test").count() == 5)
+    assert(spark.sql("SELECT zone, count(*) n FROM dns_sql_test GROUP BY zone")
+      .count() == 2)
+    spark.sql("DROP TABLE dns_sql_test")
+  }
+
+  test("user-supplied schema that differs from the contract is rejected") {
+    seeded(5308)
+    intercept[Exception] {
+      spark.read.format("dns").schema("a STRING, b INT")
+        .option("server", "t").option("port", "5308")
+        .option("organization", "o").option("zones", "example.acme")
+        .load().collect()
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources.dns
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming read path: micro-batch source with self-managed progress
+  * log. Mirrors the reference's hardest behavior — resume-effectively-
+  * once across two Trigger.Once runs
+  * (DnsSourceRelationProviderTest.java:203-226). */
+class StreamingReadSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def runOnce(port: Int, outDir: String, ckDir: String): Unit = {
+    val q = spark.readStream.format("dns")
+      .option("server", "t").option("port", port.toString)
+      .option("organization", "acme")
+      .option("zones", "example.acme")
+      .option("fixed-timestamp-micros", "1723400000000000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+  }
+
+  test("two Trigger.Once runs read each change exactly once") {
+    val port = 5401
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    srv.addZone("example.acme.", Seq(
+      ARecord("red.example.acme.", "10.1.0.1"),
+      ARecord("green.example.acme.", "10.1.0.2")))
+
+    val out = Files.createTempDirectory("dns-stream-out").toString
+    val ck = Files.createTempDirectory("dns-stream-ck").toString
+
+    runOnce(port, out, ck) // initial: serial 0 → AXFR of 2 records
+
+    // Change the zone between runs; the second run must see ONLY the delta.
+    srv.update("example.acme.",
+      Seq(ARecord("blue.example.acme.", "10.1.0.3")),
+      Seq(ARecord("red.example.acme.", "10.1.0.1")))
+
+    runOnce(port, out, ck)
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4) // 2 AXFR + 1 IXFR_ADD + 1 IXFR_DELETE
+    // effectively-once: no identity row appears twice
+    val dupes = got.groupBy("action", "fqdn", "ip", "organization", "zone")
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    assert(got.filter(col("action") === DnsAction.IxfrAdd).count() == 1)
+    assert(got.filter(col("action") === DnsAction.IxfrDelete).count() == 1)
+  }
+
+  test("third run with no zone changes reads nothing new") {
+    val port = 5402
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    srv.addZone("example.acme.", Seq(ARecord("a.example.acme.", "1.1.1.1")))
+
+    val out = Files.createTempDirectory("dns-stream-out2").toString
+    val ck = Files.createTempDirectory("dns-stream-ck2").toString
+    runOnce(port, out, ck)
+    runOnce(port, out, ck)
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("progress log restores latest serials and retains maxKept commits") {
+    import graft.sources.dns.read.ProgressLog
+    val ck = Files.createTempDirectory("dns-progress").toString
+    val log = new ProgressLog(ck, maxKept = 3)
+    assert(log.restore().isEmpty)
+    (1L to 5L).foreach(i => log.commit(i, Map("z." -> i * 10)))
+    assert(log.restore().contains(Map("z." -> 50L)))
+    assert(log.latestBatchId() == 5L)
+    // retention: only the newest 3 commit files survive (the local
+    // Hadoop FS also writes .crc siblings — count numeric names only)
+    val dir = new java.io.File(ck, "graft-dns-progress")
+    val names = dir.listFiles().map(_.getName).filter(_.forall(_.isDigit)).toSet
+    assert(names == Set("3", "4", "5"))
+  }
+}
