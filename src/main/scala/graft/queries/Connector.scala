@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.dns._
+
+/** Connector-backed CORRECTNESS queries: deterministic in-memory DNS
+  * fixtures, read/written through the real `dns` / `dns_update`
+  * DataSource V2 paths, with DuckDB oracles that regenerate the same
+  * data from `generate_series` arithmetic (no parquet tables needed).
+  *
+  * Fixtures are reseeded from scratch on every call so Verify/Bench
+  * runs are idempotent.
+  */
+object Connector {
+
+  private val Host = "verify-dns"
+  private val TsMicros = 1723400000000000L
+
+  /** Zones z0..z3; zone j holds hosts h0..h(9+j) with formulaic IPs. */
+  private def seedReadFixture(port: Int): Unit = {
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    (0 to 3).foreach { j =>
+      srv.addZone(s"z$j.graft.",
+        (0 to 9 + j).map(i => ARecord(s"h$i.z$j.graft.", s"10.$j.0.$i")))
+    }
+  }
+
+  /** Full batch read through spark.read.format("dns"): registry →
+    * table → one partition per zone → AXFR rows. */
+  def qDnsRead(s: SparkSession, dir: String): DataFrame = {
+    val port = 5601
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("action", "fqdn", "ip", "organization", "timestamp", "zone")
+      .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsReadOracle: String =
+    s"""WITH h AS (
+       |  SELECT j, i FROM (SELECT unnest(generate_series(0,3)) AS j)
+       |  CROSS JOIN (SELECT unnest(generate_series(0,12)) AS i)
+       |  WHERE i <= 9 + j)
+       |SELECT 'AXFR' AS action,
+       |  'h'||i||'.z'||j||'.graft.' AS fqdn,
+       |  '10.'||j||'.0.'||i AS ip,
+       |  'graft' AS organization,
+       |  make_timestamp($TsMicros) AS "timestamp",
+       |  'z'||j||'.graft.' AS zone
+       |FROM h ORDER BY zone, fqdn""".stripMargin
+
+  /** Write-then-read round trip through BOTH connectors: a formulaic
+    * update log (adds, deletes of seeded records, add/delete flips on
+    * the same identity at different timestamps) written via
+    * format("dns_update") — exercising validation, fqdn normalization,
+    * zone derivation, LWW dedup, chronological apply — then the final
+    * zone state read back via format("dns") AXFR.
+    *
+    * The update DF is coalesced to one task so cross-task message order
+    * cannot reorder changes to the same record (at scale the caller
+    * pre-partitions by derived zone for the same guarantee).
+    *
+    * The oracle replays the identical log in DuckDB and computes
+    * presence as "latest change per (fqdn, ip) is not a delete" —
+    * exactly the LWW-dedup + chronological-apply contract. */
+  def qDnsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val port = 5602
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    (0 to 1).foreach { j =>
+      srv.addZone(s"w$j.graft.", (0 to 9).map(k => ARecord(s"seed$k.w$j.graft.", s"10.88.$j.$k")))
+    }
+    import s.implicits._
+    val j = $"id" % 2
+    val k = $"id" % 15
+    val firstHalf = $"id" < 30
+    val updates = s.range(60).select(
+      when(k <= 4, DnsAction.IxfrAdd)
+        .when(k <= 9, DnsAction.IxfrDelete)
+        .when(k <= 12, when(firstHalf, DnsAction.IxfrAdd).otherwise(DnsAction.IxfrDelete))
+        .otherwise(when(firstHalf, DnsAction.IxfrDelete).otherwise(DnsAction.IxfrAdd))
+        .as("action"),
+      when(k <= 4, concat(lit("add"), k, lit(".w"), j, lit(".graft")))
+        .when(k <= 9, concat(lit("seed"), k - 5, lit(".w"), j, lit(".graft")))
+        .when(k <= 12, concat(lit("flipa"), k - 10, lit(".w"), j, lit(".graft")))
+        .otherwise(concat(lit("flipb"), k - 13, lit(".w"), j, lit(".graft")))
+        .as("fqdn"),
+      when(k <= 4, concat(lit("10.77."), j, lit("."), k))
+        .when(k <= 9, concat(lit("10.88."), j, lit("."), k - 5))
+        .when(k <= 12, concat(lit("10.99."), j, lit("."), k - 10))
+        .otherwise(concat(lit("10.66."), j, lit("."), k - 13))
+        .as("ip"),
+      timestamp_micros(lit(TsMicros + 1000000L) + $"id").as("timestamp"),
+      lit(3600).cast("int").as("ttl"))
+    updates.coalesce(1).write.format("dns_update")
+      .option("server", Host).option("port", port.toString)
+      .mode("append").save()
+
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "w0.graft,w1.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("fqdn", "ip", "zone")
+      .orderBy("zone", "fqdn", "ip")
+  }
+
+  private val qDnsRoundtripOracle: String =
+    s"""WITH ids AS (SELECT unnest(generate_series(0,59)) AS id),
+       |upd AS (
+       |  SELECT
+       |    CASE WHEN id%15 <= 4 THEN 'IXFR_ADD'
+       |         WHEN id%15 <= 9 THEN 'IXFR_DELETE'
+       |         WHEN id%15 <= 12 THEN (CASE WHEN id < 30 THEN 'IXFR_ADD' ELSE 'IXFR_DELETE' END)
+       |         ELSE (CASE WHEN id < 30 THEN 'IXFR_DELETE' ELSE 'IXFR_ADD' END) END AS action,
+       |    CASE WHEN id%15 <= 4 THEN 'add'||(id%15)||'.w'||(id%2)||'.graft.'
+       |         WHEN id%15 <= 9 THEN 'seed'||(id%15-5)||'.w'||(id%2)||'.graft.'
+       |         WHEN id%15 <= 12 THEN 'flipa'||(id%15-10)||'.w'||(id%2)||'.graft.'
+       |         ELSE 'flipb'||(id%15-13)||'.w'||(id%2)||'.graft.' END AS fqdn,
+       |    CASE WHEN id%15 <= 4 THEN '10.77.'||(id%2)||'.'||(id%15)
+       |         WHEN id%15 <= 9 THEN '10.88.'||(id%2)||'.'||(id%15-5)
+       |         WHEN id%15 <= 12 THEN '10.99.'||(id%2)||'.'||(id%15-10)
+       |         ELSE '10.66.'||(id%2)||'.'||(id%15-13) END AS ip,
+       |    ${TsMicros + 1000000L} + id AS ts
+       |  FROM ids),
+       |seeded AS (
+       |  SELECT 'IXFR_ADD' AS action,
+       |    'seed'||k||'.w'||j||'.graft.' AS fqdn,
+       |    '10.88.'||j||'.'||k AS ip, 0 AS ts
+       |  FROM (SELECT unnest(generate_series(0,1)) AS j)
+       |  CROSS JOIN (SELECT unnest(generate_series(0,9)) AS k)),
+       |log AS (SELECT * FROM upd UNION ALL SELECT * FROM seeded),
+       |last AS (SELECT fqdn, ip, arg_max(action, ts) AS action
+       |         FROM log GROUP BY fqdn, ip)
+       |SELECT fqdn, ip, substring(fqdn, instr(fqdn, '.') + 1) AS zone
+       |FROM last WHERE action <> 'IXFR_DELETE'
+       |ORDER BY zone, fqdn, ip""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dns_read" -> qDnsRead,
+    "q_dns_roundtrip" -> qDnsRoundtrip,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dns_read" -> qDnsReadOracle,
+    "q_dns_roundtrip" -> qDnsRoundtripOracle,
+  )
+}

@@ -1,0 +1,179 @@
+package graft.sources.dns.write
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.dns._
+
+/** DataSource V2 write path for `format("dns_update")`.
+  *
+  * Re-expresses the reference's V1 sink cluster
+  * (DnsSinkRelationProvider.java:21-46, DnsBatchPartitionHandler.java:28-51,
+  * DnsPartitionHandler.java:30-94, DnsUpdate.java:46-81,
+  * DnsStreamingSink.java:25-55) on public Spark 4 interfaces. V2 removes
+  * both reference hacks: no `to_json(struct(*))` transport packing (the
+  * DataWriter reads InternalRow fields directly) and no
+  * `queryExecution.toRdd` streaming workaround (StreamingWrite is native).
+  *
+  * Per-task pipeline, identical either direction (batch/streaming):
+  * validate → normalize fqdn → derive zone → buffer per zone; on task
+  * commit, per zone: last-write-wins dedup on record identity
+  * (action, fqdn, ip) keeping max timestamp (DnsUpdate.java:46-54), then
+  * ONE atomic update message per (task × zone) applied in chronological
+  * order (the reference iterates a HashMap here — order unspecified; we
+  * fix the quirk deterministically, SURVEY §2.3.5).
+  *
+  * Scale design: the only network per task is one message per zone it
+  * saw; pre-partitioning the input by derived zone
+  * (`repartition(zone_of(fqdn))`) makes that one message per zone
+  * cluster-wide — left to the caller, as in the reference.
+  */
+final class DnsUpdateTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dns_update"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DnsSchemas.write
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new DnsUpdateTable(DnsOptions.sink(properties))
+}
+
+final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrite {
+  override def name(): String = s"dns_update(${opts.common.server}:${opts.common.port})"
+
+  override def schema(): StructType = DnsSchemas.write
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, // accept SaveMode.Overwrite as plain append (ref ignores the flag — DnsSinkRelation.java:33-42)
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava // columns are matched by name; extras ignored like the ref's bean decode
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DnsWriteBuilder(opts, info.schema())
+}
+
+final class DnsWriteBuilder(opts: DnsSinkOptions, inputSchema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+
+  // Overwrite semantics are "just append" in the reference; truncate is a no-op.
+  override def truncate(): WriteBuilder = this
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new DnsBatchWrite(opts, inputSchema)
+    override def toStreaming: StreamingWrite = new DnsStreamingWrite(opts, inputSchema)
+  }
+}
+
+final class DnsBatchWrite(opts: DnsSinkOptions, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new DnsWriterFactory(opts, FieldIndices(schema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class DnsStreamingWrite(opts: DnsSinkOptions, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new DnsWriterFactory(opts, FieldIndices(schema))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Input columns are resolved by NAME against whatever schema the query
+  * produces (any order, extra columns ignored — the reference's
+  * bean-from-JSON decode behaves the same way). */
+final case class FieldIndices(action: Int, fqdn: Int, ip: Int, timestamp: Int, ttl: Int)
+
+object FieldIndices {
+  def apply(schema: StructType): FieldIndices = {
+    def idx(name: String): Int =
+      try schema.fieldIndex(name)
+      catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
+        s"dns_update input must have column '$name' (got: ${schema.fieldNames.mkString(", ")})") }
+    FieldIndices(idx("action"), idx("fqdn"), idx("ip"), idx("timestamp"), idx("ttl"))
+  }
+}
+
+final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DnsDataWriter(opts, idx)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new DnsDataWriter(opts, idx)
+}
+
+/** Executor-side writer. Buffers validated updates per derived zone;
+  * all network I/O happens in commit() — one message per zone. */
+final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
+  extends DataWriter[InternalRow] {
+
+  // Configuration errors must propagate at task start, not mid-buffer.
+  private val emitter = DnsClients.updateEmitter(opts.common)
+
+  private val perZone = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[DnsUpdateRecord]]
+
+  override def write(row: InternalRow): Unit = {
+    // Validation mirrors DnsPartitionHandler.java:69-77: reject
+    // null/empty action, fqdn, ip, null timestamp, non-positive ttl.
+    def reqString(i: Int, name: String): String = {
+      if (row.isNullAt(i)) throw new IllegalArgumentException(s"dns_update: '$name' must not be null")
+      val v = row.getUTF8String(i).toString
+      if (v.trim.isEmpty) throw new IllegalArgumentException(s"dns_update: '$name' must not be empty")
+      v
+    }
+    val action = reqString(idx.action, "action")
+    if (!DnsAction.all.contains(action))
+      throw new IllegalArgumentException(
+        s"dns_update: invalid action '$action' (expected ${DnsAction.all.mkString("/")})")
+    val fqdnRaw = reqString(idx.fqdn, "fqdn")
+    val ip = reqString(idx.ip, "ip")
+    if (row.isNullAt(idx.timestamp))
+      throw new IllegalArgumentException("dns_update: 'timestamp' must not be null")
+    val tsMicros = row.getLong(idx.timestamp)
+    if (row.isNullAt(idx.ttl))
+      throw new IllegalArgumentException("dns_update: 'ttl' must not be null")
+    val ttl = row.getInt(idx.ttl)
+    if (ttl <= 0) throw new IllegalArgumentException(s"dns_update: 'ttl' must be > 0, got $ttl")
+
+    // Normalize to absolute name (DnsPartitionHandler.java:85-94), then
+    // group by the zone derived from the fqdn (:52-62).
+    val fqdn = Fqdn.normalize(fqdnRaw)
+    val zone = Fqdn.zoneOf(fqdn)
+    perZone.getOrElseUpdate(zone, mutable.ArrayBuffer.empty) +=
+      DnsUpdateRecord(action, fqdn, ip, tsMicros, ttl)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    perZone.foreach { case (zone, updates) =>
+      // Last-write-wins dedup on record identity (action, fqdn, ip),
+      // max timestamp wins (DnsUpdate.java:46-54); then apply in
+      // chronological order (ties broken lexicographically for
+      // determinism — conscious fix of the reference's HashMap order).
+      val deduped = updates
+        .groupBy(u => (u.action, u.fqdn, u.ip))
+        .valuesIterator.map(_.maxBy(_.timestampMicros)).toSeq
+        .sortBy(u => (u.timestampMicros, u.action, u.fqdn, u.ip))
+      if (deduped.nonEmpty) emitter.update(zone, deduped)
+    }
+    perZone.clear()
+    DnsWriteCommitted
+  }
+
+  override def abort(): Unit = perZone.clear()
+  override def close(): Unit = ()
+}
+
+case object DnsWriteCommitted extends WriterCommitMessage

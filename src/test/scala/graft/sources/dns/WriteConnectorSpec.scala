@@ -1,0 +1,205 @@
+package graft.sources.dns
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Write path end-to-end through df.write.format("dns_update"):
+  * validation, normalization, zone grouping, LWW dedup, emission —
+  * with the DNS server itself as the oracle (the reference's pattern,
+  * DnsSinkRelationProviderTest.java:96-197). */
+class WriteConnectorSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def fresh(port: Int, zones: String*): InMemoryDnsServer = {
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    zones.foreach(z => srv.addZone(z, Nil))
+    srv
+  }
+
+  /** The reference generates its update DF from spark.range + column
+    * expressions (DnsSinkRelationProviderTest.java:199-209); same here. */
+  private def updatesDf(n: Int) = {
+    import spark.implicits._
+    spark.range(n).select(
+      when($"id" % 10 === 0, DnsAction.IxfrDelete).otherwise(DnsAction.IxfrAdd).as("action"),
+      concat(lit("host"), $"id", lit(".example.acme")).as("fqdn"),
+      concat(lit("10.0."), ($"id" % 256).cast("string"), lit("."), (($"id" + 1) % 256).cast("string")).as("ip"),
+      timestamp_micros(lit(1723400000000000L) + $"id").as("timestamp"),
+      lit(3600).cast("int").as("ttl"))
+  }
+
+  test("batch save: adds resolve, deletes do not (server as oracle)") {
+    val srv = fresh(5501, "example.acme.")
+    updatesDf(10).write.format("dns_update")
+      .option("server", "t").option("port", "5501").mode("append").save()
+    // id 0 was a delete of a nonexistent record → absent; 1-9 added
+    assert(srv.lookup("host0.example.acme.").isEmpty)
+    (1 to 9).foreach { i =>
+      assert(srv.lookup(s"host$i.example.acme.") == Seq(s"10.0.$i.${i + 1}"), s"host$i")
+    }
+    assert(srv.serialOf("example.acme.") >= 1)
+  }
+
+  test("rows route to the zone derived from each fqdn") {
+    val srv = fresh(5502, "zone-a.test.", "zone-b.test.")
+    import spark.implicits._
+    Seq(
+      (DnsAction.IxfrAdd, "h1.zone-a.test", "1.1.1.1", new Timestamp(1000L), 60),
+      (DnsAction.IxfrAdd, "h2.zone-b.test", "2.2.2.2", new Timestamp(1000L), 60))
+      .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+      .write.format("dns_update").option("server", "t").option("port", "5502")
+      .mode("append").save()
+    assert(srv.lookup("h1.zone-a.test.") == Seq("1.1.1.1"))
+    assert(srv.lookup("h2.zone-b.test.") == Seq("2.2.2.2"))
+    assert(srv.serialOf("zone-a.test.") == 2 && srv.serialOf("zone-b.test.") == 2)
+  }
+
+  test("LWW dedup: latest timestamp wins for the same record identity") {
+    val srv = fresh(5503, "z.test.")
+    import spark.implicits._
+    // Same (fqdn, ip): ADD at t=1000 and t=5000, DELETE at t=3000.
+    // Dedup keeps ADD@5000 and DELETE@3000 (action is part of the key —
+    // SURVEY §2.3.5); chronological apply: DELETE@3000 then ADD@5000 →
+    // the record ends PRESENT.
+    Seq(
+      (DnsAction.IxfrAdd, "h.z.test", "9.9.9.9", new Timestamp(1L), 60),
+      (DnsAction.IxfrDelete, "h.z.test", "9.9.9.9", new Timestamp(3L), 60),
+      (DnsAction.IxfrAdd, "h.z.test", "9.9.9.9", new Timestamp(5L), 60))
+      .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+      .coalesce(1) // one task → one message, forcing the dedup path
+      .write.format("dns_update").option("server", "t").option("port", "5503")
+      .mode("append").save()
+    assert(srv.lookup("h.z.test.") == Seq("9.9.9.9"))
+    // one task × one zone = ONE update message = one serial bump
+    assert(srv.serialOf("z.test.") == 2)
+  }
+
+  test("AXFR action writes like IXFR_ADD; column order is by-name") {
+    val srv = fresh(5504, "z.test.")
+    import spark.implicits._
+    // shuffled column order + an extra column, both must be tolerated
+    Seq(("ignored", new Timestamp(1L), "3.3.3.3", DnsAction.Axfr, "ax.z.test", 60))
+      .toDF("extra", "timestamp", "ip", "action", "fqdn", "ttl")
+      .write.format("dns_update").option("server", "t").option("port", "5504")
+      .mode("append").save()
+    assert(srv.lookup("ax.z.test.") == Seq("3.3.3.3"))
+  }
+
+  test("validation rejects: bad ttl, empty fqdn, null ip, bad action") {
+    fresh(5505, "z.test.")
+    import spark.implicits._
+    def attempt(action: String, fqdn: String, ip: String, ttl: Int) =
+      intercept[Exception] {
+        Seq((action, fqdn, ip, new Timestamp(1L), ttl))
+          .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+          .write.format("dns_update").option("server", "t").option("port", "5505")
+          .mode("append").save()
+      }
+    attempt(DnsAction.IxfrAdd, "h.z.test", "1.1.1.1", 0)
+    attempt(DnsAction.IxfrAdd, " ", "1.1.1.1", 60)
+    attempt("SOMETHING", "h.z.test", "1.1.1.1", 60)
+    val e = intercept[Exception] {
+      Seq((null.asInstanceOf[String], "h.z.test", "1.1.1.1", new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5505")
+        .mode("append").save()
+    }
+    assert(e != null)
+  }
+
+  test("missing required column is rejected with a clear error") {
+    fresh(5506, "z.test.")
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(("a.z.test", "1.1.1.1")).toDF("fqdn", "ip")
+        .write.format("dns_update").option("server", "t").option("port", "5506")
+        .mode("append").save()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("update to an unknown zone fails the job (rcode != 0 contract)") {
+    fresh(5507, "z.test.")
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((DnsAction.IxfrAdd, "h.ghost.zone", "1.1.1.1", new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5507")
+        .mode("append").save()
+    }
+  }
+
+  test("SQL: CREATE TABLE USING dns_update + INSERT INTO") {
+    val srv = fresh(5508, "sqlzone.test.")
+    spark.sql("DROP TABLE IF EXISTS dns_out")
+    spark.sql(
+      """CREATE TABLE dns_out USING dns_update
+        |OPTIONS (server 't', port '5508')""".stripMargin)
+    spark.sql(
+      """INSERT INTO dns_out
+        |SELECT 'IXFR_ADD' AS action, 'sql.sqlzone.test' AS fqdn,
+        |       '7.7.7.7' AS ip, timestamp_micros(1000) AS timestamp,
+        |       CAST(60 AS INT) AS ttl""".stripMargin)
+    assert(srv.lookup("sql.sqlzone.test.") == Seq("7.7.7.7"))
+    spark.sql("DROP TABLE dns_out")
+  }
+
+  test("streaming: native dns_update sink via writeStream") {
+    val srv = fresh(5509, "stream.test.")
+    val src = Files.createTempDirectory("dns-sink-src")
+    // feed rows through a file stream so the write truly runs as a stream
+    updatesDf(5).write.mode("overwrite").parquet(src.toString + "/data")
+    val sdf = spark.readStream.schema(DnsSchemas.write)
+      .parquet(src.toString + "/data")
+      .withColumn("fqdn", regexp_replace(col("fqdn"), "example\\.acme", "stream.test"))
+    val q = sdf.writeStream.format("dns_update")
+      .option("server", "t").option("port", "5509")
+      .option("checkpointLocation", Files.createTempDirectory("dns-sink-ck").toString)
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+    (1 to 4).foreach { i =>
+      assert(srv.lookup(s"host$i.stream.test.") == Seq(s"10.0.$i.${i + 1}"), s"host$i")
+    }
+  }
+
+  test("streaming: foreachBatch style also lands updates") {
+    val srv = fresh(5510, "fb.test.")
+    val src = Files.createTempDirectory("dns-fb-src")
+    updatesDf(4).write.mode("overwrite").parquet(src.toString + "/data")
+    val sdf = spark.readStream.schema(DnsSchemas.write).parquet(src.toString + "/data")
+      .withColumn("fqdn", regexp_replace(col("fqdn"), "example\\.acme", "fb.test"))
+    val q = sdf.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.format("dns_update")
+          .option("server", "t").option("port", "5510").mode("append").save()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("dns-fb-ck").toString)
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination(60000)
+    assert(srv.lookup("host1.fb.test.") == Seq("10.0.1.2"))
+  }
+
+  test("written changes round-trip through a dns read") {
+    fresh(5511, "rt.test.")
+    import spark.implicits._
+    Seq(
+      (DnsAction.IxfrAdd, "a.rt.test", "1.0.0.1", new Timestamp(1L), 60),
+      (DnsAction.IxfrAdd, "b.rt.test", "1.0.0.2", new Timestamp(2L), 60))
+      .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+      .write.format("dns_update").option("server", "t").option("port", "5511")
+      .mode("append").save()
+    val back = spark.read.format("dns")
+      .option("server", "t").option("port", "5511")
+      .option("organization", "o").option("zones", "rt.test")
+      .option("xfr", "AXFR").load()
+    assert(back.select("fqdn", "ip").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      == Set(("a.rt.test.", "1.0.0.1"), ("b.rt.test.", "1.0.0.2")))
+  }
+}
