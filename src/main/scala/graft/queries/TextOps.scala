@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-pipeline operators over the `documents` table — the analysis /
+  * dedup toolkit a large-scale training-data pipeline needs, designed
+  * shuffle-first:
+  *
+  *  - every per-doc metric is computed with codegen'd built-ins
+  *    (split/transform/aggregate/md5), no UDFs;
+  *  - near-dup detection is MinHash + banded LSH: shingle → signature →
+  *    band buckets → bucket-join candidates → exact verify. The only
+  *    joins are hash-shuffles on band keys and doc ids; there is NO
+  *    all-pairs/cartesian stage, so the plan survives 100 TB (candidate
+  *    count scales with real duplicate density, not n²);
+  *  - all arithmetic is integer/string-exact so DuckDB reproduces it
+  *    bit-for-bit (md5 chunks compared as fixed-width hex strings).
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** Words of a document; the corpus is whitespace-separated. */
+  private val wordsCol: Column = split(col("text"), "\\s+")
+
+  // ---------------------------------------------------------------- stats
+
+  /** Corpus quality stats per (lang, source): doc/word/char volumes and
+    * lexical-diversity ratio. Partial-aggregate-friendly groupBy on a
+    * low-cardinality key — the canonical 100 TB-safe shape. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang", $"source",
+        size(wordsCol).as("nw"),
+        length($"text").as("nc"),
+        size(array_distinct(wordsCol)).as("nd"))
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"nw".cast("long")).as("n_words"),
+        sum($"nc".cast("long")).as("n_chars"),
+        (sum($"nd".cast("long")).cast("double") / sum($"nw".cast("long"))).as("diversity"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Per-document token accounting: whitespace tokens, regex word/number
+    * tokens (a BPE-ish lexer class), and a subword-count estimate
+    * (ceil(len/4) per word — the "~4 chars per token" rule) computed
+    * with integer arithmetic inside a higher-order aggregate. */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        size(wordsCol).cast("long").as("ws_tokens"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("re_tokens"),
+        expr("aggregate(split(text, '\\\\s+'), CAST(0 AS BIGINT), (acc, w) -> acc + CAST((length(w) + 3) DIV 4 AS BIGINT))")
+          .as("subword_est"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID by marker-n-gram scoring: count occurrences of a tiny
+    * per-language marker set, argmax wins, ties/zero → 'und'. On this
+    * synthetic corpus (shared vocabulary across langs) most docs score
+    * 'en' or 'und' — the operator is the point, not the accuracy.
+    * Occurrence counting via size(split(text, marker)) - 1, identical
+    * in DuckDB. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def occ(marker: String): Column =
+      (size(split($"text", java.util.regex.Pattern.quote(marker))) - 1).cast("long")
+    val en = (occ(" the ") + occ(" a ")).as("s_en")
+    val de = (occ(" der ") + occ(" und ")).as("s_de")
+    val fr = (occ(" le ") + occ(" et ")).as("s_fr")
+    val es = (occ(" el ") + occ(" y ")).as("s_es")
+    docs(s, dir)
+      .select($"lang", en, de, fr, es)
+      .withColumn("best", greatest($"s_en", $"s_de", $"s_fr", $"s_es"))
+      .withColumn("predicted",
+        when($"best" === 0, "und")
+          .when($"s_en" === $"best", "en") // fixed precedence breaks ties
+          .when($"s_de" === $"best", "de")
+          .when($"s_fr" === $"best", "fr")
+          .otherwise(when($"s_es" === $"best", "es").otherwise("und")))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content fingerprint: md5 of the
+    * whitespace-normalized lowercase text, hash-groupBy keeping the
+    * smallest doc_id as the canonical representative. One shuffle on
+    * the fingerprint — the textbook scale-safe exact dedup. */
+  def qFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        md5(lower(regexp_replace($"text", "\\s+", " "))).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy($"fingerprint")
+  }
+
+  /** Shared shingle builder: distinct word-trigram shingles per doc. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", wordsCol.as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+        .as("s"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs via MinHash + banded LSH + exact verify.
+    *
+    * Signature: 8 minhashes — the md5 of each shingle is split into 8
+    * fixed-width 4-hex-char chunks and each chunk is min'd over the
+    * doc's shingles (min is partial-aggregatable → map-side combine).
+    * Banding: 4 bands × 2 rows; docs sharing any band key become
+    * candidates (hash shuffle on the band key — bucket join, never
+    * all-pairs). Verify: exact trigram-shingle Jaccard via a join
+    * restricted to candidate pairs; keep j >= 0.5, reported as exact
+    * integers (intersection, union). */
+  def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+
+    val minhashCols = (0 until 8).map(j => min(substring($"h", 1 + 4 * j, 4)).as(s"m$j"))
+    val sig = sh
+      .select($"doc_id", md5($"s").as("h"))
+      .groupBy($"doc_id")
+      .agg(minhashCols.head, minhashCols.tail: _*)
+
+    val bands = sig.select($"doc_id", array(
+      (0 until 4).map(b => concat(lit(b.toString), lit(":"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*
+    ).as("bands"))
+      .select($"doc_id", explode($"bands").as("band"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("sa"), $"sa.doc_id" === $"doc_a")
+      .join(sh.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.s" === $"sa.s")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.as("na"), $"na.doc_id" === $"doc_a")
+      .join(sizes.as("nb"), $"nb.doc_id" === $"doc_b")
+      .select($"doc_a", $"doc_b", $"inter",
+        ($"na.n" + $"nb.n" - $"inter").as("uni"))
+      .filter($"inter" * 2 >= $"uni") // jaccard >= 0.5
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats,
+    "q_token_count" -> qTokenCount,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint_dedup" -> qFingerprintDedup,
+    "q_minhash_pairs" -> qMinhashPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH per AS (
+        |  SELECT lang, source,
+        |    len(string_split_regex(text, '\s+')) AS nw,
+        |    length(text) AS nc,
+        |    len(list_distinct(string_split_regex(text, '\s+'))) AS nd
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  sum(nw) AS n_words, sum(nc) AS n_chars,
+        |  CAST(sum(nd) AS DOUBLE) / sum(nw) AS diversity
+        |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+        |  list_sum(list_transform(string_split_regex(text, '\s+'),
+        |                          w -> (length(w) + 3) // 4)) AS subword_est,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' the ')) - 1 + len(string_split(text, ' a ')) - 1 AS s_en,
+        |    len(string_split(text, ' der ')) - 1 + len(string_split(text, ' und ')) - 1 AS s_de,
+        |    len(string_split(text, ' le ')) - 1 + len(string_split(text, ' et ')) - 1 AS s_fr,
+        |    len(string_split(text, ' el ')) - 1 + len(string_split(text, ' y ')) - 1 AS s_es
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |         ELSE 'es' END AS predicted
+        |  FROM scored)
+        |SELECT lang, predicted, count(*) AS n
+        |FROM pred GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_fingerprint_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_doc, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
+        |       WHERE len(w) >= 3 AND i <= len(w) - 3),
+        |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |sig AS (SELECT doc_id,
+        |    min(substring(h, 1, 4)) AS m0, min(substring(h, 5, 4)) AS m1,
+        |    min(substring(h, 9, 4)) AS m2, min(substring(h, 13, 4)) AS m3,
+        |    min(substring(h, 17, 4)) AS m4, min(substring(h, 21, 4)) AS m5,
+        |    min(substring(h, 25, 4)) AS m6, min(substring(h, 29, 4)) AS m7
+        |  FROM hashed GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, '0:' || m0 || m1 AS band FROM sig UNION ALL
+        |  SELECT doc_id, '1:' || m2 || m3 FROM sig UNION ALL
+        |  SELECT doc_id, '2:' || m4 || m5 FROM sig UNION ALL
+        |  SELECT doc_id, '3:' || m6 || m7 FROM sig),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+        |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |          GROUP BY doc_a, doc_b),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+        |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
+        |FROM inter JOIN sizes na ON na.doc_id = doc_a
+        |           JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE inter * 2 >= na.n + nb.n - inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}
