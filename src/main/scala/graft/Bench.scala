@@ -3,9 +3,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. A failed query is
-  * recorded as -1 (never a fake timing) and listed in "errors"; the
-  * session is warmed up with one untimed scan-and-aggregate so the
-  * first timed query does not absorb JVM/JIT/codegen startup.
+  * recorded as -1 (never a fake timing) and listed in "errors". Every
+  * query runs once untimed first — whole-stage-codegen compilation and
+  * JIT dominate first executions (10-20x on sub-second queries) and
+  * would measure the JVM, not the plan; the timed pass is steady-state.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,11 +21,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: touch every table + exercise codegen/shuffle paths once.
-    try {
-      SparkEntry.queries.get("q1_pricing_summary").foreach(f => f(spark, sfDir).count())
-      SparkEntry.queries.get("q_hourly_events").foreach(f => f(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // Warmup pass: compile/JIT every plan shape once, untimed.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

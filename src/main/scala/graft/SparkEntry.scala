@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.Connector.queries ++
-      graft.queries.TextOps.queries ++ graft.queries.EmbeddingOps.queries
+      graft.queries.TextOps.queries ++ graft.queries.EmbeddingOps.queries ++
+      graft.functions.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.Connector.oracles ++
-      graft.queries.TextOps.oracles ++ graft.queries.EmbeddingOps.oracles
+      graft.queries.TextOps.oracles ++ graft.queries.EmbeddingOps.oracles ++
+      graft.functions.Multimodal.oracles
 }

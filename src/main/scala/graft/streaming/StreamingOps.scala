@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operator surface over the `events` stream:
+  * watermarked event-time windows and custom keyed state — the two
+  * primitives the reference's connector never needed (its source reads
+  * "now" each trigger, late data impossible) but a general engine must
+  * provide. Everything is readStream→transform→writeStream; state is
+  * bounded per key, so the plan shards across executors by group key at
+  * any scale.
+  */
+object StreamingOps {
+
+  /** File-stream schema for events.parquet: `ts` arrives as raw
+    * TIMESTAMP(NANOS) (read as long via nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a directory of events parquet files as a file stream (the
+    * file source tails a directory; new files become new micro-batch
+    * input — the standard landing-zone ingestion pattern). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Hourly event counts per type with a 2h watermark: hash-shuffled on
+    * (window, event_type), partial-aggregated map-side; state per open
+    * window only — the canonical streaming aggregation. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+
+  final case class Ev(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
+  final case class FirstSeen(user_id: Long, event_type: String,
+                             first_event_id: Long, first_ts_micros: Long)
+
+  /** Custom keyed state: emit only the FIRST event per
+    * (user_id, event_type) — streaming exact-dedup with O(1) state per
+    * key via flatMapGroupsWithState (the state is one boolean+record,
+    * not the event history). */
+  def firstSeen(s: SparkSession, events: DataFrame): Dataset[FirstSeen] = {
+    import s.implicits._
+    val typed = events.select(
+      $"event_id", $"user_id", $"event_type",
+      unix_micros($"ts").as("tsMicros")).as[Ev]
+    typed
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), rows: Iterator[Ev], state: GroupState[FirstSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // Batches may deliver rows unordered within the group; the
+            // earliest (ts, event_id) is "first".
+            val first = rows.minBy(e => (e.tsMicros, e.event_id))
+            val fs = FirstSeen(key._1, key._2, first.event_id, first.tsMicros)
+            state.update(fs)
+            Iterator.single(fs)
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming results must equal their batch equivalents on the same
+  * data — the file stream replays events.parquet as a stream. */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The file stream source tails a directory; stage the single events
+    * file into one. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("watermarked hourly window counts match the batch aggregation") {
+    import spark.implicits._
+    val q = StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, streamDir))
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly_stream")
+      .select($"window.start".as("h"), $"event_type", $"n", $"total_value")
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
+    import spark.implicits._
+    val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
+      .toDF()
+      .writeStream.format("memory").queryName("firstseen_stream")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("firstseen_stream")
+    val batch = graft.queries.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id", $"event_type")
+          .orderBy($"ts_ns", $"event_id")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type",
+        $"event_id".as("first_event_id"),
+        expr("ts_ns div 1000").as("first_ts_micros"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+}
