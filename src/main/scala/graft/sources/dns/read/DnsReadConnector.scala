@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,59 +62,111 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead {
     new DnsScanBuilder(opts)
 }
 
-final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder {
-  override def build(): Scan = new DnsScan(opts)
+/** Pushdown upgrades over the reference's plain TableScan (SURVEY §4):
+  *
+  *  - zone-equality filters (`zone = 'x.'`, `zone IN (...)`) prune the
+  *    zone list BEFORE partition planning — a pruned zone is a whole
+  *    zone transfer (network round-trip + full zone payload) that never
+  *    happens. Exact because the `zone` column of every row in a
+  *    partition IS the partition's zone name.
+  *  - column pruning narrows the rows the reader materializes; a
+  *    `select(fqdn, ip)` no longer builds 6-field rows.
+  *
+  * The `serial` option remains the third pushdown: a source-level
+  * "changes since" predicate evaluated by the DNS server itself during
+  * IXFR (reference DnsZoneRDD.java:76-80).
+  */
+final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var zones: Seq[String] = opts.zones
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = DnsSchemas.read
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (zoneFilters, rest) = filters.partition {
+      case EqualTo("zone", _: String) => true
+      case In("zone", _) => true
+      case _ => false
+    }
+    // Exact-match semantics: values are compared verbatim against the
+    // normalized zone names rows carry (a filter on an un-normalized
+    // name matches no rows either way).
+    zoneFilters.foreach {
+      case EqualTo("zone", v: String) => zones = zones.filter(_ == v)
+      case In("zone", vs) => zones = zones.filter(z => vs.contains(z: Any))
+      case _ => ()
+    }
+    pushed = zoneFilters
+    rest // everything else is evaluated by Spark above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve the connector's canonical column order.
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(DnsSchemas.read.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = new DnsScan(opts, zones, required)
 }
 
-final class DnsScan(opts: DnsSourceOptions) extends Scan {
-  override def readSchema(): StructType = DnsSchemas.read
+final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType)
+  extends Scan {
+
+  override def readSchema(): StructType = schema
 
   override def description(): String =
-    s"DnsScan(server=${opts.common.server}, zones=${opts.zones.mkString(",")}, xfr=${opts.xfr})"
+    s"DnsScan(server=${opts.common.server}, zones=${zones.mkString(",")}, " +
+      s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}])"
 
-  override def toBatch: Batch = {
+  private def registerAccumulators(prefix: String): Map[String, ZoneVersion] = {
     // One named max-serial accumulator per zone, registered on the
     // driver at planning time (reference DnsSourceRelationProvider
     // .java:73-88); values surface in the Spark UI and feed streaming.
     val sc = SparkSession.active.sparkContext
-    val accs = opts.zones.map { z =>
+    zones.map { z =>
       val acc = new ZoneVersion
-      sc.register(acc, s"dns.zone.version.$z")
+      sc.register(acc, s"$prefix.$z")
       z -> acc
     }.toMap
-    new DnsBatch(opts, opts.zones.map(z => z -> opts.serial).toMap, accs)
   }
 
+  override def toBatch: Batch =
+    new DnsBatch(opts, zones, schema, zones.map(z => z -> opts.serial).toMap,
+      registerAccumulators("dns.zone.version"))
+
   override def toMicroBatchStream(checkpointLocation: String) =
-    new DnsMicroBatchStream(opts, checkpointLocation)
+    new DnsMicroBatchStream(opts, zones, schema, checkpointLocation)
 }
 
-/** Batch at a fixed per-zone serial snapshot. Also reused by the
-  * micro-batch stream for each batch's partition planning. */
-final class DnsBatch(opts: DnsSourceOptions, serials: Map[String, Long],
+/** Batch at a fixed per-zone serial snapshot. */
+final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
+                     serials: Map[String, Long],
                      accs: Map[String, ZoneVersion]) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
-    opts.zones.zipWithIndex.map { case (zone, i) =>
+    zones.zipWithIndex.map { case (zone, i) =>
       DnsZoneInputPartition(i, zone, serials.getOrElse(zone, opts.serial))
         .asInstanceOf[InputPartition]
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, accs)
+    new DnsReaderFactory(opts, schema, accs)
 }
 
 /** One partition per zone (reference DnsZonePartition.java:11-19). */
 final case class DnsZoneInputPartition(index: Int, zone: String, serial: Long)
   extends InputPartition
 
-final class DnsReaderFactory(opts: DnsSourceOptions,
+final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
                              accs: Map[String, ZoneVersion])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DnsZoneInputPartition]
-    new DnsPartitionReader(opts, p, accs.get(p.zone))
+    new DnsPartitionReader(opts, schema, p, accs.get(p.zone))
   }
 }
 
@@ -124,7 +176,8 @@ final class DnsReaderFactory(opts: DnsSourceOptions,
   * ALL deletes then ALL adds — the global order is part of the
   * observable output (reference Xfr.java:52-74, SURVEY §2.3.4).
   */
-final class DnsPartitionReader(opts: DnsSourceOptions, p: DnsZoneInputPartition,
+final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
+                               p: DnsZoneInputPartition,
                                acc: Option[ZoneVersion])
   extends PartitionReader[InternalRow] {
 
@@ -152,14 +205,21 @@ final class DnsPartitionReader(opts: DnsSourceOptions, p: DnsZoneInputPartition,
       } catch {
         case _: Exception if opts.ignoreFailures => Nil // swallow → empty zone (DnsZoneRDD.java:83-92)
       }
+    // Only the pruned columns are materialized (SupportsPushDownRequiredColumns).
+    val fieldWriters: Array[(InternalRow, Int, String, ARecord) => Unit] =
+      schema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
+        case "action" => (row, i, action, _) => row.update(i, UTF8String.fromString(action))
+        case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase))
+        case "ip" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.ip))
+        case "organization" => (row, i, _, _) => row.update(i, UTF8String.fromString(opts.organization))
+        case "timestamp" => (row, i, _, _) => row.setLong(i, tsMicros)
+        case "zone" => (row, i, _, _) => row.update(i, UTF8String.fromString(p.zone))
+        case other => throw new IllegalStateException(s"unknown dns column '$other'")
+      }
     changes.iterator.map { case (action, rec) =>
-      val row = new GenericInternalRow(6)
-      row.update(0, UTF8String.fromString(action))
-      row.update(1, UTF8String.fromString(rec.fqdn.toLowerCase))
-      row.update(2, UTF8String.fromString(rec.ip))
-      row.update(3, UTF8String.fromString(opts.organization))
-      row.setLong(4, tsMicros)
-      row.update(5, UTF8String.fromString(p.zone))
+      val row = new GenericInternalRow(fieldWriters.length)
+      var i = 0
+      while (i < fieldWriters.length) { fieldWriters(i)(row, i, action, rec); i += 1 }
       row.asInstanceOf[InternalRow]
     }
   }

@@ -115,14 +115,16 @@ final class ProgressLog(checkpointLocation: String, maxKept: Int) extends Serial
   * post-transfer serial through the per-zone ZoneVersion accumulators;
   * `commit` folds those back in and persists them via [[ProgressLog]].
   */
-final class DnsMicroBatchStream(opts: DnsSourceOptions, checkpointLocation: String)
+final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
+                                schema: org.apache.spark.sql.types.StructType,
+                                checkpointLocation: String)
   extends MicroBatchStream {
 
   private val log = new ProgressLog(checkpointLocation, opts.maxKeptCommits)
 
   private val accs: Map[String, ZoneVersion] = {
     val sc = SparkSession.active.sparkContext
-    opts.zones.map { z =>
+    zones.map { z =>
       val acc = new ZoneVersion
       sc.register(acc, s"dns.stream.zone.version.$z")
       z -> acc
@@ -132,7 +134,7 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, checkpointLocation: Stri
   /** Driver-side view of each zone's last committed serial. */
   private val current: mutable.Map[String, Long] = {
     val restored = log.restore().getOrElse(Map.empty)
-    mutable.Map(opts.zones.map(z => z -> restored.getOrElse(z, opts.serial)): _*)
+    mutable.Map(zones.map(z => z -> restored.getOrElse(z, opts.serial)): _*)
   }
 
   private var nonce: Long = log.latestBatchId() + 1
@@ -141,7 +143,7 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, checkpointLocation: Stri
   /** Fold executor-observed post-transfer serials (shipped via the
     * ZoneVersion accumulators) into the driver-side view. */
   private def absorbAccumulators(): Unit =
-    opts.zones.foreach { z =>
+    zones.foreach { z =>
       accs.get(z).foreach(a => current(z) = math.max(current(z), a.value))
     }
 
@@ -165,14 +167,14 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, checkpointLocation: Stri
     * copies zone params at the end offset, DnsStreamingSource.java:80-94). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val serials = end.asInstanceOf[DnsOffset].serials
-    opts.zones.zipWithIndex.map { case (zone, i) =>
+    zones.zipWithIndex.map { case (zone, i) =>
       DnsZoneInputPartition(i, zone, serials.getOrElse(zone, opts.serial))
         .asInstanceOf[InputPartition]
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, accs)
+    new DnsReaderFactory(opts, schema, accs)
 
   private def persist(): Unit = {
     absorbAccumulators()

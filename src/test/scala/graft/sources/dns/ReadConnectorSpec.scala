@@ -102,6 +102,46 @@ class ReadConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dns_sql_test")
   }
 
+  test("zone equality filter prunes partitions (skips whole zone transfers)") {
+    seeded(5309)
+    val df = read(5309, "xfr" -> "AXFR").filter(col("zone") === "example.acme.")
+    // one partition instead of two: the other zone is never transferred
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("zones=example.acme."), plan)
+  }
+
+  test("zone IN filter prunes to the named zones; non-listed zone yields 0 rows") {
+    seeded(5310)
+    val in = read(5310, "xfr" -> "AXFR")
+      .filter(col("zone").isin("example.acme.", "ghost.zone."))
+    assert(in.rdd.getNumPartitions == 1)
+    assert(in.count() == 3)
+    val none = read(5310, "xfr" -> "AXFR").filter(col("zone") === "nope.")
+    assert(none.count() == 0)
+  }
+
+  test("unnormalized zone filter value matches nothing (exact semantics kept)") {
+    seeded(5311)
+    // rows carry 'example.acme.' — filtering on the dotless form finds
+    // no rows, with or without pushdown
+    assert(read(5311, "xfr" -> "AXFR").filter(col("zone") === "example.acme").count() == 0)
+  }
+
+  test("column pruning narrows the scan to the selected fields") {
+    seeded(5312)
+    val df = read(5312, "xfr" -> "AXFR").select("fqdn", "ip")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("columns=[fqdn,ip]"), scan)
+    assert(df.collect().length == 5)
+    // column order requested in reverse still resolves correctly
+    val rev = read(5312, "xfr" -> "AXFR").select("zone", "fqdn")
+      .filter(col("fqdn") === "red.example.acme.").collect()
+    assert(rev.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("example.acme.", "red.example.acme.")))
+  }
+
   test("user-supplied schema that differs from the contract is rejected") {
     seeded(5308)
     intercept[Exception] {
