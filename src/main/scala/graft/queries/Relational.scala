@@ -127,6 +127,21 @@ object Relational {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** LWW dedup in aggregation form — same contract as
+    * [[qLwwDedupEvents]] but via `max_by` (reference's
+    * groupingBy+maxBy shape, DnsUpdate.java:46-54): one hash aggregate
+    * with map-side partial `max_by`, no per-partition sort. At 100 TB
+    * this beats the window form whenever per-key history is long —
+    * state is one record per key instead of a sorted run. */
+  def qLwwMaxBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", $"event_type")
+      .agg(max_by(struct($"event_id", $"value"), $"ts_ns").as("w"))
+      .select($"user_id", $"event_type", $"w.event_id".as("event_id"), $"w.value".as("value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** Union with deletes-before-adds ordering (ref emits IXFR deletes
     * before adds — Xfr.java:55-66); the `ord` column makes the
     * semantic order explicit. NOTE on the final orderBy: the output is
@@ -227,6 +242,7 @@ object Relational {
     "q_price_bucket_when" -> qPriceBucketWhen,
     "q_window_topk_parts" -> qWindowTopkParts,
     "q_lww_dedup_events" -> qLwwDedupEvents,
+    "q_lww_maxby" -> qLwwMaxBy,
     "q_union_changes" -> qUnionChanges,
     "q_zone_derive" -> qZoneDerive,
     "q_json_roundtrip" -> qJsonRoundtrip,
@@ -287,6 +303,11 @@ object Relational {
            SELECT user_id, event_type, event_id, value,
              row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_lww_maxby" ->
+      """SELECT user_id, event_type,
+         arg_max(event_id, ts) AS event_id, arg_max(value, ts) AS value
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""",
     "q_union_changes" ->
       """SELECT 'IXFR_DELETE' AS action, 0 AS ord, user_id, event_id FROM events WHERE event_type = 'error'
          UNION ALL

@@ -90,3 +90,10 @@ object Fqdn {
 
 /** One ordered change inside an RFC 2136 update message. */
 case class ZoneChange(record: ARecord, delete: Boolean)
+
+/** Typed view of one read-path row (field names/order match
+  * [[DnsSchemas.read]], so `df.as[DnsRecordChange]` resolves by name;
+  * reference bean hierarchy OrgDnsRecordChange.java:14-18). */
+case class DnsRecordChange(action: String, fqdn: String, ip: String,
+                           organization: String,
+                           timestamp: java.sql.Timestamp, zone: String)

@@ -142,6 +142,17 @@ class ReadConnectorSpec extends AnyFunSuite {
       == Seq(("example.acme.", "red.example.acme.")))
   }
 
+  test("typed Dataset[DnsRecordChange] view over the connector read") {
+    seeded(5313)
+    import spark.implicits._
+    val ds = read(5313, "xfr" -> "AXFR").as[DnsRecordChange]
+    val recs = ds.filter(_.zone == "another.zone.").collect()
+    assert(recs.length == 2)
+    assert(recs.forall(r => r.action == DnsAction.Axfr && r.organization == "acme"))
+    assert(recs.map(_.fqdn).sorted.toSeq == Seq("a.another.zone.", "b.another.zone."))
+    assert(recs.head.timestamp.getTime == 1723400000000L)
+  }
+
   test("user-supplied schema that differs from the contract is rejected") {
     seeded(5308)
     intercept[Exception] {
