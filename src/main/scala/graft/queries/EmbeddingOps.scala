@@ -100,10 +100,32 @@ object EmbeddingOps {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs: ALL within-bucket pairs
+    * (not just query-anchored ones) with cosine >= 0.4 — the
+    * embedding-space analogue of MinHash dedup. The LSH bucket is the
+    * candidate generator, so pairwise work scales with bucket occupancy;
+    * the threshold is calibrated to this corpus (max pairwise cosine
+    * ~0.51 — no injected duplicates, so "near-dup" here means the
+    * closest natural pairs). */
+  def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
+      .withColumn("bucket", bucketCol("q"))
+    val pairs = v.as("a").join(v.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
+        dot("a.q", "b.q").as("dot"), $"a.nsq".as("na"), $"b.nsq".as("nb"))
+      .withColumn("cosine", $"dot" / sqrt(($"na" * $"nb").cast("double")))
+    pairs.filter($"cosine" >= 0.4)
+      .select($"va", $"vb", $"dot", $"na", $"nb")
+      .orderBy($"va", $"vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
     "q_ann_lsh" -> qAnnLsh,
+    "q_embed_neardup" -> qEmbedNearDup,
   )
 
   private val qvecSql =
@@ -165,5 +187,22 @@ object EmbeddingOps {
          |  FROM scored)
          |SELECT qid, bucket, rnk, cid, dot FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |b AS (SELECT vec_id, $bucketSql AS bucket FROM v),
+         |terms AS (
+         |  SELECT av.vec_id AS va, bv.vec_id AS vb,
+         |         unnest(av.q) AS x, unnest(bv.q) AS y
+         |  FROM v av JOIN b ba ON ba.vec_id = av.vec_id
+         |  JOIN b bb ON bb.bucket = ba.bucket AND bb.vec_id > av.vec_id
+         |  JOIN v bv ON bv.vec_id = bb.vec_id),
+         |dots AS (SELECT va, vb, sum(x * y) AS dot FROM terms GROUP BY va, vb),
+         |scored AS (
+         |  SELECT va, vb, dot, na.nsq AS na, nb.nsq AS nb,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)) AS cosine
+         |  FROM dots JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
+         |SELECT va, vb, dot, na, nb FROM scored WHERE cosine >= 0.4
+         |ORDER BY va, vb""".stripMargin,
   )
 }

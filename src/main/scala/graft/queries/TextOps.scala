@@ -164,13 +164,73 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** SimHash near-dup buckets: 16-bit signature from per-word hash-bit
+    * votes (bit b of the signature is the majority of bit b across the
+    * doc's distinct word hashes). Near-identical word sets collapse to
+    * the same signature, so dedup is a plain hash-groupBy on the
+    * signature — no pairwise stage at all, the cheapest near-dup
+    * screen at scale. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select($"doc_id", explode(array_distinct(wordsCol)).as("w"))
+      .withColumn("h", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map(b =>
+      sum(shiftright($"h", b).bitwiseAND(1) * 2 - 1).as(s"v$b"))
+    val sig = (0 until 16).map(b =>
+      when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    words.groupBy($"doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select($"doc_id", sig.as("simhash"))
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+      .orderBy($"simhash")
+  }
+
+  /** N-gram Jaccard dedup with metadata blocking: candidate pairs are
+    * restricted to the same (lang, source) block — the standard way to
+    * bound pairwise comparison when a natural partition key exists
+    * (block sizes stay ~constant as the corpus grows, so pair volume
+    * grows linearly, not quadratically). Word-bigram Jaccard >= 0.3,
+    * reported as exact integers. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = docs(s, dir)
+      .select($"doc_id", $"lang", $"source", wordsCol.as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", $"lang", $"source",
+        explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("s"))
+      .distinct()
+    val sizes = bigrams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = bigrams.as("a")
+      .join(bigrams.as("b"),
+        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), $"na.doc_id" === $"doc_a")
+      .join(sizes.as("nb"), $"nb.doc_id" === $"doc_b")
+      .select($"doc_a", $"doc_b", $"inter", ($"na.n" + $"nb.n" - $"inter").as("uni"))
+      .filter($"inter" * 10 >= $"uni" * 3) // jaccard >= 0.3
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_simhash" -> qSimhash,
+    "q_ngram_jaccard" -> qNgramJaccard,
   )
+
+  /** Generated SQL for the 16 simhash bit votes / signature terms. */
+  private val voteSql = (0 until 16)
+    .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(",\n    ")
+  private val sigSql = (0 until 16)
+    .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
@@ -242,6 +302,34 @@ object TextOps {
         |FROM inter JOIN sizes na ON na.doc_id = doc_a
         |           JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE inter * 2 >= na.n + nb.n - inter
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_simhash" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 4) AS INTEGER) AS h FROM w),
+         |v AS (SELECT doc_id,
+         |    $voteSql
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sigSql AS simhash FROM v)
+         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
+         |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH ws AS (SELECT doc_id, lang, source, string_split_regex(text, '\s+') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang, source, w[i+1] || ' ' || w[i+2] AS s
+        |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
+        |       WHERE len(w) >= 2 AND i <= len(w) - 2),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |          FROM sh a JOIN sh b
+        |            ON a.lang = b.lang AND a.source = b.source
+        |           AND a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
+        |FROM inter JOIN sizes na ON na.doc_id = doc_a
+        |           JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE inter * 10 >= (na.n + nb.n - inter) * 3
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }
