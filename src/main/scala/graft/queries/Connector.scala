@@ -145,13 +145,59 @@ object Connector {
        |FROM last WHERE action <> 'IXFR_DELETE'
        |ORDER BY zone, fqdn, ip""".stripMargin
 
+  /** IXFR delta read: seed a zone, apply two formulaic update messages
+    * (serials 1→2→3), then read changes since serial 1 through the
+    * connector. Exercises the incremental path end-to-end: the serial
+    * predicate handed to the server, delta journaling, and the
+    * deletes-before-adds flattening order (made hash-stable here by the
+    * ord column, mirroring q_union_changes). */
+  def qDnsIxfr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = 5603
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("x.graft.", (0 to 4).map(k => ARecord(s"h$k.x.graft.", s"10.0.0.$k")))
+    // serial 1 → 2: add h5..h7, delete h0
+    srv.update("x.graft.",
+      (5 to 7).map(k => ARecord(s"h$k.x.graft.", s"10.0.0.$k")),
+      Seq(ARecord("h0.x.graft.", "10.0.0.0")))
+    // serial 2 → 3: add h8, delete h1 h2
+    srv.update("x.graft.",
+      Seq(ARecord("h8.x.graft.", "10.0.0.8")),
+      (1 to 2).map(k => ARecord(s"h$k.x.graft.", s"10.0.0.$k")))
+
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "x.graft")
+      .option("xfr", "IXFR").option("serial", "1")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select($"action", $"fqdn", $"ip",
+        when($"action" === DnsAction.IxfrDelete, 0).otherwise(1).as("ord"))
+      .orderBy($"ord", $"fqdn")
+  }
+
+  private val qDnsIxfrOracle: String =
+    """WITH dels AS (
+      |  SELECT 'IXFR_DELETE' AS action, 'h'||k||'.x.graft.' AS fqdn,
+      |         '10.0.0.'||k AS ip, 0 AS ord
+      |  FROM (SELECT unnest([0, 1, 2]) AS k)),
+      |adds AS (
+      |  SELECT 'IXFR_ADD' AS action, 'h'||k||'.x.graft.' AS fqdn,
+      |         '10.0.0.'||k AS ip, 1 AS ord
+      |  FROM (SELECT unnest([5, 6, 7, 8]) AS k))
+      |SELECT * FROM (SELECT * FROM dels UNION ALL SELECT * FROM adds)
+      |ORDER BY ord, fqdn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_roundtrip" -> qDnsRoundtrip,
+    "q_dns_ixfr" -> qDnsIxfr,
   )
 
   val oracles: Map[String, String] = Map(
     "q_dns_read" -> qDnsReadOracle,
     "q_dns_roundtrip" -> qDnsRoundtripOracle,
+    "q_dns_ixfr" -> qDnsIxfrOracle,
   )
 }
