@@ -143,9 +143,19 @@ object TextOps {
     ).as("bands"))
       .select($"doc_id", explode($"bands").as("band"))
 
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // Candidate pairs are generated bucket-locally: one shuffle of the
+    // (doc, band) pairs, then each bucket expands its own id list —
+    // cheaper than a self-join (which would recompute the signature
+    // pipeline for both sides) and the shape production LSH uses, where
+    // oversized non-discriminative buckets would additionally be capped.
+    val cand = bands.groupBy($"band")
+      .agg(sort_array(collect_set($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+          "i -> transform(sequence(i+1, size(ids)-1), " +
+          "j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))")).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
 
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
