@@ -99,7 +99,27 @@ class ReadConnectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM dns_sql_test").count() == 5)
     assert(spark.sql("SELECT zone, count(*) n FROM dns_sql_test GROUP BY zone")
       .count() == 2)
+    // DESC TABLE surfaces the fixed connector schema (ref test :128-131)
+    val desc = spark.sql("DESC TABLE dns_sql_test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(desc("action") == "string" && desc("timestamp") == "timestamp")
     spark.sql("DROP TABLE dns_sql_test")
+  }
+
+  test("32 zones transfer in parallel, one partition each") {
+    val port = 5314
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    (0 until 32).foreach { z =>
+      srv.addZone(s"z$z.many.", (0 to z).map(i => ARecord(s"h$i.z$z.many.", s"10.$z.0.$i")))
+    }
+    val df = spark.read.format("dns")
+      .option("server", "t").option("port", port.toString)
+      .option("organization", "o")
+      .option("zones", (0 until 32).map(z => s"z$z.many").mkString(","))
+      .option("xfr", "AXFR").load()
+    assert(df.rdd.getNumPartitions == 32)
+    assert(df.count() == (1 to 32).sum) // zone z holds z+1 records
   }
 
   test("zone equality filter prunes partitions (skips whole zone transfers)") {
