@@ -91,6 +91,20 @@ object Fqdn {
 /** One ordered change inside an RFC 2136 update message. */
 case class ZoneChange(record: ARecord, delete: Boolean)
 
+/** Last-write-wins dedup for one update message: group by record
+  * identity (action, fqdn, ip), keep the max-timestamp update
+  * (reference DnsUpdate.java:46-54), order the survivors
+  * chronologically with a full lexicographic tiebreak — a pure,
+  * permutation-invariant function (the reference iterates a HashMap
+  * here; SURVEY §2.3.5 documents the conscious fix). */
+object LwwDedup {
+  def apply(updates: Seq[DnsUpdateRecord]): Seq[DnsUpdateRecord] =
+    updates
+      .groupBy(u => (u.action, u.fqdn, u.ip))
+      .valuesIterator.map(_.maxBy(_.timestampMicros)).toSeq
+      .sortBy(u => (u.timestampMicros, u.action, u.fqdn, u.ip))
+}
+
 /** Typed view of one read-path row (field names/order match
   * [[DnsSchemas.read]], so `df.as[DnsRecordChange]` resolves by name;
   * reference bean hierarchy OrgDnsRecordChange.java:14-18). */

@@ -158,14 +158,7 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
 
   override def commit(): WriterCommitMessage = {
     perZone.foreach { case (zone, updates) =>
-      // Last-write-wins dedup on record identity (action, fqdn, ip),
-      // max timestamp wins (DnsUpdate.java:46-54); then apply in
-      // chronological order (ties broken lexicographically for
-      // determinism — conscious fix of the reference's HashMap order).
-      val deduped = updates
-        .groupBy(u => (u.action, u.fqdn, u.ip))
-        .valuesIterator.map(_.maxBy(_.timestampMicros)).toSeq
-        .sortBy(u => (u.timestampMicros, u.action, u.fqdn, u.ip))
+      val deduped = LwwDedup(updates.toSeq)
       if (deduped.nonEmpty) emitter.update(zone, deduped)
     }
     perZone.clear()
@@ -177,3 +170,23 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
 }
 
 case object DnsWriteCommitted extends WriterCommitMessage
+
+/** Cluster-scale write helpers. */
+object DnsWrites {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Repartition an update DataFrame by each row's derived zone, so a
+    * cluster-wide write emits ONE RFC 2136 message per zone instead of
+    * one per (task × zone) — and changes to the same record are applied
+    * by a single task in one deterministic order. This is the engine-
+    * level form of the reference's per-partition zone grouping
+    * (DnsPartitionHandler.java:32-35): pay one hash shuffle, get
+    * minimal network fan-out to the DNS servers. */
+  def repartitionByZone(updates: DataFrame): DataFrame = {
+    val normalized = when(col("fqdn").endsWith("."), col("fqdn"))
+      .otherwise(concat(col("fqdn"), lit(".")))
+    val zone = normalized.substr(instr(normalized, ".") + 1, length(normalized))
+    updates.repartition(zone)
+  }
+}

@@ -186,6 +186,26 @@ class WriteConnectorSpec extends AnyFunSuite {
     assert(srv.lookup("host1.fb.test.") == Seq("10.0.1.2"))
   }
 
+  test("repartitionByZone yields one update message per zone cluster-wide") {
+    val srv = fresh(5512, "pz0.test.", "pz1.test.", "pz2.test.")
+    import spark.implicits._
+    val updates = spark.range(60).repartition(8).select(
+      lit(DnsAction.IxfrAdd).as("action"),
+      concat(lit("h"), $"id", lit(".pz"), ($"id" % 3), lit(".test")).as("fqdn"),
+      concat(lit("10.1.0."), ($"id" % 250)).as("ip"),
+      timestamp_micros(lit(1723400000000000L) + $"id").as("timestamp"),
+      lit(60).cast("int").as("ttl"))
+    graft.sources.dns.write.DnsWrites.repartitionByZone(updates)
+      .write.format("dns_update")
+      .option("server", "t").option("port", "5512").mode("append").save()
+    // each zone saw exactly ONE RFC 2136 message (serial 1 → 2); without
+    // the repartition, up to 8 tasks would each send one per zone
+    (0 to 2).foreach { z =>
+      assert(srv.serialOf(s"pz$z.test.") == 2, s"zone pz$z")
+      assert(srv.lookup(s"h$z.pz$z.test.") == Seq(s"10.1.0.$z"))
+    }
+  }
+
   test("written changes round-trip through a dns read") {
     fresh(5511, "rt.test.")
     import spark.implicits._
