@@ -116,7 +116,13 @@ final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices)
 }
 
 /** Executor-side writer. Buffers validated updates per derived zone;
-  * all network I/O happens in commit() — one message per zone. */
+  * all network I/O happens in commit() — one message per zone.
+  *
+  * Failure semantics: a task that fails before commit() sends nothing
+  * (abort() just drops the buffers), so Spark's retry re-sends the
+  * whole partition. DNS updates are set-semantic (add/delete of a
+  * concrete record), so the retry is idempotent — at-least-once task
+  * execution yields exactly-once observable zone state. */
 final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
   extends DataWriter[InternalRow] {
 

@@ -112,6 +112,24 @@ class WriteConnectorSpec extends AnyFunSuite {
     assert(e != null)
   }
 
+  test("failed task sends nothing: validation failure leaves zones untouched") {
+    val srv = fresh(5513, "z.test.")
+    import spark.implicits._
+    // first row valid, second row poisons the task AFTER buffering —
+    // since all network I/O happens in commit(), nothing reaches the server
+    intercept[Exception] {
+      Seq(
+        (DnsAction.IxfrAdd, "ok.z.test", "1.1.1.1", new Timestamp(1L), 60),
+        (DnsAction.IxfrAdd, "bad.z.test", "2.2.2.2", new Timestamp(2L), 0))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .coalesce(1)
+        .write.format("dns_update").option("server", "t").option("port", "5513")
+        .mode("append").save()
+    }
+    assert(srv.lookup("ok.z.test.").isEmpty, "partial update escaped an aborted task")
+    assert(srv.serialOf("z.test.") == 1)
+  }
+
   test("missing required column is rejected with a clear error") {
     fresh(5506, "z.test.")
     import spark.implicits._
