@@ -24,6 +24,7 @@ object Bench {
     // Warmup pass: compile/JIT every plan shape once, untimed.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache() // intra-query caches must not leak across queries
     }
 
     var errors = List.empty[String]
@@ -31,7 +32,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => errors ::= s"$name: ${e.getMessage}"; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -135,9 +135,13 @@ object Relational {
     * state is one record per key instead of a sorted run. */
   def qLwwMaxBy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Tiebreak: max_by alone has no defined winner on equal ts_ns, and
+    // the oracle's two arg_max calls could each pick a different tied
+    // row. Ordering by struct(ts_ns, event_id) — unique since event_id
+    // is — makes the winner deterministic and identical cross-engine.
     t(s, dir, "events")
       .groupBy($"user_id", $"event_type")
-      .agg(max_by(struct($"event_id", $"value"), $"ts_ns").as("w"))
+      .agg(max_by(struct($"event_id", $"value"), struct($"ts_ns", $"event_id")).as("w"))
       .select($"user_id", $"event_type", $"w.event_id".as("event_id"), $"w.value".as("value"))
       .orderBy($"user_id", $"event_type")
   }
@@ -303,11 +307,14 @@ object Relational {
            SELECT user_id, event_type, event_id, value,
              row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    // DuckDB arg_max has no composite-key overload, so the oracle pins
+    // the same (ts DESC, event_id DESC) winner with a window — the
+    // contract is row-identical to the Spark max_by(struct, struct).
     "q_lww_maxby" ->
-      """SELECT user_id, event_type,
-         arg_max(event_id, ts) AS event_id, arg_max(value, ts) AS value
-         FROM events GROUP BY user_id, event_type
-         ORDER BY user_id, event_type""",
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_union_changes" ->
       """SELECT 'IXFR_DELETE' AS action, 0 AS ord, user_id, event_id FROM events WHERE event_type = 'error'
          UNION ALL

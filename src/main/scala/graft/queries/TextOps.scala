@@ -130,6 +130,10 @@ object TextOps {
     * integers (intersection, union). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Cached because the shingle set feeds three branches (signatures,
+    // the exact-verify join twice, sizes). Lifecycle: the plan is lazy,
+    // so the cache can't be dropped here — consumers (Verify/Bench)
+    // clearCache() after each query so it never outlives the execution.
     val sh = shingles(s, dir).cache()
 
     val minhashCols = (0 until 8).map(j => min(substring($"h", 1 + 4 * j, 4)).as(s"m$j"))

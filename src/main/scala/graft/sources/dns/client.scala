@@ -43,7 +43,7 @@ object DnsClients {
   }
 
   def updateEmitter(opts: DnsCommonOptions): UpdateEmitter = opts.client match {
-    case "inmemory" => new InMemoryUpdateEmitter(opts.server, opts.port)
+    case "inmemory" => new InMemoryUpdateEmitter(opts.server, opts.port, opts.timeoutSec)
     case other => throw new IllegalArgumentException(
       s"unknown dns client '$other' (this build ships: inmemory)")
   }
@@ -157,8 +157,15 @@ final class InMemoryTransferClient(host: String, port: Int) extends ZoneTransfer
   }
 }
 
-final class InMemoryUpdateEmitter(host: String, port: Int) extends UpdateEmitter {
+/** The sink's `timeout` option reaches the emitter the same way the
+  * reference hands it to its update resolver (DnsUpdate.java:46-81):
+  * via construction. The in-memory server answers instantly, so the
+  * only observable semantic is the failure matrix's timeout=0 ⇒
+  * immediate timeout, mirroring the transfer client. */
+final class InMemoryUpdateEmitter(host: String, port: Int, timeoutSec: Int) extends UpdateEmitter {
   override def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit = {
+    if (timeoutSec == 0)
+      throw new java.net.SocketTimeoutException(s"update of '$zone' timed out (timeout=0)")
     if (!InMemoryDnsServer.exists(host, port))
       throw new java.net.ConnectException(s"no DNS server at $host:$port")
     InMemoryDnsServer.at(host, port).update(zone, changes.map { u =>

@@ -97,10 +97,22 @@ final case class FieldIndices(action: Int, fqdn: Int, ip: Int, timestamp: Int, t
 
 object FieldIndices {
   def apply(schema: StructType): FieldIndices = {
-    def idx(name: String): Int =
-      try schema.fieldIndex(name)
-      catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
-        s"dns_update input must have column '$name' (got: ${schema.fieldNames.mkString(", ")})") }
+    // ACCEPT_ANY_SCHEMA means Spark does no type checking for us: a
+    // wrong-typed column would be silently misread through the raw
+    // InternalRow getters (e.g. getLong over an int column), so each
+    // matched field's type is validated against DnsSchemas.write here,
+    // at planning time, and rejected with a clear error.
+    def idx(name: String): Int = {
+      val i =
+        try schema.fieldIndex(name)
+        catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
+          s"dns_update input must have column '$name' (got: ${schema.fieldNames.mkString(", ")})") }
+      val expected = DnsSchemas.write(DnsSchemas.write.fieldIndex(name)).dataType
+      val actual = schema(i).dataType
+      if (actual != expected) throw new IllegalArgumentException(
+        s"dns_update column '$name' must be $expected, got $actual")
+      i
+    }
     FieldIndices(idx("action"), idx("fqdn"), idx("ip"), idx("timestamp"), idx("ttl"))
   }
 }

@@ -141,6 +141,34 @@ class WriteConnectorSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("wrong-typed column is rejected at planning, not misread") {
+    fresh(5514, "z.test.")
+    import spark.implicits._
+    // 'ttl' as string and 'timestamp' as long would be silently misread
+    // through the raw InternalRow getters under ACCEPT_ANY_SCHEMA
+    val e = intercept[Exception] {
+      Seq((DnsAction.IxfrAdd, "h.z.test", "1.1.1.1", 1000L, "60"))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5514")
+        .mode("append").save()
+    }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("must be"))
+  }
+
+  test("sink timeout=0 fails the write; nothing lands (failure matrix)") {
+    val srv = fresh(5515, "z.test.")
+    import spark.implicits._
+    intercept[Exception] {
+      Seq((DnsAction.IxfrAdd, "h.z.test", "1.1.1.1", new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5515")
+        .option("timeout", "0").mode("append").save()
+    }
+    assert(srv.lookup("h.z.test.").isEmpty)
+    assert(srv.serialOf("z.test.") == 1)
+  }
+
   test("update to an unknown zone fails the job (rcode != 0 contract)") {
     fresh(5507, "z.test.")
     import spark.implicits._
