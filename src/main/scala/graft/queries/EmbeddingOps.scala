@@ -18,10 +18,32 @@ import Tables._
   *
   * Scale design: the brute-force path broadcasts the (tiny) query set
   * against a full scan — linear in corpus size, the right baseline.
-  * The ANN path buckets by sign-LSH FIRST and joins bucket-to-bucket,
-  * so candidate pairs — and the shuffle — scale with bucket occupancy,
-  * not corpus². */
+  * The ANN paths bucket by multi-table sign-LSH FIRST and join
+  * bucket-to-bucket, with TWO guards against quadratic blow-up:
+  *
+  *  1. `NumBands` independent band tables of `BitsPerBand` hyperplane
+  *     signs each. Bits per band is the occupancy dial — expected
+  *     occupancy is n / 2^bits, so production sets bits ∝ log2(n)
+  *     (e.g. ~16-24 bits at 10^9-10^12 vectors) to hold mean occupancy
+  *     roughly constant while the multiple tables preserve recall.
+  *  2. A hard per-bucket cap (`BucketCap`): each (table, bucket) keeps
+  *     only its `BucketCap` smallest vec_ids as candidates, so worst-
+  *     case pair volume is bounded by buckets × cap² even under skew
+  *     (a near-constant region of embedding space). The cap is NOT
+  *     silent: `q_lsh_bucket_audit` reports per-table occupancy and
+  *     exactly how many candidate slots the cap dropped.
+  *
+  * Both knobs are deterministic (axis-aligned planes, vec_id order), so
+  * the DuckDB oracle reproduces candidate sets bit-for-bit. */
 object EmbeddingOps {
+
+  /** Band tables × bits: 4 tables of 8 sign bits (dims 8b..8b+7). At
+    * the test SFs (≤ 2000 vectors) this yields mean occupancy ~8/bucket
+    * per table; re-derive bits from log2(n) per deployment. */
+  private val NumBands = 4
+  private val BitsPerBand = 8
+  /** Max candidate ids kept per (table, bucket), smallest-vec_id-first. */
+  private val BucketCap = 128
 
   /** Quantized integer vector. */
   private val qvec: Column =
@@ -36,6 +58,27 @@ object EmbeddingOps {
     t(s, dir, "embeddings")
       .select($"vec_id", $"label", qvec.as("q"), size($"embedding").as("dim"))
       .withColumn("nsq", expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+  }
+
+  /** Band key for table b: 8 sign bits over dims [8b, 8b+8), offset by
+    * b*256 so keys from different tables never collide. */
+  private def bandKey(b: Int): Column =
+    (0 until BitsPerBand).map { i =>
+      when(expr(s"q[${b * BitsPerBand + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) + lit(b * 256L)
+
+  /** (vec_id, band) — one row per vector per band table. */
+  private def banded(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+
+  /** Bands with the per-bucket candidate cap applied: each bucket keeps
+    * its `BucketCap` smallest vec_ids (row_number is a per-bucket sort
+    * of at most occupancy rows — bounded state, deterministic). */
+  private def cappedBands(v: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band")).orderBy(col("vec_id"))
+    banded(v).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BucketCap).drop("rn")
   }
 
   /** Per-label corpus stats over the quantized vectors — proves the
@@ -71,54 +114,79 @@ object EmbeddingOps {
       .orderBy($"qid", $"rnk")
   }
 
-  /** 8-bit sign-LSH bucket: bit i set iff quantized dim i is >= 0
-    * (axis-aligned random hyperplanes). */
-  private def bucketCol(qCol: String): Column =
-    (0 until 8).map { i =>
-      when(expr(s"$qCol[$i]") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** Bucketed ANN: same-bucket candidates only, exact cosine re-rank,
-    * top-5 per query. Both sides shuffle once on the bucket key;
-    * candidate volume scales with bucket occupancy — the 100 TB path
-    * (vs the brute-force full scan per query). */
+  /** Bucketed ANN: candidates = corpus vectors sharing ANY band bucket
+    * with the query (union over the band tables, deduped), capped per
+    * bucket; exact cosine re-rank, top-5 per query. The only shuffles
+    * are the band-key hash join and the vec_id joins that re-attach
+    * vectors to the deduped candidate pairs — candidate volume scales
+    * with (buckets × cap²), never corpus². */
   def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
-      .withColumn("bucket", bucketCol("q"))
     val queries = v.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"), $"bucket")
-    val scored = v.join(queries, Seq("bucket"))
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
+    val qBands = banded(v).filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"band")
+    val cand = qBands.join(cappedBands(v), Seq("band"))
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"bucket", $"vec_id".as("cid"),
-        dot("qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
+      .select($"qid", $"vec_id".as("cid"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(queries), Seq("qid"))
+      .join(v, $"vec_id" === $"cid")
+      .select($"qid", $"cid", dot("qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
       .withColumn("cosine", $"dot" / sqrt(($"nq" * $"nc").cast("double")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
-      .select($"qid", $"bucket", $"rnk", $"cid", $"dot")
+      .select($"qid", $"rnk", $"cid", $"dot")
       .orderBy($"qid", $"rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs: ALL within-bucket pairs
-    * (not just query-anchored ones) with cosine >= 0.4 — the
-    * embedding-space analogue of MinHash dedup. The LSH bucket is the
-    * candidate generator, so pairwise work scales with bucket occupancy;
-    * the threshold is calibrated to this corpus (max pairwise cosine
-    * ~0.51 — no injected duplicates, so "near-dup" here means the
-    * closest natural pairs). */
+    * across the band tables (deduped), capped per bucket, exact cosine
+    * >= 0.4 — the embedding-space analogue of MinHash dedup. Pairs are
+    * expanded bucket-locally from the capped id list (collect_set is
+    * bounded by BucketCap, so aggregation state is O(cap) per bucket),
+    * then vectors are re-attached by vec_id join. The threshold is
+    * calibrated to this corpus (max pairwise cosine ~0.51 — no injected
+    * duplicates, so "near-dup" here means the closest natural pairs). */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
-      .withColumn("bucket", bucketCol("q"))
-    val pairs = v.as("a").join(v.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("va"), $"b.vec_id".as("vb"),
-        dot("a.q", "b.q").as("dot"), $"a.nsq".as("na"), $"b.nsq".as("nb"))
+    val pairs = cappedBands(v).groupBy($"band")
+      .agg(sort_array(collect_set($"vec_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+          "i -> transform(sequence(i+1, size(ids)-1), " +
+          "j -> struct(ids[i] AS va, ids[j] AS vb))))")).as("p"))
+      .select($"p.va", $"p.vb")
+      .distinct()
+    pairs
+      .join(v.as("a"), $"a.vec_id" === $"va")
+      .join(v.as("b"), $"b.vec_id" === $"vb")
+      .select($"va", $"vb", dot("a.q", "b.q").as("dot"),
+        $"a.nsq".as("na"), $"b.nsq".as("nb"))
       .withColumn("cosine", $"dot" / sqrt(($"na" * $"nb").cast("double")))
-    pairs.filter($"cosine" >= 0.4)
+      .filter($"cosine" >= 0.4)
       .select($"va", $"vb", $"dot", $"na", $"nb")
       .orderBy($"va", $"vb")
+  }
+
+  /** Cap audit: per band table, bucket count, occupancy extremes, and
+    * exactly how many candidate slots the BucketCap drops — "no silent
+    * caps": truncation is a first-class, oracle-checked output. */
+  def qLshBucketAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    banded(vecs(s, dir)).groupBy($"band")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(expr("band DIV 256").as("band_table"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"occ").as("n_vectors"),
+        max($"occ").as("max_occupancy"),
+        sum(greatest($"occ" - BucketCap, lit(0L))).as("dropped"))
+      .orderBy($"band_table")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,15 +194,26 @@ object EmbeddingOps {
     "q_knn_brute" -> qKnnBrute,
     "q_ann_lsh" -> qAnnLsh,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_lsh_bucket_audit" -> qLshBucketAudit,
   )
 
   private val qvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** DuckDB 1-based: bucket bit i ⟷ q[i+1]. */
-  private val bucketSql = (0 until 8)
-    .map(i => s"(CASE WHEN q[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-    .mkString(" + ")
+  /** DuckDB 1-based: band-b bit i ⟷ q[8b+i+1]. */
+  private def bandSqlFor(b: Int): String =
+    (0 until BitsPerBand)
+      .map(i => s"(CASE WHEN q[${b * BitsPerBand + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ") + s" + ${b * 256}"
+
+  private val bandsSql = (0 until NumBands)
+    .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM v")
+    .mkString(" UNION ALL ")
+
+  private val cappedSql =
+    s"""SELECT vec_id, band FROM (
+       |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
+       |  FROM bands) WHERE rn <= $BucketCap""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_embed_stats" ->
@@ -168,35 +247,36 @@ object EmbeddingOps {
     "q_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
-         |b AS (SELECT vec_id, $bucketSql AS bucket FROM v),
+         |bands AS ($bandsSql),
+         |capped AS ($cappedSql),
+         |qb AS (SELECT vec_id AS qid, band FROM bands WHERE vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT qb.qid, c.vec_id AS cid
+         |         FROM qb JOIN capped c ON c.band = qb.band AND c.vec_id <> qb.qid),
          |terms AS (
-         |  SELECT qv.vec_id AS qid, bq.bucket, cv.vec_id AS cid,
-         |         unnest(qv.q) AS a, unnest(cv.q) AS b
-         |  FROM v qv JOIN b bq ON bq.vec_id = qv.vec_id
-         |  JOIN b bc ON bc.bucket = bq.bucket
-         |  JOIN v cv ON cv.vec_id = bc.vec_id AND cv.vec_id <> qv.vec_id
-         |  WHERE qv.vec_id % 100 = 0),
-         |dots AS (SELECT qid, bucket, cid, sum(a * b) AS dot
-         |         FROM terms GROUP BY qid, bucket, cid),
+         |  SELECT cand.qid, cand.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+         |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
+         |            JOIN v cv ON cv.vec_id = cand.cid),
+         |dots AS (SELECT qid, cid, sum(a * b) AS dot FROM terms GROUP BY qid, cid),
          |scored AS (
-         |  SELECT qid, bucket, cid, dot,
+         |  SELECT qid, cid, dot,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
          |  FROM dots JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
-         |ranked AS (SELECT qid, bucket, cid, dot,
+         |ranked AS (SELECT qid, cid, dot,
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
          |  FROM scored)
-         |SELECT qid, bucket, rnk, cid, dot FROM ranked WHERE rnk <= 5
+         |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
-         |b AS (SELECT vec_id, $bucketSql AS bucket FROM v),
+         |bands AS ($bandsSql),
+         |capped AS ($cappedSql),
+         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |         FROM capped a JOIN capped b ON b.band = a.band AND b.vec_id > a.vec_id),
          |terms AS (
-         |  SELECT av.vec_id AS va, bv.vec_id AS vb,
-         |         unnest(av.q) AS x, unnest(bv.q) AS y
-         |  FROM v av JOIN b ba ON ba.vec_id = av.vec_id
-         |  JOIN b bb ON bb.bucket = ba.bucket AND bb.vec_id > av.vec_id
-         |  JOIN v bv ON bv.vec_id = bb.vec_id),
+         |  SELECT cand.va, cand.vb, unnest(av.q) AS x, unnest(bv.q) AS y
+         |  FROM cand JOIN v av ON av.vec_id = cand.va
+         |            JOIN v bv ON bv.vec_id = cand.vb),
          |dots AS (SELECT va, vb, sum(x * y) AS dot FROM terms GROUP BY va, vb),
          |scored AS (
          |  SELECT va, vb, dot, na.nsq AS na, nb.nsq AS nb,
@@ -204,5 +284,13 @@ object EmbeddingOps {
          |  FROM dots JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
          |SELECT va, vb, dot, na, nb FROM scored WHERE cosine >= 0.4
          |ORDER BY va, vb""".stripMargin,
+    "q_lsh_bucket_audit" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |bands AS ($bandsSql),
+         |occ AS (SELECT band, count(*) AS occ FROM bands GROUP BY band)
+         |SELECT band // 256 AS band_table, count(*) AS n_buckets,
+         |  sum(occ) AS n_vectors, max(occ) AS max_occupancy,
+         |  sum(CASE WHEN occ > $BucketCap THEN occ - $BucketCap ELSE 0 END) AS dropped
+         |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables._
 
 /** Text-pipeline operators over the `documents` table — the analysis /
@@ -20,7 +21,41 @@ import Tables._
   */
 object TextOps {
 
+  /** Hard per-bucket candidate caps (smallest-doc_id-first, mirrored in
+    * the oracles): a non-discriminative band key — e.g. a minhash of a
+    * boilerplate shingle shared by millions of docs — would otherwise
+    * make one bucket's pair expansion quadratic in corpus size. With
+    * the cap, worst-case pair volume is buckets × cap² regardless of
+    * skew. Oversized buckets lose recall by construction; that loss is
+    * deliberate (an undiscriminative bucket carries almost no signal)
+    * and bounded per bucket, never silent blow-up. */
+  private val MinhashBucketCap = 256
+  private val NgramBlockCap = 128
+
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** Keep each band bucket's `cap` smallest doc_ids. row_number sorts
+    * at most one bucket's rows per partition — bounded, deterministic. */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("band")).orderBy(col("doc_id"))
+    bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** Bucket-local pair expansion: one shuffle of (doc, band) rows, then
+    * each bucket expands its own (capped) id list — collect_set state
+    * is bounded by the cap, and there is no self-join recomputing the
+    * signature pipeline for both sides. */
+  private def bucketPairs(cappedBands: DataFrame): DataFrame =
+    cappedBands.groupBy(col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+          "i -> transform(sequence(i+1, size(ids)-1), " +
+          "j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   /** Words of a document; the corpus is whitespace-separated. */
   private val wordsCol: Column = split(col("text"), "\\s+")
@@ -125,7 +160,8 @@ object TextOps {
     * doc's shingles (min is partial-aggregatable → map-side combine).
     * Banding: 4 bands × 2 rows; docs sharing any band key become
     * candidates (hash shuffle on the band key — bucket join, never
-    * all-pairs). Verify: exact trigram-shingle Jaccard via a join
+    * all-pairs), with oversized buckets capped at MinhashBucketCap
+    * ids. Verify: exact trigram-shingle Jaccard via a join
     * restricted to candidate pairs; keep j >= 0.5, reported as exact
     * integers (intersection, union). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -147,20 +183,7 @@ object TextOps {
     ).as("bands"))
       .select($"doc_id", explode($"bands").as("band"))
 
-    // Candidate pairs are generated bucket-locally: one shuffle of the
-    // (doc, band) pairs, then each bucket expands its own id list —
-    // cheaper than a self-join (which would recompute the signature
-    // pipeline for both sides) and the shape production LSH uses, where
-    // oversized non-discriminative buckets would additionally be capped.
-    val cand = bands.groupBy($"band")
-      .agg(sort_array(collect_set($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids)-2), " +
-          "i -> transform(sequence(i+1, size(ids)-1), " +
-          "j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))")).as("p"))
-      .select($"p.doc_a", $"p.doc_b")
-      .distinct()
+    val cand = bucketPairs(capBuckets(bands, MinhashBucketCap))
 
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -201,12 +224,17 @@ object TextOps {
       .orderBy($"simhash")
   }
 
-  /** N-gram Jaccard dedup with metadata blocking: candidate pairs are
-    * restricted to the same (lang, source) block — the standard way to
-    * bound pairwise comparison when a natural partition key exists
-    * (block sizes stay ~constant as the corpus grows, so pair volume
-    * grows linearly, not quadratically). Word-bigram Jaccard >= 0.3,
-    * reported as exact integers. */
+  /** N-gram Jaccard dedup with hybrid blocking: the blocking key is
+    * (lang, source, bigram-minhash band) — metadata prefix PLUS a
+    * content-derived component whose cardinality grows with the corpus.
+    * A metadata-only key has FIXED cardinality (~#langs × #sources), so
+    * block size — and intra-block pair count, quadratically — grows
+    * with the data; the minhash component keeps expected block size
+    * proportional to real duplicate density instead. 4 one-row bands
+    * (the 4-hex-char chunks of the bigram-set minhash) give
+    * P(candidate) = 1-(1-j)^4 — ≈1 for true near-dups (j≈0.99 here),
+    * by design lossy for weak overlap. Candidates are verified by exact
+    * word-bigram Jaccard >= 0.3, reported as exact integers. */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bigrams = docs(s, dir)
@@ -215,12 +243,24 @@ object TextOps {
       .select($"doc_id", $"lang", $"source",
         explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("s"))
       .distinct()
+
+    val minhashCols = (0 until 4).map(j => min(substring($"h", 1 + 4 * j, 4)).as(s"m$j"))
+    val sig = bigrams
+      .select($"doc_id", $"lang", $"source", md5($"s").as("h"))
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(minhashCols.head, minhashCols.tail: _*)
+    val bands = sig.select($"doc_id", explode(array(
+      (0 until 4).map(b =>
+        concat($"lang", lit("|"), $"source", lit(s"|$b:"), col(s"m$b"))): _*
+    )).as("band"))
+
+    val cand = bucketPairs(capBuckets(bands, NgramBlockCap))
+
     val sizes = bigrams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = bigrams.as("a")
-      .join(bigrams.as("b"),
-        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
-          $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val inter = cand
+      .join(bigrams.as("sa"), $"sa.doc_id" === $"doc_a")
+      .join(bigrams.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.s" === $"sa.s")
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), $"na.doc_id" === $"doc_a")
@@ -305,8 +345,11 @@ object TextOps {
         |  SELECT doc_id, '1:' || m2 || m3 FROM sig UNION ALL
         |  SELECT doc_id, '2:' || m4 || m5 FROM sig UNION ALL
         |  SELECT doc_id, '3:' || m6 || m7 FROM sig),
+        |capped AS (SELECT doc_id, band FROM (
+        |  SELECT doc_id, band, row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+        |  FROM bands) WHERE rn <= 256),
         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+        |         FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id),
         |inter AS (SELECT doc_a, doc_b, count(*) AS inter
         |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
         |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
@@ -334,12 +377,26 @@ object TextOps {
         |sh AS (SELECT DISTINCT doc_id, lang, source, w[i+1] || ' ' || w[i+2] AS s
         |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
         |       WHERE len(w) >= 2 AND i <= len(w) - 2),
+        |hashed AS (SELECT doc_id, lang, source, md5(s) AS h FROM sh),
+        |sig AS (SELECT doc_id, lang, source,
+        |    min(substring(h, 1, 4)) AS m0, min(substring(h, 5, 4)) AS m1,
+        |    min(substring(h, 9, 4)) AS m2, min(substring(h, 13, 4)) AS m3
+        |  FROM hashed GROUP BY doc_id, lang, source),
+        |bands AS (
+        |  SELECT doc_id, lang || '|' || source || '|0:' || m0 AS band FROM sig UNION ALL
+        |  SELECT doc_id, lang || '|' || source || '|1:' || m1 FROM sig UNION ALL
+        |  SELECT doc_id, lang || '|' || source || '|2:' || m2 FROM sig UNION ALL
+        |  SELECT doc_id, lang || '|' || source || '|3:' || m3 FROM sig),
+        |capped AS (SELECT doc_id, band FROM (
+        |  SELECT doc_id, band, row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+        |  FROM bands) WHERE rn <= 128),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |          FROM sh a JOIN sh b
-        |            ON a.lang = b.lang AND a.source = b.source
-        |           AND a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
+        |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+        |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |          GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
         |FROM inter JOIN sizes na ON na.doc_id = doc_a
         |           JOIN sizes nb ON nb.doc_id = doc_b

@@ -71,6 +71,48 @@ class StreamingReadSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("Trigger.ProcessingTime: continuous micro-batches pick up live zone changes") {
+    val port = 5403
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    srv.addZone("example.acme.", Seq(ARecord("a.example.acme.", "1.1.1.1")))
+
+    val out = Files.createTempDirectory("dns-pt-out").toString
+    val ck = Files.createTempDirectory("dns-pt-ck").toString
+    val q = spark.readStream.format("dns")
+      .option("server", "t").option("port", port.toString)
+      .option("organization", "acme")
+      .option("zones", "example.acme")
+      .option("fixed-timestamp-micros", "1723400000000000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      // batch 1 delivers the AXFR; then mutate the zone mid-stream and
+      // a later batch must deliver exactly the delta
+      def countIs(n: Long): Boolean = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (System.nanoTime() < deadline) {
+          val c = try spark.read.parquet(out).count() catch { case _: Throwable => -1L }
+          if (c == n) return true
+          Thread.sleep(100)
+        }
+        false
+      }
+      assert(countIs(1), "initial AXFR record never arrived")
+      srv.update("example.acme.", Seq(ARecord("b.example.acme.", "2.2.2.2")), Nil)
+      assert(countIs(2), "IXFR delta never arrived under ProcessingTime")
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.filter(col("fqdn") === "b.example.acme.")
+      .select("action").collect().map(_.getString(0)).toSeq == Seq(DnsAction.IxfrAdd))
+    // effectively-once even across many empty batches
+    assert(got.count() == 2)
+  }
+
   test("progress log restores latest serials and retains maxKept commits") {
     import graft.sources.dns.read.ProgressLog
     val ck = Files.createTempDirectory("dns-progress").toString
