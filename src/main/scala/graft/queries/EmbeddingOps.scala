@@ -49,15 +49,26 @@ object EmbeddingOps {
   private val qvec: Column =
     expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+  /** Exact integer dot product. On a session with [[graft.functions
+    * .GraftExtensions]] installed (Verify/Bench/tests do) this is the
+    * native codegen'd `quantized_dot` expression — one fused multiply-
+    * accumulate loop, no HOF lambda dispatch, no zipped-array
+    * materialization. On a foreign session it falls back to the
+    * semantically identical composed built-ins, so every query still
+    * runs anywhere. */
+  private def dot(s: SparkSession, a: String, b: String): Column =
+    if (graft.functions.GraftFunctions.isRegistered(s))
+      graft.functions.GraftFunctions.quantizedDot(col(a), col(b))
+    else
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 
-  /** vec_id, quantized vector `q`, exact squared norm `nsq`. */
+  /** vec_id, quantized vector `q`, exact squared norm `nsq` (the dot
+    * of the vector with itself, same fast path). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings")
       .select($"vec_id", $"label", qvec.as("q"), size($"embedding").as("dim"))
-      .withColumn("nsq", expr("aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+      .withColumn("nsq", dot(s, "q", "q"))
   }
 
   /** Band key for table b: 8 sign bits over dims [8b, 8b+8), offset by
@@ -105,7 +116,7 @@ object EmbeddingOps {
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
     val scored = v.join(broadcast(queries), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"),
-        dot("qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
+        dot(s, "qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
       .withColumn("cosine", $"dot" / sqrt(($"nq" * $"nc").cast("double")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
@@ -134,7 +145,7 @@ object EmbeddingOps {
     val scored = cand
       .join(broadcast(queries), Seq("qid"))
       .join(v, $"vec_id" === $"cid")
-      .select($"qid", $"cid", dot("qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
+      .select($"qid", $"cid", dot(s, "qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
       .withColumn("cosine", $"dot" / sqrt(($"nq" * $"nc").cast("double")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
@@ -166,7 +177,7 @@ object EmbeddingOps {
     pairs
       .join(v.as("a"), $"a.vec_id" === $"va")
       .join(v.as("b"), $"b.vec_id" === $"vb")
-      .select($"va", $"vb", dot("a.q", "b.q").as("dot"),
+      .select($"va", $"vb", dot(s, "a.q", "b.q").as("dot"),
         $"a.nsq".as("na"), $"b.nsq".as("nb"))
       .withColumn("cosine", $"dot" / sqrt(($"na" * $"nb").cast("double")))
       .filter($"cosine" >= 0.4)

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+/** The native quantized_dot expression: equivalence with the composed
+  * built-in form, null/length edge semantics, SQL + Column routes, and
+  * codegen participation. */
+class QuantizedDotSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def composed = expr(
+    "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  test("registered in the session (extensions installed)") {
+    assert(GraftFunctions.isRegistered(spark))
+  }
+
+  test("SQL route matches hand arithmetic") {
+    val r = spark.sql(
+      "SELECT quantized_dot(array(1L, 2L, 3L), array(4L, 5L, -6L)) AS d").head()
+    assert(r.getLong(0) == 4L + 10L - 18L)
+  }
+
+  test("Column route, nulls, and unequal lengths (common-prefix dot)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (null, Seq(1L)),
+      (Seq(5L, 7L, 9L), Seq(2L))).toDF("a", "b")
+    val got = df.select(GraftFunctions.quantizedDot($"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got == Seq(Some(11L), None, Some(10L)))
+  }
+
+  test("type mismatch is an analysis error, not a runtime misread") {
+    import spark.implicits._
+    val df = Seq((Seq("x"), Seq(1L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.quantizedDot($"a", $"b")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<bigint>"), e.getMessage)
+  }
+
+  test("participates in whole-stage codegen (not an interpreted island)") {
+    import spark.implicits._
+    // range (not a literal Seq) so ConvertToLocalRelation can't fold
+    // the expression away before execution
+    val df = spark.range(100)
+      .select(array($"id", $"id" + 1).as("a"), array($"id" + 2, $"id" + 3).as("b"))
+      .select(GraftFunctions.quantizedDot($"a", $"b").as("d"))
+    assert(df.collect().head.getLong(0) == 0L * 2L + 1L * 3L)
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is how toString marks a WholeStageCodegen stage;
+    // the expression must sit INSIDE one, not in an interpreted Project
+    assert(plan.linesIterator.exists(l =>
+      l.contains("quantized_dot") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("property: equals the composed HOF form and a BigInt reference") {
+    import spark.implicits._
+    val genVec = Gen.listOfN(16, Gen.choose(-1000000L, 1000000L))
+    val p = Prop.forAll(Gen.listOfN(8, Gen.zip(genVec, genVec))) { rows =>
+      val df = rows.map { case (a, b) => (a, b) }.toDF("a", "b")
+      val got = df.select(
+        GraftFunctions.quantizedDot($"a", $"b").as("native"),
+        composed.as("composed")).collect()
+      val expected = rows.map { case (a, b) =>
+        a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum.toLong
+      }
+      got.map(_.getLong(0)).toSeq == expected &&
+        got.forall(r => r.getLong(0) == r.getLong(1))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+}
