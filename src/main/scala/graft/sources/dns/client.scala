@@ -38,14 +38,16 @@ object DnsClients {
     * must be side-effect free and local. */
   def transferClient(opts: DnsCommonOptions): ZoneTransferClient = opts.client match {
     case "inmemory" => new InMemoryTransferClient(opts.server, opts.port)
+    case "wire" => new WireTransferClient(opts.server, opts.port)
     case other => throw new IllegalArgumentException(
-      s"unknown dns client '$other' (this build ships: inmemory)")
+      s"unknown dns client '$other' (this build ships: inmemory, wire)")
   }
 
   def updateEmitter(opts: DnsCommonOptions): UpdateEmitter = opts.client match {
     case "inmemory" => new InMemoryUpdateEmitter(opts.server, opts.port, opts.timeoutSec)
+    case "wire" => new WireUpdateEmitter(opts.server, opts.port, opts.timeoutSec)
     case other => throw new IllegalArgumentException(
-      s"unknown dns client '$other' (this build ships: inmemory)")
+      s"unknown dns client '$other' (this build ships: inmemory, wire)")
   }
 }
 

@@ -40,8 +40,10 @@ object DnsOptions {
   val DefaultSerial = 0L
   val DefaultXfr: XfrType = XfrType.IXFR
   val DefaultMaxKeptCommits = 10
-  /** Only in-process client exists in this zero-egress build; a real
-    * network client (dnsjava-equivalent) would register here. */
+  /** `inmemory` (default) talks to the in-process server directly;
+    * `wire` is a real TCP client speaking RFC 1035/1995/2136 (the
+    * reference's dnsjava role) — loopback-only in this zero-egress
+    * build, but protocol-complete for the connector's record scope. */
   val DefaultClient = "inmemory"
 
   private def common(o: Map[String, String]): DnsCommonOptions =

@@ -1,0 +1,440 @@
+package graft.sources.dns
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+/** DNS wire protocol: the networked counterpart of the in-memory
+  * client, hand-built from the public RFCs (1035 message format and
+  * TCP framing, 5936 AXFR, 1995 IXFR, 2136 dynamic update) — the role
+  * dnsjava plays in the reference (Xfr.java:37-50,
+  * DnsUpdate.java:46-81). The zero-egress build can't reach a real
+  * BIND, so [[WireDnsServer]] serves the same protocol over loopback
+  * TCP from an [[InMemoryDnsServer]]; the client side
+  * ([[WireTransferClient]], [[WireUpdateEmitter]]) is a real socket
+  * client — framing, timeouts, rcode handling — selected with
+  * `client=wire`, and would point at any standards-compliant server
+  * unchanged. Scope: A records in class IN, the subset the connector's
+  * schema carries.
+  */
+object DnsWire {
+  // record types / classes (RFC 1035 §3.2, RFC 1995, RFC 5936)
+  val TypeA = 1
+  val TypeSoa = 6
+  val TypeIxfr = 251
+  val TypeAxfr = 252
+  val ClassIn = 1
+  val ClassNone = 254 // RFC 2136: delete specific RR
+
+  val OpcodeQuery = 0
+  val OpcodeUpdate = 5 // RFC 2136
+
+  val RcodeNoError = 0
+  val RcodeNotAuth = 9
+
+  /** One resource record; rdata stays structural (no raw bytes above
+    * the codec): A → ip string, SOA → (serial). */
+  sealed trait Rdata
+  case class AData(ip: String) extends Rdata
+  case class SoaData(serial: Long) extends Rdata
+  case class Rr(name: String, rtype: Int, rclass: Int, ttl: Long, rdata: Rdata)
+
+  case class Question(name: String, qtype: Int, qclass: Int)
+
+  /** A DNS message. `authority` carries the client SOA in IXFR queries
+    * and the update RRs in RFC 2136 messages (where the sections are
+    * re-labelled zone/prereq/update/additional but share the format). */
+  case class Message(id: Int, flags: Int, questions: Seq[Question],
+                     answers: Seq[Rr], authority: Seq[Rr], additional: Seq[Rr]) {
+    def opcode: Int = (flags >> 11) & 0xf
+    def rcode: Int = flags & 0xf
+    def isResponse: Boolean = (flags & 0x8000) != 0
+  }
+
+  def queryFlags(opcode: Int): Int = (opcode & 0xf) << 11
+  def responseFlags(opcode: Int, rcode: Int): Int =
+    0x8000 | ((opcode & 0xf) << 11) | (rcode & 0xf)
+
+  // ------------------------------------------------------------ encode
+
+  private def writeName(out: DataOutputStream, name: String): Unit = {
+    val abs = Fqdn.normalize(name)
+    abs.split('.').filter(_.nonEmpty).foreach { label =>
+      val bytes = label.getBytes(StandardCharsets.US_ASCII)
+      require(bytes.length < 64, s"label too long in '$name'")
+      out.writeByte(bytes.length)
+      out.write(bytes)
+    }
+    out.writeByte(0)
+  }
+
+  private def writeRr(out: DataOutputStream, rr: Rr): Unit = {
+    writeName(out, rr.name)
+    out.writeShort(rr.rtype)
+    out.writeShort(rr.rclass)
+    out.writeInt(rr.ttl.toInt)
+    rr.rdata match {
+      case AData(ip) =>
+        val parts = ip.split('.')
+        require(parts.length == 4, s"not an IPv4 address: '$ip'")
+        out.writeShort(4)
+        parts.foreach(p => out.writeByte(p.toInt))
+      case SoaData(serial) =>
+        // MNAME/RNAME are irrelevant to transfer/update semantics;
+        // root-encode them (1 byte each) and zero the timers.
+        out.writeShort(1 + 1 + 20)
+        out.writeByte(0) // mname = "."
+        out.writeByte(0) // rname = "."
+        out.writeInt(serial.toInt)
+        out.writeInt(0); out.writeInt(0); out.writeInt(0); out.writeInt(0)
+    }
+  }
+
+  def encode(m: Message): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    val out = new DataOutputStream(buf)
+    out.writeShort(m.id)
+    out.writeShort(m.flags)
+    out.writeShort(m.questions.size)
+    out.writeShort(m.answers.size)
+    out.writeShort(m.authority.size)
+    out.writeShort(m.additional.size)
+    m.questions.foreach { q =>
+      writeName(out, q.name); out.writeShort(q.qtype); out.writeShort(q.qclass)
+    }
+    (m.answers ++ m.authority ++ m.additional).foreach(writeRr(out, _))
+    out.flush()
+    buf.toByteArray
+  }
+
+  // ------------------------------------------------------------ decode
+
+  private final class Reader(bytes: Array[Byte]) {
+    var pos = 0
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+    def u16(): Int = (u8() << 8) | u8()
+    def u32(): Long = (u16().toLong << 16) | u16().toLong
+
+    /** Name decode with RFC 1035 §4.1.4 compression-pointer support. */
+    def name(): String = {
+      val sb = new StringBuilder
+      var p = pos
+      var jumped = false
+      var hops = 0
+      var continue = true
+      while (continue) {
+        val len = bytes(p) & 0xff
+        if ((len & 0xc0) == 0xc0) {
+          val target = ((len & 0x3f) << 8) | (bytes(p + 1) & 0xff)
+          if (!jumped) pos = p + 2
+          p = target
+          jumped = true
+          hops += 1
+          require(hops < 64, "compression pointer loop")
+        } else if (len == 0) {
+          if (!jumped) pos = p + 1
+          continue = false
+        } else {
+          sb.append(new String(bytes, p + 1, len, StandardCharsets.US_ASCII)).append('.')
+          p += 1 + len
+        }
+      }
+      if (sb.isEmpty) "." else sb.toString
+    }
+
+    def rr(): Rr = {
+      val n = name()
+      val rtype = u16(); val rclass = u16(); val ttl = u32(); val rdlen = u16()
+      val end = pos + rdlen
+      val rdata = rtype match {
+        case TypeA =>
+          require(rdlen == 4, s"A rdata length $rdlen")
+          AData(s"${u8()}.${u8()}.${u8()}.${u8()}")
+        case TypeSoa =>
+          name(); name() // mname, rname
+          val serial = u32()
+          pos = end // skip timers
+          SoaData(serial)
+        case other =>
+          throw new IOException(s"unsupported record type $other in transfer")
+      }
+      pos = end
+      Rr(n, rtype, rclass, ttl, rdata)
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Message = {
+    val r = new Reader(bytes)
+    val id = r.u16(); val flags = r.u16()
+    val qd = r.u16(); val an = r.u16(); val ns = r.u16(); val ar = r.u16()
+    val questions = (0 until qd).map(_ => Question(r.name(), r.u16(), r.u16()))
+    val answers = (0 until an).map(_ => r.rr())
+    val authority = (0 until ns).map(_ => r.rr())
+    val additional = (0 until ar).map(_ => r.rr())
+    Message(id, flags, questions, answers, authority, additional)
+  }
+
+  // ------------------------------------------------- TCP framing (§4.2.2)
+
+  def writeFramed(out: DataOutputStream, m: Message): Unit = {
+    val bytes = encode(m)
+    out.writeShort(bytes.length)
+    out.write(bytes)
+    out.flush()
+  }
+
+  def readFramed(in: DataInputStream): Message = {
+    val len = in.readUnsignedShort()
+    val bytes = new Array[Byte](len)
+    in.readFully(bytes)
+    decode(bytes)
+  }
+}
+
+/** Loopback TCP server speaking the wire protocol, backed by an
+  * [[InMemoryDnsServer]] for zone state (same semantics the in-memory
+  * client exercises — one code path for AXFR/IXFR/update logic, two
+  * transports). Single-threaded accept loop on a daemon thread; each
+  * connection handles any number of framed requests. */
+final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer) {
+  import DnsWire._
+
+  private val serverSocket = new ServerSocket()
+  serverSocket.bind(new InetSocketAddress("127.0.0.1", 0))
+  def port: Int = serverSocket.getLocalPort
+  def host: String = "127.0.0.1"
+
+  @volatile private var running = true
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = serverSocket.accept()
+        val t = new Thread(() => serve(sock), s"wire-dns-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: IOException => () } // closed
+    }
+  }, s"wire-dns-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; serverSocket.close() }
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      while (true) {
+        val req = DnsWire.readFramed(in)
+        val resp = try handle(req) catch {
+          case _: IllegalArgumentException =>
+            // unknown zone → NOTAUTH, the rcode != 0 the reference maps
+            // to a job failure (DnsUpdate.java:76-81)
+            Message(req.id, responseFlags(req.opcode, RcodeNotAuth), req.questions,
+              Nil, Nil, Nil)
+        }
+        DnsWire.writeFramed(out, resp)
+      }
+    } catch {
+      case _: EOFException | _: IOException => () // client done
+    } finally sock.close()
+  }
+
+  private def soaRr(zone: String, serial: Long): Rr =
+    Rr(zone, TypeSoa, ClassIn, 0, SoaData(serial))
+  private def aRr(r: ARecord, ttl: Long = 3600): Rr =
+    Rr(r.fqdn, TypeA, ClassIn, ttl, AData(r.ip))
+
+  private def handle(req: Message): Message = req.opcode match {
+    case OpcodeQuery =>
+      val q = req.questions.headOption.getOrElse(
+        throw new IOException("query without question"))
+      q.qtype match {
+        case TypeAxfr => axfrResponse(req, q.name)
+        case TypeIxfr =>
+          val clientSerial = req.authority.collectFirst {
+            case Rr(_, TypeSoa, _, _, SoaData(s)) => s
+          }.getOrElse(0L)
+          ixfrResponse(req, q.name, clientSerial)
+        case other => throw new IOException(s"unsupported qtype $other")
+      }
+    case OpcodeUpdate =>
+      val zone = req.questions.headOption.map(_.name).getOrElse(
+        throw new IOException("update without zone section"))
+      val changes = req.authority.map {
+        case Rr(name, TypeA, ClassIn, _, AData(ip)) =>
+          ZoneChange(ARecord(name, ip), delete = false)
+        case Rr(name, TypeA, ClassNone, _, AData(ip)) =>
+          ZoneChange(ARecord(name, ip), delete = true)
+        case rr => throw new IOException(s"unsupported update RR: $rr")
+      }
+      backing.update(zone, changes) // throws on unknown zone → NOTAUTH
+      Message(req.id, responseFlags(OpcodeUpdate, RcodeNoError), req.questions, Nil, Nil, Nil)
+    case other => throw new IOException(s"unsupported opcode $other")
+  }
+
+  /** RFC 5936: SOA, all records, closing SOA. */
+  private def axfrResponse(req: Message, zone: String): Message = {
+    val result = backing.axfr(zone)
+    val soa = soaRr(zone, result.serial)
+    Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+      (soa +: result.records.map(aRr(_))) :+ soa, Nil, Nil)
+  }
+
+  /** RFC 1995: up-to-date → single SOA; journal hit → SOA(new) then per
+    * delta SOA(old) deletes SOA(new) adds, closing SOA(new); journal
+    * gap → AXFR-style response. */
+  private def ixfrResponse(req: Message, zone: String, clientSerial: Long): Message =
+    backing.ixfr(zone, clientSerial) match {
+      case AxfrResult(serial, records) =>
+        val soa = soaRr(zone, serial)
+        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+          (soa +: records.map(aRr(_))) :+ soa, Nil, Nil)
+      case IxfrResult(serial, deltas) if deltas.isEmpty =>
+        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+          Seq(soaRr(zone, serial)), Nil, Nil)
+      case IxfrResult(serial, deltas) =>
+        val body = deltas.flatMap { d =>
+          (soaRr(zone, d.startSerial) +: d.deletes.map(aRr(_))) ++
+            (soaRr(zone, d.endSerial) +: d.adds.map(aRr(_)))
+        }
+        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+          (soaRr(zone, serial) +: body) :+ soaRr(zone, serial), Nil, Nil)
+    }
+}
+
+/** Process-wide registry of loopback wire servers, mirroring
+  * [[InMemoryDnsServer]]'s: tests start a server, executors (threads
+  * in the same JVM under local[N]) connect to its real TCP port. */
+object WireDnsServer {
+  private val servers = scala.collection.mutable.Map.empty[Int, WireDnsServer]
+
+  def start(): WireDnsServer = synchronized {
+    val s = new WireDnsServer()
+    servers(s.port) = s
+    s
+  }
+
+  def stop(port: Int): Unit = synchronized {
+    servers.remove(port).foreach(_.close())
+  }
+}
+
+private object WireSocket {
+  /** Open, run, close. timeout=0 always fails (reference failure
+    * matrix, same contract as the in-memory client); otherwise it is a
+    * real connect + SO read timeout. */
+  def withSocket[A](host: String, port: Int, timeoutSec: Int, what: String)
+                   (f: (DataInputStream, DataOutputStream) => A): A = {
+    if (timeoutSec == 0)
+      throw new java.net.SocketTimeoutException(s"$what timed out (timeout=0)")
+    val sock = new Socket()
+    try {
+      sock.connect(new InetSocketAddress(host, port), timeoutSec * 1000)
+      sock.setSoTimeout(timeoutSec * 1000)
+      f(new DataInputStream(sock.getInputStream),
+        new DataOutputStream(sock.getOutputStream))
+    } finally sock.close()
+  }
+}
+
+/** Zone transfers over TCP. One socket per transfer; reads framed
+  * messages until the closing SOA (AXFR responses may span messages —
+  * RFC 5936 §2.2). */
+final class WireTransferClient(host: String, port: Int) extends ZoneTransferClient {
+  import DnsWire._
+
+  override def transfer(zone: String, serial: Long, xfr: XfrType,
+                        timeoutSec: Int): TransferResult =
+    WireSocket.withSocket(host, port, timeoutSec, s"zone transfer of '$zone'") { (in, out) =>
+      val z = Fqdn.normalize(zone)
+      // serial 0 ⇒ full transfer, like the reference (Xfr.java:43-48)
+      val useAxfr = xfr == XfrType.AXFR || serial == 0L
+      val query =
+        if (useAxfr)
+          Message(1, queryFlags(OpcodeQuery), Seq(Question(z, TypeAxfr, ClassIn)), Nil, Nil, Nil)
+        else
+          Message(1, queryFlags(OpcodeQuery), Seq(Question(z, TypeIxfr, ClassIn)),
+            Nil, Seq(Rr(z, TypeSoa, ClassIn, 0, SoaData(serial))), Nil)
+      writeFramed(out, query)
+
+      val rrs = scala.collection.mutable.ArrayBuffer.empty[Rr]
+      def readInto(): Unit = {
+        val m = readFramed(in)
+        if (m.rcode != RcodeNoError)
+          throw new IOException(s"zone transfer of '$zone' failed: rcode ${m.rcode}")
+        require(m.isResponse, "expected a response message")
+        rrs ++= m.answers
+      }
+      readInto()
+      // AXFR record streams may span messages (RFC 5936 §2.2) and
+      // contain SOAs only as first/last RR, so "ends with a SOA after
+      // the first RR" is the exact termination test. IXFR delta streams
+      // interleave SOA section-headers, making cross-message
+      // termination stateful — they are accepted single-message (which
+      // is how WireDnsServer responds; deltas are small by nature).
+      if (useAxfr) while (!(rrs.size > 1 && rrs.last.rtype == TypeSoa)) readInto()
+      parseTransfer(zone, rrs.toSeq)
+    }
+
+  /** Classify the RR stream per RFC 1995 §4: single SOA = up to date;
+    * second RR not SOA = AXFR-style; else IXFR delta sequence. */
+  private def parseTransfer(zone: String, rrs: Seq[Rr]): TransferResult = {
+    val serial = rrs.head.rdata match {
+      case SoaData(s) => s
+      case _ => throw new IOException("transfer does not start with SOA")
+    }
+    def aRecords(s: Seq[Rr]): Seq[ARecord] =
+      s.collect { case Rr(n, TypeA, _, _, AData(ip)) => ARecord(n, ip) }
+
+    if (rrs.size == 1) IxfrResult(serial, Nil) // up to date
+    else if (rrs(1).rtype != TypeSoa) // AXFR (requested or fallback)
+      AxfrResult(serial, aRecords(rrs.drop(1).dropRight(1)))
+    else {
+      // IXFR: SOA(new) [SOA(old) dels SOA(mid) adds]... SOA(new)
+      val body = rrs.drop(1).dropRight(1)
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[IxfrDelta]
+      var i = 0
+      while (i < body.size) {
+        val startSerial = body(i).rdata match {
+          case SoaData(s) => s
+          case _ => throw new IOException("malformed IXFR delta (expected SOA)")
+        }
+        val delEnd = body.indexWhere(_.rtype == TypeSoa, i + 1)
+        require(delEnd > 0, "malformed IXFR delta (no add SOA)")
+        val endSerial = body(delEnd).rdata match { case SoaData(s) => s; case _ => 0L }
+        var addEnd = body.indexWhere(_.rtype == TypeSoa, delEnd + 1)
+        if (addEnd < 0) addEnd = body.size
+        deltas += IxfrDelta(startSerial, endSerial,
+          adds = aRecords(body.slice(delEnd + 1, addEnd)),
+          deletes = aRecords(body.slice(i + 1, delEnd)))
+        i = addEnd
+      }
+      IxfrResult(serial, deltas.toSeq)
+    }
+  }
+}
+
+/** RFC 2136 dynamic updates over TCP: one message per (zone, batch),
+  * adds as class-IN RRs with the record TTL, deletes as class-NONE;
+  * any rcode != 0 throws (job fails, like the reference). */
+final class WireUpdateEmitter(host: String, port: Int, timeoutSec: Int) extends UpdateEmitter {
+  import DnsWire._
+
+  override def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit =
+    WireSocket.withSocket(host, port, timeoutSec, s"update of '$zone'") { (in, out) =>
+      val z = Fqdn.normalize(zone)
+      val rrs = changes.map { u =>
+        if (u.action == DnsAction.IxfrDelete)
+          Rr(u.fqdn, TypeA, ClassNone, 0, AData(u.ip))
+        else
+          Rr(u.fqdn, TypeA, ClassIn, u.ttl.toLong, AData(u.ip))
+      }
+      writeFramed(out, Message(1, queryFlags(OpcodeUpdate),
+        Seq(Question(z, TypeSoa, ClassIn)), Nil, rrs, Nil))
+      val resp = readFramed(in)
+      if (resp.rcode != RcodeNoError)
+        throw new IOException(s"update of '$zone' rejected: rcode ${resp.rcode}")
+    }
+}

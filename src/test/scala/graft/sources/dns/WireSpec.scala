@@ -1,0 +1,133 @@
+package graft.sources.dns
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The wire-protocol path: RFC 1035 codec, AXFR/IXFR/UPDATE over real
+  * loopback TCP, and the full connector stack with `client=wire`. */
+class WireSpec extends AnyFunSuite {
+  import DnsWire._
+
+  test("codec: message with question, A and SOA records round-trips") {
+    val m = Message(42, queryFlags(OpcodeQuery),
+      Seq(Question("example.acme.", TypeAxfr, ClassIn)),
+      Seq(
+        Rr("example.acme.", TypeSoa, ClassIn, 0, SoaData(7)),
+        Rr("www.example.acme.", TypeA, ClassIn, 3600, AData("10.1.2.3")),
+        Rr("example.acme.", TypeSoa, ClassIn, 0, SoaData(7))),
+      Seq(Rr("x.example.acme.", TypeA, ClassNone, 0, AData("10.0.0.1"))),
+      Nil)
+    val back = decode(encode(m))
+    assert(back == m)
+  }
+
+  test("codec: name decode follows compression pointers") {
+    // hand-built: header with 1 answer; name at offset 12 is
+    // "a.b." then an A record whose name is a pointer to offset 14 ("b.")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int*): Unit = x.foreach(v => out.write(v & 0xff))
+    b(0, 1, 0x84, 0, 0, 0, 0, 2, 0, 0, 0, 0) // id=1, response flags, an=2
+    b(1, 'a', 1, 'b', 0) // offset 12: a.b.
+    b(0, TypeA, 0, ClassIn, 0, 0, 0, 60, 0, 4, 10, 0, 0, 1)
+    b(0xc0, 14) // pointer to offset 14 = "b."
+    b(0, TypeA, 0, ClassIn, 0, 0, 0, 60, 0, 4, 10, 0, 0, 2)
+    val m = decode(out.toByteArray)
+    assert(m.answers.map(_.name) == Seq("a.b.", "b."))
+    assert(m.answers.map(_.rdata) == Seq(AData("10.0.0.1"), AData("10.0.0.2")))
+  }
+
+  private def withServer(f: WireDnsServer => Unit): Unit = {
+    val srv = WireDnsServer.start()
+    try f(srv) finally WireDnsServer.stop(srv.port)
+  }
+
+  test("AXFR over TCP returns serial and all records") {
+    withServer { srv =>
+      srv.backing.addZone("z.acme.", Seq(
+        ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2")))
+      val c = new WireTransferClient(srv.host, srv.port)
+      val r = c.transfer("z.acme.", 0, XfrType.AXFR, timeoutSec = 5)
+      assert(r == AxfrResult(1, Seq(
+        ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
+    }
+  }
+
+  test("IXFR over TCP: up-to-date, delta, and journal-gap fallback") {
+    withServer { srv =>
+      srv.backing.addZone("z.acme.", Seq(ARecord("a.z.acme.", "10.0.0.1")))
+      srv.backing.update("z.acme.", Seq(ARecord("b.z.acme.", "10.0.0.2")),
+        Seq(ARecord("a.z.acme.", "10.0.0.1"))) // serial 1 -> 2
+      val c = new WireTransferClient(srv.host, srv.port)
+
+      assert(c.transfer("z.acme.", 2, XfrType.IXFR, 5) == IxfrResult(2, Nil))
+
+      val delta = c.transfer("z.acme.", 1, XfrType.IXFR, 5)
+      assert(delta == IxfrResult(2, Seq(IxfrDelta(1, 2,
+        adds = Seq(ARecord("b.z.acme.", "10.0.0.2")),
+        deletes = Seq(ARecord("a.z.acme.", "10.0.0.1"))))))
+
+      // serial below the journal start → AXFR-style fallback response
+      srv.backing.dropZone("z.acme.")
+      srv.backing.addZone("z.acme.", Seq(ARecord("c.z.acme.", "10.0.0.3")))
+      srv.backing.update("z.acme.", Seq(ARecord("d.z.acme.", "10.0.0.4")), Nil)
+      val fb = c.transfer("z.acme.", 5, XfrType.IXFR, 5)
+      assert(fb == IxfrResult(2, Nil)) // 5 >= current 2 ⇒ up to date
+      val fb2 = c.transfer("z.acme.", 1, XfrType.IXFR, 5)
+      assert(fb2.isInstanceOf[IxfrResult]) // journal covers 1→2
+    }
+  }
+
+  test("RFC 2136 update over TCP: adds, deletes, serial bump, NOTAUTH") {
+    withServer { srv =>
+      srv.backing.addZone("z.acme.", Seq(ARecord("old.z.acme.", "10.0.0.9")))
+      val e = new WireUpdateEmitter(srv.host, srv.port, timeoutSec = 5)
+      e.update("z.acme.", Seq(
+        DnsUpdateRecord(DnsAction.IxfrAdd, "new.z.acme.", "10.0.0.1", 1L, 60),
+        DnsUpdateRecord(DnsAction.IxfrDelete, "old.z.acme.", "10.0.0.9", 2L, 60)))
+      assert(srv.backing.lookup("new.z.acme.") == Seq("10.0.0.1"))
+      assert(srv.backing.lookup("old.z.acme.").isEmpty)
+      assert(srv.backing.serialOf("z.acme.") == 2)
+
+      val rejected = intercept[java.io.IOException] {
+        e.update("ghost.acme.", Seq(
+          DnsUpdateRecord(DnsAction.IxfrAdd, "h.ghost.acme.", "1.1.1.1", 1L, 60)))
+      }
+      assert(rejected.getMessage.contains("rcode 9"))
+    }
+  }
+
+  test("timeout=0 fails fast; unreachable port fails with IO error") {
+    val c = new WireTransferClient("127.0.0.1", 1)
+    intercept[java.net.SocketTimeoutException](c.transfer("z.", 0, XfrType.AXFR, 0))
+    intercept[java.io.IOException](c.transfer("z.", 0, XfrType.AXFR, 2))
+  }
+
+  test("full connector stack over the wire: read and write with client=wire") {
+    val spark = graft.SparkTestSession.spark
+    withServer { srv =>
+      srv.backing.addZone("w.acme.", Seq(ARecord("a.w.acme.", "10.2.0.1")))
+
+      // write through the V2 sink, over TCP
+      import spark.implicits._
+      Seq((DnsAction.IxfrAdd, "b.w.acme", "10.2.0.2", new java.sql.Timestamp(5L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update")
+        .option("server", srv.host).option("port", srv.port.toString)
+        .option("client", "wire")
+        .mode("append").save()
+      assert(srv.backing.lookup("b.w.acme.") == Seq("10.2.0.2"))
+
+      // read back through the V2 source, over TCP (AXFR)
+      val df = spark.read.format("dns")
+        .option("server", srv.host).option("port", srv.port.toString)
+        .option("client", "wire")
+        .option("organization", "acme").option("zones", "w.acme")
+        .option("xfr", "AXFR").load()
+      val got = df.select("fqdn", "ip").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("a.w.acme.", "10.2.0.1"), ("b.w.acme.", "10.2.0.2")))
+      assert(df.select("action").distinct().collect().map(_.getString(0)).toSeq
+        == Seq(DnsAction.Axfr))
+    }
+  }
+}
