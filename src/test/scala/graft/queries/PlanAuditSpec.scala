@@ -87,6 +87,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("bucket caps run as map-side WindowGroupLimit, not a post-shuffle filter") {
+    // The rn <= cap window filter must compile to a partial
+    // WindowGroupLimit below the exchange: each mapper ships at most
+    // `cap` rows per bucket, so the cap REDUCES shuffle volume. A plan
+    // where the cap is an ordinary Filter above the Window would ship
+    // the whole bucket first.
+    for (q <- Seq(TextOps.qMinhashPairs(spark, dir),
+                  EmbeddingOps.qAnnLsh(spark, dir))) {
+      val s = planString(q)
+      assert(s.contains("WindowGroupLimit"), s)
+      assert(s.contains("Partial"), s)
+    }
+  }
+
   test("q_lww_dedup_events: window partitions on the dedup key (hash shuffle)") {
     val s = planString(Relational.qLwwDedupEvents(spark, dir))
     assert(s.contains("hashpartitioning(user_id"), s)

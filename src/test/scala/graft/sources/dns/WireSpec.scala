@@ -96,6 +96,33 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("AXFR client reassembles a transfer split across messages (RFC 5936 §2.2)") {
+    // hand-rolled one-shot server: answers the query in TWO framed
+    // messages — WireDnsServer never does this, real servers may
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      val sock = ss.accept()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val req = readFramed(in)
+      def msg(rrs: Seq[Rr]) = Message(req.id,
+        responseFlags(OpcodeQuery, RcodeNoError), req.questions, rrs, Nil, Nil)
+      val soa = Rr("z.acme.", TypeSoa, ClassIn, 0, SoaData(3))
+      writeFramed(out, msg(Seq(soa,
+        Rr("a.z.acme.", TypeA, ClassIn, 60, AData("10.0.0.1")))))
+      writeFramed(out, msg(Seq(
+        Rr("b.z.acme.", TypeA, ClassIn, 60, AData("10.0.0.2")), soa)))
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val c = new WireTransferClient("127.0.0.1", ss.getLocalPort)
+    val r = c.transfer("z.acme.", 0, XfrType.AXFR, 5)
+    ss.close()
+    assert(r == AxfrResult(3, Seq(
+      ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
+  }
+
   test("timeout=0 fails fast; unreachable port fails with IO error") {
     val c = new WireTransferClient("127.0.0.1", 1)
     intercept[java.net.SocketTimeoutException](c.transfer("z.", 0, XfrType.AXFR, 0))

@@ -38,6 +38,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark removes replayed duplicates exactly") {
+    import spark.implicits._
+    // at-least-once landing zone: the same file delivered twice
+    val d = java.nio.file.Files.createTempDirectory("events-dup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("b.parquet"))
+
+    val q = StreamingOps.dedupStream(StreamingOps.eventsStream(spark, d.toString))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream")
+    val expected = graft.queries.Tables.events(spark, dir).count()
+    assert(streamed.count() == expected) // 2x input, 1x output
+    assert(streamed.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
