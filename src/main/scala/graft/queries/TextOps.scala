@@ -17,7 +17,13 @@ import Tables._
   *    all-pairs/cartesian stage, so the plan survives 100 TB (candidate
   *    count scales with real duplicate density, not n²);
   *  - all arithmetic is integer/string-exact so DuckDB reproduces it
-  *    bit-for-bit (md5 chunks compared as fixed-width hex strings).
+  *    bit-for-bit (md5 chunks as fixed-width hex; verify-join keys as
+  *    60-bit md5-prefix integers);
+  *  - the multi-branch shingle sets are deliberately NOT cached:
+  *    re-running the codegen'd scan→explode→md5 map per branch
+  *    measured faster than an InMemoryRelation (which breaks
+  *    whole-stage pipelining), and at 100 TB a shingle cache could
+  *    not fit memory anyway — recompute-with-pushdown is the plan.
   */
 object TextOps {
 
@@ -141,7 +147,10 @@ object TextOps {
       .orderBy($"fingerprint")
   }
 
-  /** Shared shingle builder: distinct word-trigram shingles per doc. */
+  /** Shared shingle builder: distinct word-trigram shingles per doc,
+    * carried as `hm` = md5 hex (the minhash chunk source). Hashing
+    * BEFORE distinct keeps every downstream shuffle key fixed-width;
+    * raw shingle text never leaves the map stage. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
@@ -150,8 +159,14 @@ object TextOps {
       .select($"doc_id", explode(
         expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
         .as("s"))
+      .select($"doc_id", md5($"s").as("hm"))
       .distinct()
   }
+
+  /** 60-bit integer key of a hashed shingle — the verify joins compare
+    * and shuffle 8-byte longs, not strings (md5-prefix collisions are
+    * 2^-60-scale and, being deterministic, identical in the oracle). */
+  private val h64: Column = conv(substring(col("hm"), 1, 15), 16, 10).cast("long")
 
   /** Near-duplicate pairs via MinHash + banded LSH + exact verify.
     *
@@ -166,15 +181,11 @@ object TextOps {
     * integers (intersection, union). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Cached because the shingle set feeds three branches (signatures,
-    // the exact-verify join twice, sizes). Lifecycle: the plan is lazy,
-    // so the cache can't be dropped here — consumers (Verify/Bench)
-    // clearCache() after each query so it never outlives the execution.
-    val sh = shingles(s, dir).cache()
+    val hs = shingles(s, dir)
+    val sh = hs.select($"doc_id", h64.as("h"))
 
-    val minhashCols = (0 until 8).map(j => min(substring($"h", 1 + 4 * j, 4)).as(s"m$j"))
-    val sig = sh
-      .select($"doc_id", md5($"s").as("h"))
+    val minhashCols = (0 until 8).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
+    val sig = hs
       .groupBy($"doc_id")
       .agg(minhashCols.head, minhashCols.tail: _*)
 
@@ -188,7 +199,7 @@ object TextOps {
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("sa"), $"sa.doc_id" === $"doc_a")
-      .join(sh.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.s" === $"sa.s")
+      .join(sh.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
 
@@ -237,16 +248,19 @@ object TextOps {
     * word-bigram Jaccard >= 0.3, reported as exact integers. */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bigrams = docs(s, dir)
+    // Hash bigrams at the map stage (same rationale as `shingles`):
+    // band signatures read md5 chunks, verify joins compare 60-bit ints.
+    val hb = docs(s, dir)
       .select($"doc_id", $"lang", $"source", wordsCol.as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", $"lang", $"source",
         explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("s"))
+      .select($"doc_id", $"lang", $"source", md5($"s").as("hm"))
       .distinct()
+    val bigrams = hb.select($"doc_id", h64.as("h"))
 
-    val minhashCols = (0 until 4).map(j => min(substring($"h", 1 + 4 * j, 4)).as(s"m$j"))
-    val sig = bigrams
-      .select($"doc_id", $"lang", $"source", md5($"s").as("h"))
+    val minhashCols = (0 until 4).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
+    val sig = hb
       .groupBy($"doc_id", $"lang", $"source")
       .agg(minhashCols.head, minhashCols.tail: _*)
     val bands = sig.select($"doc_id", explode(array(
@@ -259,7 +273,7 @@ object TextOps {
     val sizes = bigrams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(bigrams.as("sa"), $"sa.doc_id" === $"doc_a")
-      .join(bigrams.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.s" === $"sa.s")
+      .join(bigrams.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -330,16 +344,16 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_minhash_pairs" ->
       """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+        |hs AS (SELECT DISTINCT doc_id, md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS hm
         |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
         |       WHERE len(w) >= 3 AND i <= len(w) - 3),
-        |hashed AS (SELECT doc_id, md5(s) AS h FROM sh),
+        |sh AS (SELECT doc_id, CAST('0x' || substring(hm, 1, 15) AS BIGINT) AS h FROM hs),
         |sig AS (SELECT doc_id,
-        |    min(substring(h, 1, 4)) AS m0, min(substring(h, 5, 4)) AS m1,
-        |    min(substring(h, 9, 4)) AS m2, min(substring(h, 13, 4)) AS m3,
-        |    min(substring(h, 17, 4)) AS m4, min(substring(h, 21, 4)) AS m5,
-        |    min(substring(h, 25, 4)) AS m6, min(substring(h, 29, 4)) AS m7
-        |  FROM hashed GROUP BY doc_id),
+        |    min(substring(hm, 1, 4)) AS m0, min(substring(hm, 5, 4)) AS m1,
+        |    min(substring(hm, 9, 4)) AS m2, min(substring(hm, 13, 4)) AS m3,
+        |    min(substring(hm, 17, 4)) AS m4, min(substring(hm, 21, 4)) AS m5,
+        |    min(substring(hm, 25, 4)) AS m6, min(substring(hm, 29, 4)) AS m7
+        |  FROM hs GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, '0:' || m0 || m1 AS band FROM sig UNION ALL
         |  SELECT doc_id, '1:' || m2 || m3 FROM sig UNION ALL
@@ -352,7 +366,7 @@ object TextOps {
         |         FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id),
         |inter AS (SELECT doc_a, doc_b, count(*) AS inter
         |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
-        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.h = sa.h
         |          GROUP BY doc_a, doc_b),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
         |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
@@ -374,14 +388,14 @@ object TextOps {
          |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, lang, source, string_split_regex(text, '\s+') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, lang, source, w[i+1] || ' ' || w[i+2] AS s
+        |hb AS (SELECT DISTINCT doc_id, lang, source, md5(w[i+1] || ' ' || w[i+2]) AS hm
         |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
         |       WHERE len(w) >= 2 AND i <= len(w) - 2),
-        |hashed AS (SELECT doc_id, lang, source, md5(s) AS h FROM sh),
+        |sh AS (SELECT doc_id, CAST('0x' || substring(hm, 1, 15) AS BIGINT) AS h FROM hb),
         |sig AS (SELECT doc_id, lang, source,
-        |    min(substring(h, 1, 4)) AS m0, min(substring(h, 5, 4)) AS m1,
-        |    min(substring(h, 9, 4)) AS m2, min(substring(h, 13, 4)) AS m3
-        |  FROM hashed GROUP BY doc_id, lang, source),
+        |    min(substring(hm, 1, 4)) AS m0, min(substring(hm, 5, 4)) AS m1,
+        |    min(substring(hm, 9, 4)) AS m2, min(substring(hm, 13, 4)) AS m3
+        |  FROM hb GROUP BY doc_id, lang, source),
         |bands AS (
         |  SELECT doc_id, lang || '|' || source || '|0:' || m0 AS band FROM sig UNION ALL
         |  SELECT doc_id, lang || '|' || source || '|1:' || m1 FROM sig UNION ALL
@@ -395,7 +409,7 @@ object TextOps {
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT doc_a, doc_b, count(*) AS inter
         |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
-        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.h = sa.h
         |          GROUP BY doc_a, doc_b)
         |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
         |FROM inter JOIN sizes na ON na.doc_id = doc_a
