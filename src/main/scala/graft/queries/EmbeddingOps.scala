@@ -185,6 +185,47 @@ object EmbeddingOps {
       .orderBy($"va", $"vb")
   }
 
+  /** IVF ANN — the centroid-cell variant of the scale path. "Training"
+    * is deterministic: the 16 vectors with vec_id < 16 are the
+    * centroids (a real deployment k-means-trains them offline; the
+    * assignment/search plan is identical). Every vector is assigned to
+    * its max-dot centroid in ONE broadcast pass (nlist dots per row,
+    * linear in the corpus — the broadcast nested loop over the 16-row
+    * centroid table is intentional, like q_knn_brute's); queries probe
+    * only their own cell, capped like the LSH buckets. Production
+    * sizing: nlist ∝ √n keeps cells ~√n; with the cap the worst cell
+    * is bounded regardless. */
+  def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
+    val cents = v.filter($"vec_id" < 16).select($"vec_id".as("ccid"), $"q".as("cq"))
+    // cell assignment: max dot, ties to the smallest centroid id
+    val cells = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"cdot", -$"ccid")).as("cell"))
+    val wCell = Window.partitionBy($"cell").orderBy($"vec_id")
+    val capped = cells.withColumn("rn", row_number().over(wCell))
+      .filter($"rn" <= BucketCap).drop("rn")
+    val queries = v.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
+    val qCells = cells.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"cell")
+    val cand = qCells.join(capped, Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"))
+    val scored = cand
+      .join(broadcast(queries), Seq("qid"))
+      .join(v, $"vec_id" === $"cid")
+      .select($"qid", $"cid", dot(s, "qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
+      .withColumn("cosine", $"dot" / sqrt(($"nq" * $"nc").cast("double")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"qid", $"rnk", $"cid", $"dot")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Cap audit: per band table, bucket count, occupancy extremes, and
     * exactly how many candidate slots the BucketCap drops — "no silent
     * caps": truncation is a first-class, oracle-checked output. */
@@ -204,6 +245,7 @@ object EmbeddingOps {
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ivf_ann" -> qIvfAnn,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_lsh_bucket_audit" -> qLshBucketAudit,
   )
@@ -295,6 +337,36 @@ object EmbeddingOps {
          |  FROM dots JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
          |SELECT va, vb, dot, na, nb FROM scored WHERE cosine >= 0.4
          |ORDER BY va, vb""".stripMargin,
+    "q_ivf_ann" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |c AS (SELECT vec_id AS ccid, q AS cq FROM v WHERE vec_id < 16),
+         |cd_terms AS (SELECT v.vec_id, c.ccid, unnest(v.q) AS a, unnest(c.cq) AS b FROM v, c),
+         |cdots AS (SELECT vec_id, ccid, sum(a * b) AS cdot FROM cd_terms GROUP BY vec_id, ccid),
+         |cells AS (SELECT vec_id, ccid AS cell FROM (
+         |  SELECT vec_id, ccid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, ccid) AS rn
+         |  FROM cdots) WHERE rn = 1),
+         |capped AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |  FROM cells) WHERE rn <= 128),
+         |qs AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id % 100 = 0),
+         |cand AS (SELECT qs.qid, c2.vec_id AS cid
+         |         FROM qs JOIN capped c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),
+         |terms AS (
+         |  SELECT cand.qid, cand.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+         |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
+         |            JOIN v cv ON cv.vec_id = cand.cid),
+         |dots AS (SELECT qid, cid, sum(a * b) AS dot FROM terms GROUP BY qid, cid),
+         |scored AS (
+         |  SELECT qid, cid, dot,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
+         |  FROM dots JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+         |ranked AS (SELECT qid, cid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
     "q_lsh_bucket_audit" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          |bands AS ($bandsSql),

@@ -100,15 +100,96 @@ object PipelineOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Quality scoring with basis-point integer arithmetic: stopword and
+    * punctuation ratios per doc, bucketed into stopword-ratio deciles.
+    * Ratios are `(10000 * count) DIV total` — integers end to end, so
+    * per-bucket sums are exact under any partitioning (a sum of float
+    * ratios would be association-order dependent). One map + one
+    * low-cardinality agg. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = "array('the','a','of','and','to','in','is','it')"
+    docs(s, dir)
+      .select($"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("nw"),
+        expr(s"CAST(size(filter(split(text, '\\\\s+'), x -> array_contains($stopArr, x))) AS BIGINT)")
+          .as("nstop"),
+        length($"text").cast("long").as("nc"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("npunct"))
+      .select($"doc_id",
+        expr("(10000 * nstop) DIV nw").as("stop_bp"),
+        expr("(10000 * npunct) DIV nc").as("punct_bp"))
+      .groupBy(expr("stop_bp DIV 1000").as("stop_decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"stop_bp").as("sum_stop_bp"),
+        sum($"punct_bp").as("sum_punct_bp"),
+        min($"stop_bp").as("min_stop_bp"),
+        max($"stop_bp").as("max_stop_bp"))
+      .orderBy($"stop_decile")
+  }
+
+  /** Per-word 32-bit hash (md5 prefix) — the rolling-hash alphabet. */
+  private val wordHashSql =
+    "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+
+  /** Document fingerprint via polynomial rolling hash over the word
+    * sequence: acc = (acc * 31 + h(word)) mod 1e9+7 — order-sensitive
+    * (unlike a bag-of-words hash) and computed in one codegen'd
+    * aggregate per row, no shuffle until the final fingerprint
+    * groupBy. Exact word-sequence duplicates collapse to one
+    * fingerprint; the modulus keeps every intermediate < 2^35 so the
+    * arithmetic is exact in both engines. */
+  def qRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        expr(s"aggregate($wordHashSql, CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
+          .as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+      .filter($"n_docs" > 1)
+      .orderBy($"fingerprint")
+  }
+
+  /** Cross-document repeated passages: hash every 8-word window of
+    * every doc (the windowed form of the rolling hash — the window set
+    * is the semantic; Catalyst evaluates each window in a constant-k
+    * HOF), then find hashes occurring in ≥ 2 distinct docs — the
+    * contamination / boilerplate screen a training corpus needs. Top-20
+    * by spread so the output is result-sized; the full table is the
+    * same plan minus the limit. */
+  def qCommonPassages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = docs(s, dir)
+      .select($"doc_id", expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 8)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(0, size(hs) - 8),
+          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as("whash"))
+    win.groupBy($"whash")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"whash")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_doc_chunks" -> qDocChunks,
+    "q_quality_score" -> qQualityScore,
+    "q_rolling_fingerprint" -> qRollingFingerprint,
+    "q_common_passages" -> qCommonPassages,
   )
 
   private val bucketSql =
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+  private val wordHashListSql =
+    "list_transform(string_split_regex(text, '\\s+'), x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
     "q_dataset_split" ->
@@ -152,5 +233,40 @@ object PipelineOps {
         |FROM d, (SELECT unnest(generate_series(0, 100)) AS i) t
         |WHERE i <= (nw + 63) // 64 - 1
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(text, '\s+')) AS nw,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it'))) AS nstop,
+        |    length(text) AS nc,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS npunct
+        |  FROM documents),
+        |bp AS (SELECT doc_id, (10000 * nstop) // nw AS stop_bp,
+        |              (10000 * npunct) // nc AS punct_bp FROM d)
+        |SELECT stop_bp // 1000 AS stop_decile, count(*) AS n_docs,
+        |  sum(stop_bp) AS sum_stop_bp, sum(punct_bp) AS sum_punct_bp,
+        |  min(stop_bp) AS min_stop_bp, max(stop_bp) AS max_stop_bp
+        |FROM bp GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), $wordHashListSql),
+         |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         |  FROM documents)
+         |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc
+         |FROM f GROUP BY fingerprint HAVING count(*) > 1
+         |ORDER BY fingerprint""".stripMargin,
+    "q_common_passages" ->
+      s"""WITH h AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i + 1, i + 8)),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS whash
+         |  FROM h, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |  WHERE len(hs) >= 8 AND i <= len(hs) - 8)
+         |SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, whash LIMIT 20""".stripMargin,
   )
 }

