@@ -55,6 +55,29 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's errors in the hour AFTER it. Both sides carry watermarks
+    * and the join predicate bounds the event-time distance, so each
+    * side's buffered state is (rate × [watermark + interval]) — the
+    * condition Spark needs to ever evict state from a stream-stream
+    * join; an unbounded-interval join would grow state forever. */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("error_id"),
+        col("p_ts"), col("e_ts"))
+  }
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
   final case class FirstSeen(user_id: Long, event_type: String,
                              first_event_id: Long, first_ts_micros: Long)

@@ -58,6 +58,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    val src = StreamingOps.eventsStream(spark, streamDir)
+    val q = StreamingOps.purchaseErrorJoin(src)
+      .writeStream.format("memory").queryName("ssjoin_stream")
+      .outputMode("append").trigger(Trigger.Once()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ssjoin_stream")
+    val ev = graft.queries.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("u"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"user_id".as("eu"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+    val batch = p.join(e, $"u" === $"eu" &&
+        $"e_ts" >= $"p_ts" && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"u".as("user_id"), $"purchase_id", $"error_id", $"p_ts", $"e_ts")
+    assert(streamed.count() > 0, "interval join produced nothing — fixture too sparse")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
