@@ -36,6 +36,48 @@ class WireSpec extends AnyFunSuite {
     assert(m.answers.map(_.rdata) == Seq(AData("10.0.0.1"), AData("10.0.0.2")))
   }
 
+  test("property: arbitrary messages round-trip the codec") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genLabel = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    val genName = for {
+      k <- Gen.choose(1, 5)
+      ls <- Gen.listOfN(k, genLabel)
+    } yield ls.mkString("", ".", ".")
+    val genIp = for {
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255); d <- Gen.choose(0, 255)
+    } yield s"$a.$b.$c.$d"
+    val genRr = for {
+      name <- genName
+      kind <- Gen.oneOf("a-in", "a-none", "soa")
+      ttl <- Gen.choose(0L, 86400L)
+      ip <- genIp
+      serial <- Gen.choose(0L, Int.MaxValue.toLong)
+    } yield kind match {
+      case "a-in" => Rr(name, TypeA, ClassIn, ttl, AData(ip))
+      case "a-none" => Rr(name, TypeA, ClassNone, 0, AData(ip))
+      case _ => Rr(name, TypeSoa, ClassIn, 0, SoaData(serial))
+    }
+    val genMsg = for {
+      id <- Gen.choose(0, 0xffff)
+      op <- Gen.oneOf(OpcodeQuery, OpcodeUpdate)
+      resp <- Gen.oneOf(true, false)
+      rcode <- Gen.choose(0, 15)
+      qt <- Gen.oneOf(TypeAxfr, TypeIxfr, TypeSoa)
+      qn <- genName
+      ans <- Gen.choose(0, 6).flatMap(Gen.listOfN(_, genRr))
+      auth <- Gen.choose(0, 4).flatMap(Gen.listOfN(_, genRr))
+    } yield Message(id,
+      if (resp) responseFlags(op, rcode) else queryFlags(op),
+      Seq(Question(qn, qt, ClassIn)), ans, auth, Nil)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(genMsg) { m => decode(encode(m)) == m })
+    assert(res.passed, res.status.toString)
+  }
+
   private def withServer(f: WireDnsServer => Unit): Unit = {
     val srv = WireDnsServer.start()
     try f(srv) finally WireDnsServer.stop(srv.port)
