@@ -171,6 +171,35 @@ class WireSpec extends AnyFunSuite {
     intercept[java.io.IOException](c.transfer("z.", 0, XfrType.AXFR, 2))
   }
 
+  test("streaming read over the wire: two Trigger.Once runs, delta only") {
+    val spark = graft.SparkTestSession.spark
+    withServer { srv =>
+      srv.backing.addZone("ws.acme.", Seq(ARecord("a.ws.acme.", "10.3.0.1")))
+      val out = java.nio.file.Files.createTempDirectory("wire-stream-out").toString
+      val ck = java.nio.file.Files.createTempDirectory("wire-stream-ck").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("dns")
+          .option("server", srv.host).option("port", srv.port.toString)
+          .option("client", "wire")
+          .option("organization", "acme").option("zones", "ws.acme")
+          .option("fixed-timestamp-micros", "1723400000000000")
+          .load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        q.awaitTermination(60000)
+      }
+      runOnce()
+      srv.backing.update("ws.acme.", Seq(ARecord("b.ws.acme.", "10.3.0.2")), Nil)
+      runOnce()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 2) // 1 AXFR + 1 IXFR_ADD, each exactly once
+      assert(got.filter(org.apache.spark.sql.functions.col("action") === DnsAction.IxfrAdd)
+        .count() == 1)
+    }
+  }
+
   test("full connector stack over the wire: read and write with client=wire") {
     val spark = graft.SparkTestSession.spark
     withServer { srv =>
