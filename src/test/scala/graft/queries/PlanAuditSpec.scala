@@ -106,6 +106,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("hashpartitioning(user_id"), s)
   }
 
+  test("q_ivf_ann: only the 16-row centroid table rides a nested loop") {
+    // centroid assignment is the intentional broadcast nested loop
+    // (nlist dots per row); everything after it must be hash joins
+    val s = planString(EmbeddingOps.qIvfAnn(spark, dir))
+    assert(s.contains("BroadcastNestedLoopJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q_tfidf_top_terms: both rollups keep map-side partial aggregation") {
+    val s = planString(PipelineOps.qTfidfTopTerms(spark, dir))
+    assert(s.contains("partial_count"), s)
+  }
+
+  test("q_dataset_split/quality: scan reads only referenced columns") {
+    for (q <- Seq(PipelineOps.qDatasetSplit(spark, dir),
+                  PipelineOps.qQualityScore(spark, dir))) {
+      val s = planString(q)
+      val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("embedding"), readSchema)
+      assert(!readSchema.contains("url"), readSchema)
+    }
+  }
+
   test("aggregations keep map-side partial aggregation") {
     // partial_sum in the pre-shuffle HashAggregate = map-side combine
     val s = planString(Relational.q1PricingSummary(spark, dir))

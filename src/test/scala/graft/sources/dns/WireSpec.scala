@@ -171,6 +171,28 @@ class WireSpec extends AnyFunSuite {
     intercept[java.io.IOException](c.transfer("z.", 0, XfrType.AXFR, 2))
   }
 
+  test("8 concurrent writer tasks over the wire: all updates land, no loss") {
+    val spark = graft.SparkTestSession.spark
+    withServer { srv =>
+      (0 to 2).foreach(z => srv.backing.addZone(s"cz$z.test.", Nil))
+      import spark.implicits._
+      spark.range(60).repartition(8).select(
+        lit(DnsAction.IxfrAdd).as("action"),
+        concat(lit("h"), $"id", lit(".cz"), ($"id" % 3), lit(".test")).as("fqdn"),
+        concat(lit("10.4.0."), ($"id" % 250)).as("ip"),
+        timestamp_micros(lit(1723400000000000L) + $"id").as("timestamp"),
+        lit(60).cast("int").as("ttl"))
+        .write.format("dns_update")
+        .option("server", srv.host).option("port", srv.port.toString)
+        .option("client", "wire")
+        .mode("append").save()
+      // every record present, each task×zone message applied atomically
+      (0L until 60L).foreach { i =>
+        assert(srv.backing.lookup(s"h$i.cz${i % 3}.test.") == Seq(s"10.4.0.${i % 250}"), s"h$i")
+      }
+    }
+  }
+
   test("streaming read over the wire: two Trigger.Once runs, delta only") {
     val spark = graft.SparkTestSession.spark
     withServer { srv =>
