@@ -165,6 +165,29 @@ class WireSpec extends AnyFunSuite {
       ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
   }
 
+  test("connection dropped mid-transfer surfaces an IO error (task retry path)") {
+    // server sends the opening SOA + one record, then closes without
+    // the terminating SOA — the client must fail, never return a
+    // truncated zone as if complete
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      val sock = ss.accept()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val req = readFramed(in)
+      writeFramed(out, Message(req.id, responseFlags(OpcodeQuery, RcodeNoError),
+        req.questions, Seq(
+          Rr("z.acme.", TypeSoa, ClassIn, 0, SoaData(3)),
+          Rr("a.z.acme.", TypeA, ClassIn, 60, AData("10.0.0.1"))), Nil, Nil))
+      sock.close() // truncate
+    })
+    t.setDaemon(true)
+    t.start()
+    val c = new WireTransferClient("127.0.0.1", ss.getLocalPort)
+    intercept[java.io.IOException](c.transfer("z.acme.", 0, XfrType.AXFR, 5))
+    ss.close()
+  }
+
   test("timeout=0 fails fast; unreachable port fails with IO error") {
     val c = new WireTransferClient("127.0.0.1", 1)
     intercept[java.net.SocketTimeoutException](c.transfer("z.", 0, XfrType.AXFR, 0))
