@@ -82,8 +82,25 @@ object Multimodal {
       .orderBy($"media_type")
   }
 
+  /** Frame sampling as a query: every 3rd frame index of each decoded
+    * payload (deterministic doc_id % 50 sample keeps the output
+    * result-sized). The frame table a downstream vision encoder would
+    * consume; rows out ∝ frames in, per row — never corpus². The real
+    * codec swap point is the same [[MediaDecoder]] boundary (a true
+    * implementation emits actual frame offsets; resize rides the same
+    * seam). */
+  def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(blobsFromDocuments(s, dir)).toDF()
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", $"media_type", $"n_frames",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 3)")).as("frame_idx"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
+    "q_frame_sample" -> qFrameSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +119,16 @@ object Multimodal {
         |SELECT media_type, count(*) AS n_docs, sum(n_bytes) AS total_bytes,
         |  sum(checksum) AS sum_checksum, sum(n_frames) AS total_frames
         |FROM feat GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q_frame_sample" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    octet_length(encode(text)) // 1000 + 1 AS n_frames
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, media_type, n_frames, unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+        |FROM feat
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
