@@ -239,7 +239,58 @@ object Relational {
       .orderBy($"hour_ts", $"event_type")
   }
 
+  /** Gap-based sessionization: a 30-minute silence starts a new session
+    * per user. lag + running sum over (user, time) windows — the
+    * cumulative-frame window class (ROWS UNBOUNDED PRECEDING), distinct
+    * from the ranking windows elsewhere. One hash exchange on user_id;
+    * per-user state is a sorted run, bounded by per-user history.
+    * Arithmetic is µs-exact: `ts_ns div 1000` truncates exactly like
+    * DuckDB's nanos-parquet reader (verified: the reader truncates, it
+    * does not round), so the engines see identical integers. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val cum = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_ts", lag($"ts_us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull || $"ts_us" - $"prev_ts" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq", sum($"new_sess").over(cum))
+      .groupBy($"user_id", $"sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"),
+        max($"ts_us").as("end_us"))
+      .select($"user_id", $"sess_seq", $"n_events",
+        ($"end_us" - $"start_us").as("span_us"))
+      .orderBy($"user_id", $"sess_seq")
+  }
+
+  /** ROLLUP over (status, priority): per-group, per-status subtotal and
+    * grand total in one pass — Spark expands grouping sets into one
+    * aggregation with a grouping id, still partial-aggregated map-side.
+    * Null grouping keys are disambiguated via grouping() so the oracle
+    * comparison never depends on engine null-ordering. */
+  def qRollupOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        // grouping() is only resolvable inside the rollup's agg list
+        (grouping($"o_orderstatus") * 2 + grouping($"o_orderpriority")).cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("revenue"))
+      .select($"gid",
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"revenue")
+      .orderBy($"gid", $"status", $"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> qSessionize,
+    "q_rollup_orders" -> qRollupOrders,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -256,6 +307,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT user_id, event_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |n AS (SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM l),
+        |c AS (SELECT user_id, event_id, ts_us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM n)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |  max(ts_us) - min(ts_us) AS span_us
+        |FROM c GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_rollup_orders" ->
+      """SELECT CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
