@@ -175,7 +175,26 @@ object PipelineOps {
       .limit(20)
   }
 
+  /** The custom typed Aggregator in a query: per language, the 4
+    * smallest doc-content hashes (a per-group MinHash-style sketch).
+    * The udaf partial-aggregates map-side like any built-in (buffer is
+    * ≤ k longs), then posexplode flattens the sketch for the oracle
+    * compare; DuckDB reproduces it as a per-group row_number top-k. */
+  def qMinkHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mink = udaf(new graft.functions.MinKAgg(4))
+    docs(s, dir)
+      .select($"lang",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"lang")
+      .agg(mink($"h").as("mins"))
+      .select($"lang", posexplode($"mins").as(Seq("pos", "h")))
+      .select($"lang", $"pos".cast("long").as("pos"), $"h")
+      .orderBy($"lang", $"pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mink_hash" -> qMinkHash,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
@@ -192,6 +211,15 @@ object PipelineOps {
     "list_transform(string_split_regex(text, '\\s+'), x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "q_mink_hash" ->
+      """WITH h AS (
+        |  SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h)
+        |SELECT lang, rn - 1 AS pos, h FROM r WHERE rn <= 4
+        |ORDER BY lang, pos""".stripMargin,
     "q_dataset_split" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS nw,
