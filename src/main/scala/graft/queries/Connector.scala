@@ -100,7 +100,13 @@ object Connector {
         .as("ip"),
       timestamp_micros(lit(TsMicros + 1000000L) + $"id").as("timestamp"),
       lit(3600).cast("int").as("ttl"))
-    updates.coalesce(1).write.format("dns_update")
+    // The SCALE write path: one hash exchange on the derived zone puts
+    // each zone's entire update set in one task → exactly one RFC 2136
+    // message per zone, LWW-deduped over the full zone history — the
+    // same deterministic final state a coalesce(1) would give, without
+    // serializing the write to one task.
+    graft.sources.dns.write.DnsWrites.repartitionByZone(updates)
+      .write.format("dns_update")
       .option("server", Host).option("port", port.toString)
       .mode("append").save()
 
