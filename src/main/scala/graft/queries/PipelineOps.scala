@@ -193,8 +193,35 @@ object PipelineOps {
       .orderBy($"lang", $"pos")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch over document words,
+    * per language: est ≈ (k-1) · H / h_(k), with H = 2^60 the hash
+    * space and h_(k) the k-th smallest distinct word hash. The
+    * production shape for approximate COUNT DISTINCT — sketch state is
+    * k longs per group, mergeable, partial-aggregatable — but unlike
+    * HLL implementations the arithmetic here is integer-exact, so the
+    * estimate is bit-identical across engines and oracle-checkable.
+    * n_exact rides along to show the estimate lands near truth. */
+  def qDistinctEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val mink = udaf(new graft.functions.MinKAgg(k))
+    val words = docs(s, dir)
+      .select($"lang", explode(split($"text", "\\s+")).as("w"))
+      .select($"lang", conv(substring(md5($"w"), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    words.groupBy($"lang")
+      .agg(mink($"h").as("mins"), count(lit(1)).as("n_exact"))
+      .filter(size($"mins") >= k) // estimator defined only once k mins exist
+      .select($"lang", $"n_exact",
+        element_at($"mins", k).as("kth_min"),
+        expr(s"CAST(${k - 1}L * 1152921504606846976L DIV element_at(mins, $k) AS BIGINT)")
+          .as("est_distinct"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mink_hash" -> qMinkHash,
+    "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
@@ -220,6 +247,18 @@ object PipelineOps {
         |  FROM h)
         |SELECT lang, rn - 1 AS pos, h FROM r WHERE rn <= 4
         |ORDER BY lang, pos""".stripMargin,
+    "q_distinct_estimate" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents)),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |             count(*) OVER (PARTITION BY lang) AS n_exact
+        |      FROM h)
+        |SELECT lang, n_exact, h AS kth_min,
+        |  CAST(7 * 1152921504606846976 // h AS BIGINT) AS est_distinct
+        |FROM r WHERE rn = 8
+        |ORDER BY lang""".stripMargin,
     "q_dataset_split" ->
       s"""WITH d AS (
          |  SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS nw,

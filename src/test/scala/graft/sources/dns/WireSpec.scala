@@ -245,6 +245,18 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("ignore-failures suppresses a dead wire endpoint (0 rows, no throw)") {
+    val spark = graft.SparkTestSession.spark
+    val df = spark.read.format("dns")
+      .option("server", "127.0.0.1").option("port", "1")
+      .option("client", "wire")
+      .option("organization", "acme").option("zones", "dead.acme")
+      .option("ignore-failures", "true")
+      .option("timeout", "1")
+      .load()
+    assert(df.count() == 0)
+  }
+
   test("full connector stack over the wire: read and write with client=wire") {
     val spark = graft.SparkTestSession.spark
     withServer { srv =>
