@@ -45,6 +45,23 @@ class WriteConnectorSpec extends AnyFunSuite {
     assert(srv.serialOf("example.acme.") >= 1)
   }
 
+  test("SaveMode.Overwrite behaves as plain append (truncate is a no-op)") {
+    // the reference ignores the overwrite flag (DnsSinkRelation.java:33-42):
+    // DNS has no "truncate zone" — updates always apply incrementally
+    val srv = fresh(5516, "ow.test.")
+    import spark.implicits._
+    def save(host: String, ip: String) =
+      Seq((DnsAction.IxfrAdd, host, ip, new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5516")
+        .mode("overwrite").save()
+    save("a.ow.test", "1.1.1.1")
+    save("b.ow.test", "2.2.2.2")
+    // both survive: the second overwrite did NOT clear the zone
+    assert(srv.lookup("a.ow.test.") == Seq("1.1.1.1"))
+    assert(srv.lookup("b.ow.test.") == Seq("2.2.2.2"))
+  }
+
   test("rows route to the zone derived from each fqdn") {
     val srv = fresh(5502, "zone-a.test.", "zone-b.test.")
     import spark.implicits._
