@@ -184,19 +184,23 @@ object TextOps {
     val hs = shingles(s, dir)
     val sh = hs.select($"doc_id", h64.as("h"))
 
+    // ONE per-doc aggregation carries both the minhash signature and
+    // the shingle count: the bands branch and the two size joins then
+    // share an identical subplan, so the exchange is computed once and
+    // reused instead of re-shuffling the shingle set per consumer.
     val minhashCols = (0 until 8).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
-    val sig = hs
+    val perDoc = hs
       .groupBy($"doc_id")
-      .agg(minhashCols.head, minhashCols.tail: _*)
+      .agg(minhashCols.head, (minhashCols.tail :+ count(lit(1)).as("n")): _*)
 
-    val bands = sig.select($"doc_id", array(
+    val bands = perDoc.select($"doc_id", array(
       (0 until 4).map(b => concat(lit(b.toString), lit(":"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*
     ).as("bands"))
       .select($"doc_id", explode($"bands").as("band"))
 
     val cand = bucketPairs(capBuckets(bands, MinhashBucketCap))
 
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = perDoc.select($"doc_id", $"n")
     val inter = cand
       .join(sh.as("sa"), $"sa.doc_id" === $"doc_a")
       .join(sh.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
@@ -259,18 +263,19 @@ object TextOps {
       .distinct()
     val bigrams = hb.select($"doc_id", h64.as("h"))
 
+    // single per-doc aggregation for signature + size (see qMinhashPairs)
     val minhashCols = (0 until 4).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
-    val sig = hb
+    val perDoc = hb
       .groupBy($"doc_id", $"lang", $"source")
-      .agg(minhashCols.head, minhashCols.tail: _*)
-    val bands = sig.select($"doc_id", explode(array(
+      .agg(minhashCols.head, (minhashCols.tail :+ count(lit(1)).as("n")): _*)
+    val bands = perDoc.select($"doc_id", explode(array(
       (0 until 4).map(b =>
         concat($"lang", lit("|"), $"source", lit(s"|$b:"), col(s"m$b"))): _*
     )).as("band"))
 
     val cand = bucketPairs(capBuckets(bands, NgramBlockCap))
 
-    val sizes = bigrams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = perDoc.select($"doc_id", $"n")
     val inter = cand
       .join(bigrams.as("sa"), $"sa.doc_id" === $"doc_a")
       .join(bigrams.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
