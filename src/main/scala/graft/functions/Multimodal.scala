@@ -91,8 +91,10 @@ object Multimodal {
     * seam). */
   def qFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    extractFeatures(blobsFromDocuments(s, dir)).toDF()
-      .filter($"doc_id" % 50 === 0)
+    // Sample BEFORE decoding: the typed mapPartitions is an optimizer
+    // barrier, so a post-decode filter would run every payload through
+    // the (expensive, for a real codec) decoder and drop 49/50 of it.
+    extractFeatures(blobsFromDocuments(s, dir).filter($"doc_id" % 50 === 0)).toDF()
       .select($"doc_id", $"media_type", $"n_frames",
         explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 3)")).as("frame_idx"))
       .orderBy($"doc_id", $"frame_idx")

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The shared LSH banding machinery: per-bucket candidate caps and
+  * bucket-local pair expansion, used by every banded dedup/ANN
+  * operator (text minhash, n-gram blocking, embedding sign-LSH) so the
+  * cap/expansion semantics cannot drift between the families.
+  *
+  * Scale properties (asserted in `PlanAuditSpec`): the cap's
+  * row_number filter compiles to a partial WindowGroupLimit BELOW the
+  * exchange (each mapper ships ≤ cap rows per bucket), and the
+  * aggregation in `bucketPairs` reuses the window's hash partitioning
+  * — one exchange pays for cap + expansion together. */
+private[queries] object Banding {
+
+  /** Keep each band bucket's `cap` smallest ids (deterministic,
+    * oracle-mirrored as a row_number ≤ cap). */
+  def capBuckets(bands: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("band")).orderBy(col(idCol))
+    bands.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /** Bucket-local pair expansion: one shuffle of (id, band) rows, then
+    * each bucket expands its own (capped) id list — collect_set state
+    * is bounded by the cap, and there is no self-join recomputing the
+    * signature pipeline for both sides. Output columns `aName` <
+    * `bName`, deduped across buckets. */
+  def bucketPairs(cappedBands: DataFrame, idCol: String,
+                  aName: String, bName: String): DataFrame =
+    cappedBands.groupBy(col("band"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids)-2), " +
+          s"i -> transform(sequence(i+1, size(ids)-1), " +
+          s"j -> struct(ids[i] AS $aName, ids[j] AS $bName))))")).as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+      .distinct()
+}

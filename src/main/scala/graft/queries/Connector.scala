@@ -64,9 +64,11 @@ object Connector {
     * zone derivation, LWW dedup, chronological apply — then the final
     * zone state read back via format("dns") AXFR.
     *
-    * The update DF is coalesced to one task so cross-task message order
-    * cannot reorder changes to the same record (at scale the caller
-    * pre-partitions by derived zone for the same guarantee).
+    * The update DF is hash-repartitioned by derived zone
+    * (`DnsWrites.repartitionByZone`) so each zone's whole history
+    * arrives in ONE task → one LWW-deduped message per zone, and
+    * cross-task message order cannot reorder changes to the same
+    * record — the scale write path, not a coalesce(1).
     *
     * The oracle replays the identical log in DuckDB and computes
     * presence as "latest change per (fqdn, ip) is not a delete" —

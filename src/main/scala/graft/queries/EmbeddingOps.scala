@@ -53,9 +53,12 @@ object EmbeddingOps {
     * .GraftExtensions]] installed (Verify/Bench/tests do) this is the
     * native codegen'd `quantized_dot` expression — one fused multiply-
     * accumulate loop, no HOF lambda dispatch, no zipped-array
-    * materialization. On a foreign session it falls back to the
-    * semantically identical composed built-ins, so every query still
-    * runs anywhere. */
+    * materialization. On a foreign session it falls back to composed
+    * built-ins. The paths agree on every input this file produces
+    * (equal-length non-null arrays — all vectors are dim 64); they
+    * diverge ONLY on ragged inputs, where the native form dots the
+    * common prefix and zip_with's null-padding yields NULL — don't
+    * feed ragged arrays through here without normalizing lengths. */
   private def dot(s: SparkSession, a: String, b: String): Column =
     if (graft.functions.GraftFunctions.isRegistered(s))
       graft.functions.GraftFunctions.quantizedDot(col(a), col(b))
@@ -71,26 +74,26 @@ object EmbeddingOps {
       .withColumn("nsq", dot(s, "q", "q"))
   }
 
-  /** Band key for table b: 8 sign bits over dims [8b, 8b+8), offset by
-    * b*256 so keys from different tables never collide. */
+  /** Per-table key-space width, derived from BitsPerBand so retuning
+    * the occupancy dial can never alias band tables into each other. */
+  private val TableSpan = 1L << BitsPerBand
+
+  /** Band key for table b: BitsPerBand sign bits over its dim slice,
+    * offset by b·TableSpan so keys from different tables never collide. */
   private def bandKey(b: Int): Column =
     (0 until BitsPerBand).map { i =>
       when(expr(s"q[${b * BitsPerBand + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _) + lit(b * 256L)
+    }.reduce(_ + _) + lit(b * TableSpan)
 
   /** (vec_id, band) — one row per vector per band table. */
   private def banded(v: DataFrame): DataFrame =
     v.select(col("vec_id"),
       explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
 
-  /** Bands with the per-bucket candidate cap applied: each bucket keeps
-    * its `BucketCap` smallest vec_ids (row_number is a per-bucket sort
-    * of at most occupancy rows — bounded state, deterministic). */
-  private def cappedBands(v: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("band")).orderBy(col("vec_id"))
-    banded(v).withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= BucketCap).drop("rn")
-  }
+  /** Bands with the per-bucket candidate cap applied (shared banding
+    * machinery — see [[Banding]]). */
+  private def cappedBands(v: DataFrame): DataFrame =
+    Banding.capBuckets(banded(v), "vec_id", BucketCap)
 
   /** Per-label corpus stats over the quantized vectors — proves the
     * vector column handles like any other (pruned scan, partial agg). */
@@ -165,15 +168,7 @@ object EmbeddingOps {
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
-    val pairs = cappedBands(v).groupBy($"band")
-      .agg(sort_array(collect_set($"vec_id")).as("ids"))
-      .filter(size($"ids") > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids)-2), " +
-          "i -> transform(sequence(i+1, size(ids)-1), " +
-          "j -> struct(ids[i] AS va, ids[j] AS vb))))")).as("p"))
-      .select($"p.va", $"p.vb")
-      .distinct()
+    val pairs = Banding.bucketPairs(cappedBands(v), "vec_id", "va", "vb")
     pairs
       .join(v.as("a"), $"a.vec_id" === $"va")
       .join(v.as("b"), $"b.vec_id" === $"vb")
@@ -233,7 +228,7 @@ object EmbeddingOps {
     import s.implicits._
     banded(vecs(s, dir)).groupBy($"band")
       .agg(count(lit(1)).as("occ"))
-      .groupBy(expr("band DIV 256").as("band_table"))
+      .groupBy(expr(s"band DIV $TableSpan").as("band_table"))
       .agg(count(lit(1)).as("n_buckets"),
         sum($"occ").as("n_vectors"),
         max($"occ").as("max_occupancy"),
@@ -257,7 +252,7 @@ object EmbeddingOps {
   private def bandSqlFor(b: Int): String =
     (0 until BitsPerBand)
       .map(i => s"(CASE WHEN q[${b * BitsPerBand + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ") + s" + ${b * 256}"
+      .mkString(" + ") + s" + ${b * TableSpan}"
 
   private val bandsSql = (0 until NumBands)
     .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM v")
@@ -371,7 +366,7 @@ object EmbeddingOps {
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          |bands AS ($bandsSql),
          |occ AS (SELECT band, count(*) AS occ FROM bands GROUP BY band)
-         |SELECT band // 256 AS band_table, count(*) AS n_buckets,
+         |SELECT band // $TableSpan AS band_table, count(*) AS n_buckets,
          |  sum(occ) AS n_vectors, max(occ) AS max_occupancy,
          |  sum(CASE WHEN occ > $BucketCap THEN occ - $BucketCap ELSE 0 END) AS dropped
          |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,

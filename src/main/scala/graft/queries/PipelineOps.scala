@@ -298,6 +298,8 @@ object PipelineOps {
         |SELECT doc_id, i AS chunk_id, i * 64 AS start_word,
         |  least((i + 1) * 64, nw) AS end_word
         |FROM d, (SELECT unnest(generate_series(0, 100)) AS i) t
+        |-- series bound assumes docs <= ~6400 words; the corpus caps at
+        |-- ~2000 (same documented bound as the shingle oracles)
         |WHERE i <= (nw + 63) // 64 - 1
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_quality_score" ->
@@ -331,6 +333,8 @@ object PipelineOps {
          |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i + 1, i + 8)),
          |      (acc, x) -> (acc * 31 + x) % 1000000007) AS whash
          |  FROM h, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |  -- series bound = the corpus's documented ~2000-word max,
+         |  -- same assumption as every shingle oracle
          |  WHERE len(hs) >= 8 AND i <= len(hs) - 8)
          |SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
          |FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2

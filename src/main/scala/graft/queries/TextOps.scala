@@ -40,28 +40,13 @@ object TextOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
 
-  /** Keep each band bucket's `cap` smallest doc_ids. row_number sorts
-    * at most one bucket's rows per partition — bounded, deterministic. */
-  private def capBuckets(bands: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy(col("band")).orderBy(col("doc_id"))
-    bands.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap).drop("rn")
-  }
+  /** Cap + expansion shared with the embedding LSH family — see
+    * [[Banding]]. */
+  private def capBuckets(bands: DataFrame, cap: Int): DataFrame =
+    Banding.capBuckets(bands, "doc_id", cap)
 
-  /** Bucket-local pair expansion: one shuffle of (doc, band) rows, then
-    * each bucket expands its own (capped) id list — collect_set state
-    * is bounded by the cap, and there is no self-join recomputing the
-    * signature pipeline for both sides. */
   private def bucketPairs(cappedBands: DataFrame): DataFrame =
-    cappedBands.groupBy(col("band"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(ids)-2), " +
-          "i -> transform(sequence(i+1, size(ids)-1), " +
-          "j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    Banding.bucketPairs(cappedBands, "doc_id", "doc_a", "doc_b")
 
   /** Words of a document; the corpus is whitespace-separated. */
   private val wordsCol: Column = split(col("text"), "\\s+")

@@ -78,7 +78,16 @@ object DnsWire {
         val parts = ip.split('.')
         require(parts.length == 4, s"not an IPv4 address: '$ip'")
         out.writeShort(4)
-        parts.foreach(p => out.writeByte(p.toInt))
+        parts.foreach { p =>
+          // reject rather than silently truncate to a byte — a record
+          // like '300.1.1.1' must fail the write, not land as 44.1.1.1
+          val v = try p.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(s"not an IPv4 address: '$ip'")
+          }
+          require(v >= 0 && v <= 255, s"IPv4 octet out of range in '$ip'")
+          out.writeByte(v)
+        }
       case SoaData(serial) =>
         // MNAME/RNAME are irrelevant to transfer/update semantics;
         // root-encode them (1 byte each) and zero the timers.
@@ -375,12 +384,17 @@ final class WireTransferClient(host: String, port: Int) extends ZoneTransferClie
       // termination stateful — they are accepted single-message (which
       // is how WireDnsServer responds; deltas are small by nature).
       if (useAxfr) while (!(rrs.size > 1 && rrs.last.rtype == TypeSoa)) readInto()
-      parseTransfer(zone, rrs.toSeq)
+      parseTransfer(zone, rrs.toSeq, useAxfr)
     }
 
-  /** Classify the RR stream per RFC 1995 §4: single SOA = up to date;
-    * second RR not SOA = AXFR-style; else IXFR delta sequence. */
-  private def parseTransfer(zone: String, rrs: Seq[Rr]): TransferResult = {
+  /** Classify the RR stream per RFC 1995 §4: single SOA = up to date
+    * (IXFR only); second RR not SOA = AXFR-style; [SOA, SOA] = an
+    * EMPTY AXFR-style snapshot (distinguishable from up-to-date by
+    * length — a real delta sequence has ≥ 2 inner SOAs, so ≥ 4 RRs);
+    * else IXFR delta sequence. An explicit AXFR request is always a
+    * snapshot, never a delta. */
+  private def parseTransfer(zone: String, rrs: Seq[Rr],
+                            requestedAxfr: Boolean): TransferResult = {
     val serial = rrs.head.rdata match {
       case SoaData(s) => s
       case _ => throw new IOException("transfer does not start with SOA")
@@ -388,8 +402,8 @@ final class WireTransferClient(host: String, port: Int) extends ZoneTransferClie
     def aRecords(s: Seq[Rr]): Seq[ARecord] =
       s.collect { case Rr(n, TypeA, _, _, AData(ip)) => ARecord(n, ip) }
 
-    if (rrs.size == 1) IxfrResult(serial, Nil) // up to date
-    else if (rrs(1).rtype != TypeSoa) // AXFR (requested or fallback)
+    if (!requestedAxfr && rrs.size == 1) IxfrResult(serial, Nil) // up to date
+    else if (rrs.size == 2 || rrs(1).rtype != TypeSoa) // snapshot (incl. empty zone)
       AxfrResult(serial, aRecords(rrs.drop(1).dropRight(1)))
     else {
       // IXFR: SOA(new) [SOA(old) dels SOA(mid) adds]... SOA(new)

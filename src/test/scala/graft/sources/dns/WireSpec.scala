@@ -91,6 +91,11 @@ class WireSpec extends AnyFunSuite {
       val r = c.transfer("z.acme.", 0, XfrType.AXFR, timeoutSec = 5)
       assert(r == AxfrResult(1, Seq(
         ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
+      // empty zone: [SOA, SOA] response is an EMPTY SNAPSHOT, not an
+      // empty delta — consumers treating AxfrResult as replace-state
+      // must see the distinction
+      srv.backing.addZone("empty.acme.", Nil)
+      assert(c.transfer("empty.acme.", 0, XfrType.AXFR, 5) == AxfrResult(1, Nil))
     }
   }
 
