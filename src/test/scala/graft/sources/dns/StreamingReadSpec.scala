@@ -94,7 +94,9 @@ class StreamingReadSpec extends AnyFunSuite {
       // batch 1 delivers the AXFR; then mutate the zone mid-stream and
       // a later batch must deliver exactly the delta
       def countIs(n: Long): Boolean = {
-        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        // generous deadline: this host occasionally stalls 10x under
+        // external load, and a flaked gate voids more than it protects
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
         while (System.nanoTime() < deadline) {
           val c = try spark.read.parquet(out).count() catch { case _: Throwable => -1L }
           if (c == n) return true
