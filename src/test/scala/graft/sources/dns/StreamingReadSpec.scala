@@ -25,7 +25,7 @@ class StreamingReadSpec extends AnyFunSuite {
       .option("checkpointLocation", ckDir)
       .trigger(Trigger.Once())
       .start()
-    q.awaitTermination(60000)
+    q.awaitTermination(180000)
   }
 
   test("two Trigger.Once runs read each change exactly once") {

@@ -238,7 +238,7 @@ class WireSpec extends AnyFunSuite {
           .option("checkpointLocation", ck)
           .trigger(org.apache.spark.sql.streaming.Trigger.Once())
           .start()
-        q.awaitTermination(60000)
+        q.awaitTermination(180000)
       }
       runOnce()
       srv.backing.update("ws.acme.", Seq(ARecord("b.ws.acme.", "10.3.0.2")), Nil)

@@ -225,7 +225,7 @@ class WriteConnectorSpec extends AnyFunSuite {
       .option("checkpointLocation", Files.createTempDirectory("dns-sink-ck").toString)
       .trigger(Trigger.Once())
       .start()
-    q.awaitTermination(60000)
+    q.awaitTermination(180000)
     (1 to 4).foreach { i =>
       assert(srv.lookup(s"host$i.stream.test.") == Seq(s"10.0.$i.${i + 1}"), s"host$i")
     }
@@ -245,7 +245,7 @@ class WriteConnectorSpec extends AnyFunSuite {
       .option("checkpointLocation", Files.createTempDirectory("dns-fb-ck").toString)
       .trigger(Trigger.Once())
       .start()
-    q.awaitTermination(60000)
+    q.awaitTermination(180000)
     assert(srv.lookup("host1.fb.test.") == Seq("10.0.1.2"))
   }
 
