@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
   * recorded as -1 (never a fake timing) and listed in "errors". Every
   * query runs once untimed first — whole-stage-codegen compilation and
   * JIT dominate first executions (10-20x on sub-second queries) and
-  * would measure the JVM, not the plan; the timed pass is steady-state.
+  * would measure the JVM, not the plan. The timed pass then takes the
+  * per-query MINIMUM of two runs: the host shares hardware and a
+  * single run can catch a 10x external stall; the minimum is the
+  * standard least-interference estimator of steady-state plan cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,12 +33,17 @@ object Bench {
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors ::= s"$name: ${e.getMessage}"; false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        elapsed
+      }
+      val timing = try Some(math.min(once(), once()))
+        catch { case e: Throwable =>
+          errors ::= s"$name: ${e.getMessage}"; spark.catalog.clearCache(); None }
+      name -> timing.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
