@@ -219,8 +219,36 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Temperature-weighted mixture sampling: each source's share of a
+    * fixed 1000-doc budget is ∝ √(source size) — the standard α=0.5
+    * temperature that up-weights small sources relative to proportional
+    * sampling. All arithmetic is integer-exact cross-engine: isqrt via
+    * floor(sqrt(double)) (IEEE sqrt is correctly rounded, floor exact),
+    * shares via integer division, and membership is the target_k
+    * smallest id-hashes per source (deterministic, re-derivable).
+    * Shapes: one agg for sizes, a tiny window over the per-source rows
+    * for the total, one ranking window for membership. */
+  def qDatasetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = docs(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w_total", sum($"w").over(Window.partitionBy()))
+      .withColumn("target_k", greatest(lit(1L), expr("(w * 1000) DIV w_total")))
+    val ranked = docs(s, dir)
+      .select($"source", $"doc_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+    ranked.join(perSource, Seq("source"))
+      .filter($"rnk" <= $"target_k")
+      .groupBy($"source", $"n_docs", $"w", $"target_k")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mink_hash" -> qMinkHash,
+    "q_dataset_mix" -> qDatasetMix,
     "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
@@ -238,6 +266,23 @@ object PipelineOps {
     "list_transform(string_split_regex(text, '\\s+'), x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT))"
 
   val oracles: Map[String, String] = Map(
+    "q_dataset_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT source, n_docs, w, sum(w) OVER () AS w_total FROM per),
+        |tgt AS (SELECT source, n_docs, w,
+        |    greatest(1, (w * 1000) // w_total) AS target_k FROM tot),
+        |ranked AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT t.source, t.n_docs, t.w, t.target_k, count(*) AS n_sampled
+        |FROM ranked r JOIN tgt t ON t.source = r.source
+        |WHERE r.rnk <= t.target_k
+        |GROUP BY t.source, t.n_docs, t.w, t.target_k
+        |ORDER BY t.source""".stripMargin,
     "q_mink_hash" ->
       """WITH h AS (
         |  SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
