@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * — one exchange pays for cap + expansion together. */
 private[queries] object Banding {
 
-  /** Keep each band bucket's `cap` smallest ids (deterministic,
-    * oracle-mirrored as a row_number ≤ cap). */
-  def capBuckets(bands: DataFrame, idCol: String, cap: Int): DataFrame = {
-    val w = Window.partitionBy(col("band")).orderBy(col(idCol))
+  /** Keep each bucket's `cap` smallest ids (deterministic,
+    * oracle-mirrored as a row_number ≤ cap). `bucketCol` is the
+    * grouping key — "band" for the LSH families, "cell" for IVF. */
+  def capBuckets(bands: DataFrame, idCol: String, cap: Int,
+                 bucketCol: String = "band"): DataFrame = {
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
     bands.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap).drop("rn")
   }

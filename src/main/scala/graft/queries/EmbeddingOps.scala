@@ -199,9 +199,7 @@ object EmbeddingOps {
       .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))
       .groupBy($"vec_id")
       .agg(max_by($"ccid", struct($"cdot", -$"ccid")).as("cell"))
-    val wCell = Window.partitionBy($"cell").orderBy($"vec_id")
-    val capped = cells.withColumn("rn", row_number().over(wCell))
-      .filter($"rn" <= BucketCap).drop("rn")
+    val capped = Banding.capBuckets(cells, "vec_id", BucketCap, bucketCol = "cell")
     val queries = v.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
     val qCells = cells.filter($"vec_id" % 100 === 0)

@@ -91,6 +91,16 @@ object Fqdn {
 /** One ordered change inside an RFC 2136 update message. */
 case class ZoneChange(record: ARecord, delete: Boolean)
 
+object Ipv4 {
+  /** Strict dotted-quad check: exactly 4 numeric octets in 0-255. */
+  def isValid(ip: String): Boolean = {
+    val parts = ip.split('.')
+    parts.length == 4 && parts.forall { p =>
+      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255
+    }
+  }
+}
+
 /** Last-write-wins dedup for one update message: group by record
   * identity (action, fqdn, ip), keep the max-timestamp update
   * (reference DnsUpdate.java:46-54), order the survivors

@@ -30,6 +30,7 @@ object DnsWire {
   val OpcodeUpdate = 5 // RFC 2136
 
   val RcodeNoError = 0
+  val RcodeServFail = 2
   val RcodeNotAuth = 9
 
   /** One resource record; rdata stays structural (no raw bytes above
@@ -243,7 +244,16 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
             Message(req.id, responseFlags(req.opcode, RcodeNotAuth), req.questions,
               Nil, Nil, Nil)
         }
-        DnsWire.writeFramed(out, resp)
+        try DnsWire.writeFramed(out, resp)
+        catch {
+          // un-encodable response data (e.g. a malformed stored record)
+          // must surface to the client as SERVFAIL, not kill the
+          // connection — a died connection reads as EOF, which
+          // ignore-failures would silently turn into an empty zone
+          case _: IllegalArgumentException =>
+            DnsWire.writeFramed(out, Message(req.id,
+              responseFlags(req.opcode, RcodeServFail), req.questions, Nil, Nil, Nil))
+        }
       }
     } catch {
       case _: EOFException | _: IOException => () // client done

@@ -158,6 +158,14 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
         s"dns_update: invalid action '$action' (expected ${DnsAction.all.mkString("/")})")
     val fqdnRaw = reqString(idx.fqdn, "fqdn")
     val ip = reqString(idx.ip, "ip")
+    // Validate the address HERE, transport-independently: commit()
+    // sends one message per zone, so a row that only failed at wire
+    // encoding would abort the job AFTER earlier zones were already
+    // applied. Failing the task in write() keeps every transport
+    // all-or-nothing per task (the reference fails the same way when
+    // dnsjava parses the address).
+    if (!Ipv4.isValid(ip))
+      throw new IllegalArgumentException(s"dns_update: not an IPv4 address: '$ip'")
     if (row.isNullAt(idx.timestamp))
       throw new IllegalArgumentException("dns_update: 'timestamp' must not be null")
     val tsMicros = row.getLong(idx.timestamp)

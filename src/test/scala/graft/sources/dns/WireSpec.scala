@@ -170,6 +170,38 @@ class WireSpec extends AnyFunSuite {
       ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
   }
 
+  test("IXFR response of [SOA, SOA] is an empty SNAPSHOT, not up-to-date") {
+    // the journal-gap fallback for an emptied zone: a streaming reader
+    // that mistook this for "no change" would keep deleted records
+    // forever — pin AxfrResult(serial, Nil) on the IXFR request path
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      val sock = ss.accept()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val req = readFramed(in)
+      val soa = Rr("z.acme.", TypeSoa, ClassIn, 0, SoaData(7))
+      writeFramed(out, Message(req.id, responseFlags(OpcodeQuery, RcodeNoError),
+        req.questions, Seq(soa, soa), Nil, Nil))
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val c = new WireTransferClient("127.0.0.1", ss.getLocalPort)
+    val r = c.transfer("z.acme.", 5, XfrType.IXFR, 5)
+    ss.close()
+    assert(r == AxfrResult(7, Nil))
+  }
+
+  test("malformed stored record answers SERVFAIL, not a dead connection") {
+    withServer { srv =>
+      srv.backing.addZone("bad.acme.", Seq(ARecord("h.bad.acme.", "300.1.1.1")))
+      val c = new WireTransferClient(srv.host, srv.port)
+      val e = intercept[java.io.IOException](c.transfer("bad.acme.", 0, XfrType.AXFR, 5))
+      assert(e.getMessage.contains("rcode 2"), e.getMessage)
+    }
+  }
+
   test("connection dropped mid-transfer surfaces an IO error (task retry path)") {
     // server sends the opening SOA + one record, then closes without
     // the terminating SOA — the client must fail, never return a
