@@ -246,9 +246,38 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** Split decontamination: 8-word passages that occur in BOTH a
+    * train-split and a test-split document (split = the same id-hash
+    * die as q_dataset_split) — the eval-leak check run before any
+    * train/test split ships. Same window-hash machinery as
+    * q_common_passages; the contamination join is a conditional
+    * aggregation over the split flag, no extra shuffle. Top-20 by
+    * (test-doc spread, hash) keeps the output result-sized. */
+  def qSplitContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = docs(s, dir)
+      .select($"doc_id",
+        when(bucket < 10, "test").when(bucket < 20, "val").otherwise("train").as("split"),
+        expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 8)
+      .select($"doc_id", $"split", explode(expr(
+        """transform(sequence(0, size(hs) - 8),
+          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as("whash"))
+    win.groupBy($"whash")
+      .agg(
+        countDistinct(when($"split" === "train", $"doc_id")).as("n_train_docs"),
+        countDistinct(when($"split" === "test", $"doc_id")).as("n_test_docs"))
+      .filter($"n_train_docs" >= 1 && $"n_test_docs" >= 1)
+      .orderBy($"n_test_docs".desc, $"whash")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mink_hash" -> qMinkHash,
     "q_dataset_mix" -> qDatasetMix,
+    "q_split_contamination" -> qSplitContamination,
     "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
@@ -283,6 +312,27 @@ object PipelineOps {
         |WHERE r.rnk <= t.target_k
         |GROUP BY t.source, t.n_docs, t.w, t.target_k
         |ORDER BY t.source""".stripMargin,
+    "q_split_contamination" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $bucketSql < 10 THEN 'test'
+         |         WHEN $bucketSql < 20 THEN 'val'
+         |         ELSE 'train' END AS split,
+         |    $wordHashListSql AS hs
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, split,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i + 1, i + 8)),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS whash
+         |  FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |  WHERE len(hs) >= 8 AND i <= len(hs) - 8)
+         |SELECT whash,
+         |  count(DISTINCT CASE WHEN split = 'train' THEN doc_id END) AS n_train_docs,
+         |  count(DISTINCT CASE WHEN split = 'test' THEN doc_id END) AS n_test_docs
+         |FROM w GROUP BY whash
+         |HAVING count(DISTINCT CASE WHEN split = 'train' THEN doc_id END) >= 1
+         |   AND count(DISTINCT CASE WHEN split = 'test' THEN doc_id END) >= 1
+         |ORDER BY n_test_docs DESC, whash LIMIT 20""".stripMargin,
     "q_mink_hash" ->
       """WITH h AS (
         |  SELECT lang, CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS h
