@@ -273,7 +273,36 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The dedup funnel: raw corpus → exact dedup (fingerprint
+    * canonicals) → near-dup removal (greedy: drop the larger id of
+    * every verified minhash pair — deterministic, the standard
+    * single-pass approximation of pair-cluster collapse). One row of
+    * stage-by-stage retention — the composition a real pipeline runs,
+    * and the number a data lead actually asks for. Reuses the
+    * fingerprint and minhash plans unchanged; the funnel itself is
+    * three cheap aggregates over their outputs. */
+  def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docs(s, dir).select(count(lit(1)).as("n_raw"))
+    val exact = qFingerprintDedup(s, dir)
+      .select(count(lit(1)).as("n_exact_unique"))
+    // survivors of exact dedup = min doc_id per fingerprint; of those,
+    // greedily drop any doc appearing as the LARGER side of a verified
+    // near-dup pair
+    val canon = docs(s, dir)
+      .select($"doc_id", md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"))
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val dropped = qMinhashPairs(s, dir)
+      .join(canon, canon("doc_id") === $"doc_b")
+      .select($"doc_b").distinct()
+      .select(count(lit(1)).as("n_neardup_removed"))
+    raw.crossJoin(exact).crossJoin(dropped)
+      .select($"n_raw", $"n_exact_unique", $"n_neardup_removed",
+        ($"n_exact_unique" - $"n_neardup_removed").as("n_final"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_funnel" -> qDedupFunnel,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
@@ -282,6 +311,37 @@ object TextOps {
     "q_simhash" -> qSimhash,
     "q_ngram_jaccard" -> qNgramJaccard,
   )
+
+  /** The minhash candidate/verify pipeline as reusable CTEs — shared
+    * verbatim between the pairs oracle and the funnel oracle so the
+    * two can never disagree about what a near-dup pair is. */
+  private val minhashCteSql =
+    """ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |hs AS (SELECT DISTINCT doc_id, md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS hm
+      |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
+      |       WHERE len(w) >= 3 AND i <= len(w) - 3),
+      |sh AS (SELECT doc_id, CAST('0x' || substring(hm, 1, 15) AS BIGINT) AS h FROM hs),
+      |sig AS (SELECT doc_id,
+      |    min(substring(hm, 1, 4)) AS m0, min(substring(hm, 5, 4)) AS m1,
+      |    min(substring(hm, 9, 4)) AS m2, min(substring(hm, 13, 4)) AS m3,
+      |    min(substring(hm, 17, 4)) AS m4, min(substring(hm, 21, 4)) AS m5,
+      |    min(substring(hm, 25, 4)) AS m6, min(substring(hm, 29, 4)) AS m7
+      |  FROM hs GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, '0:' || m0 || m1 AS band FROM sig UNION ALL
+      |  SELECT doc_id, '1:' || m2 || m3 FROM sig UNION ALL
+      |  SELECT doc_id, '2:' || m4 || m5 FROM sig UNION ALL
+      |  SELECT doc_id, '3:' || m6 || m7 FROM sig),
+      |capped AS (SELECT doc_id, band FROM (
+      |  SELECT doc_id, band, row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+      |  FROM bands) WHERE rn <= 256),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id),
+      |inter AS (SELECT doc_a, doc_b, count(*) AS inter
+      |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
+      |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.h = sa.h
+      |          GROUP BY doc_a, doc_b),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Generated SQL for the 16 simhash bit votes / signature terms. */
   private val voteSql = (0 until 16)
@@ -332,37 +392,28 @@ object TextOps {
         |  min(doc_id) AS canonical_doc, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     "q_minhash_pairs" ->
-      """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-        |hs AS (SELECT DISTINCT doc_id, md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS hm
-        |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
-        |       WHERE len(w) >= 3 AND i <= len(w) - 3),
-        |sh AS (SELECT doc_id, CAST('0x' || substring(hm, 1, 15) AS BIGINT) AS h FROM hs),
-        |sig AS (SELECT doc_id,
-        |    min(substring(hm, 1, 4)) AS m0, min(substring(hm, 5, 4)) AS m1,
-        |    min(substring(hm, 9, 4)) AS m2, min(substring(hm, 13, 4)) AS m3,
-        |    min(substring(hm, 17, 4)) AS m4, min(substring(hm, 21, 4)) AS m5,
-        |    min(substring(hm, 25, 4)) AS m6, min(substring(hm, 29, 4)) AS m7
-        |  FROM hs GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, '0:' || m0 || m1 AS band FROM sig UNION ALL
-        |  SELECT doc_id, '1:' || m2 || m3 FROM sig UNION ALL
-        |  SELECT doc_id, '2:' || m4 || m5 FROM sig UNION ALL
-        |  SELECT doc_id, '3:' || m6 || m7 FROM sig),
-        |capped AS (SELECT doc_id, band FROM (
-        |  SELECT doc_id, band, row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
-        |  FROM bands) WHERE rn <= 256),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM capped x JOIN capped y ON x.band = y.band AND x.doc_id < y.doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS inter
-        |          FROM cand JOIN sh sa ON sa.doc_id = doc_a
-        |                    JOIN sh sb ON sb.doc_id = doc_b AND sb.h = sa.h
-        |          GROUP BY doc_a, doc_b),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-        |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
-        |FROM inter JOIN sizes na ON na.doc_id = doc_a
-        |           JOIN sizes nb ON nb.doc_id = doc_b
-        |WHERE inter * 2 >= na.n + nb.n - inter
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $minhashCteSql
+         |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
+         |FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |           JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE inter * 2 >= na.n + nb.n - inter
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_funnel" ->
+      s"""WITH $minhashCteSql,
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |             JOIN sizes nb ON nb.doc_id = doc_b
+         |  WHERE inter * 2 >= na.n + nb.n - inter),
+         |canon AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         |                 min(doc_id) AS doc_id
+         |          FROM documents GROUP BY 1),
+         |removed AS (SELECT DISTINCT p.doc_b FROM pairs p
+         |            JOIN canon c ON c.doc_id = p.doc_b)
+         |SELECT (SELECT count(*) FROM documents) AS n_raw,
+         |  (SELECT count(*) FROM canon) AS n_exact_unique,
+         |  (SELECT count(*) FROM removed) AS n_neardup_removed,
+         |  (SELECT count(*) FROM canon) - (SELECT count(*) FROM removed) AS n_final""".stripMargin,
     "q_simhash" ->
       s"""WITH w AS (
          |  SELECT DISTINCT doc_id,
