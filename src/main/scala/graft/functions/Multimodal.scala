@@ -118,8 +118,8 @@ object Multimodal {
         |    CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS checksum,
         |    octet_length(encode(text)) // 1000 + 1 AS n_frames
         |  FROM documents)
-        |SELECT media_type, count(*) AS n_docs, sum(n_bytes) AS total_bytes,
-        |  sum(checksum) AS sum_checksum, sum(n_frames) AS total_frames
+        |SELECT media_type, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(checksum) AS BIGINT) AS sum_checksum, CAST(sum(n_frames) AS BIGINT) AS total_frames
         |FROM feat GROUP BY media_type ORDER BY media_type""".stripMargin,
     "q_frame_sample" ->
       """WITH feat AS (

@@ -265,22 +265,22 @@ object EmbeddingOps {
     "q_embed_stats" ->
       s"""WITH per AS (
          |  SELECT label, len(embedding) AS dim,
-         |    list_sum(list_transform($qvecSql, v -> v * v)) AS nsq
+         |    CAST(list_sum(list_transform($qvecSql, v -> v * v)) AS BIGINT) AS nsq
          |  FROM embeddings)
-         |SELECT label, count(*) AS n_vectors, sum(nsq) AS sum_sq_norm,
+         |SELECT label, count(*) AS n_vectors, CAST(sum(nsq) AS BIGINT) AS sum_sq_norm,
          |  min(nsq) AS min_sq_norm, max(nsq) AS max_sq_norm, max(dim) AS dim
          |FROM per GROUP BY label ORDER BY label""".stripMargin,
     // DuckDB zips parallel unnests in one SELECT, giving exact integer
     // dot products; ranking mirrors the Spark window exactly.
     "q_knn_brute" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
          |terms AS (
          |  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
          |         unnest(qv.q) AS a, unnest(cv.q) AS b
          |  FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
          |  WHERE qv.vec_id % 100 = 0),
-         |dots AS (SELECT qid, cid, sum(a * b) AS dot FROM terms GROUP BY qid, cid),
+         |dots AS (SELECT qid, cid, CAST(sum(a * b) AS BIGINT) AS dot FROM terms GROUP BY qid, cid),
          |scored AS (
          |  SELECT qid, cid, dot, nq.nsq AS nq, nc.nsq AS nc,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
@@ -292,7 +292,7 @@ object EmbeddingOps {
          |ORDER BY qid, rnk""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
          |bands AS ($bandsSql),
          |capped AS ($cappedSql),
          |qb AS (SELECT vec_id AS qid, band FROM bands WHERE vec_id % 100 = 0),
@@ -302,7 +302,7 @@ object EmbeddingOps {
          |  SELECT cand.qid, cand.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
          |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
          |            JOIN v cv ON cv.vec_id = cand.cid),
-         |dots AS (SELECT qid, cid, sum(a * b) AS dot FROM terms GROUP BY qid, cid),
+         |dots AS (SELECT qid, cid, CAST(sum(a * b) AS BIGINT) AS dot FROM terms GROUP BY qid, cid),
          |scored AS (
          |  SELECT qid, cid, dot,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
@@ -314,7 +314,7 @@ object EmbeddingOps {
          |ORDER BY qid, rnk""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
          |bands AS ($bandsSql),
          |capped AS ($cappedSql),
          |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -323,7 +323,7 @@ object EmbeddingOps {
          |  SELECT cand.va, cand.vb, unnest(av.q) AS x, unnest(bv.q) AS y
          |  FROM cand JOIN v av ON av.vec_id = cand.va
          |            JOIN v bv ON bv.vec_id = cand.vb),
-         |dots AS (SELECT va, vb, sum(x * y) AS dot FROM terms GROUP BY va, vb),
+         |dots AS (SELECT va, vb, CAST(sum(x * y) AS BIGINT) AS dot FROM terms GROUP BY va, vb),
          |scored AS (
          |  SELECT va, vb, dot, na.nsq AS na, nb.nsq AS nb,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)) AS cosine
@@ -332,7 +332,7 @@ object EmbeddingOps {
          |ORDER BY va, vb""".stripMargin,
     "q_ivf_ann" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, list_sum(list_transform(q, x -> x * x)) AS nsq FROM v),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
          |c AS (SELECT vec_id AS ccid, q AS cq FROM v WHERE vec_id < 16),
          |cd_terms AS (SELECT v.vec_id, c.ccid, unnest(v.q) AS a, unnest(c.cq) AS b FROM v, c),
          |cdots AS (SELECT vec_id, ccid, sum(a * b) AS cdot FROM cd_terms GROUP BY vec_id, ccid),
@@ -350,7 +350,7 @@ object EmbeddingOps {
          |  SELECT cand.qid, cand.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
          |  FROM cand JOIN v qv ON qv.vec_id = cand.qid
          |            JOIN v cv ON cv.vec_id = cand.cid),
-         |dots AS (SELECT qid, cid, sum(a * b) AS dot FROM terms GROUP BY qid, cid),
+         |dots AS (SELECT qid, cid, CAST(sum(a * b) AS BIGINT) AS dot FROM terms GROUP BY qid, cid),
          |scored AS (
          |  SELECT qid, cid, dot,
          |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
@@ -365,8 +365,8 @@ object EmbeddingOps {
          |bands AS ($bandsSql),
          |occ AS (SELECT band, count(*) AS occ FROM bands GROUP BY band)
          |SELECT band // $TableSpan AS band_table, count(*) AS n_buckets,
-         |  sum(occ) AS n_vectors, max(occ) AS max_occupancy,
-         |  sum(CASE WHEN occ > $BucketCap THEN occ - $BucketCap ELSE 0 END) AS dropped
+         |  CAST(sum(occ) AS BIGINT) AS n_vectors, max(occ) AS max_occupancy,
+         |  CAST(sum(CASE WHEN occ > $BucketCap THEN occ - $BucketCap ELSE 0 END) AS BIGINT) AS dropped
          |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

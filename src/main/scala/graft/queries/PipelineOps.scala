@@ -300,9 +300,9 @@ object PipelineOps {
         |  SELECT source, count(*) AS n_docs,
         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
         |  FROM documents GROUP BY source),
-        |tot AS (SELECT source, n_docs, w, sum(w) OVER () AS w_total FROM per),
+        |tot AS (SELECT source, n_docs, w, CAST(sum(w) OVER () AS BIGINT) AS w_total FROM per),
         |tgt AS (SELECT source, n_docs, w,
-        |    greatest(1, (w * 1000) // w_total) AS target_k FROM tot),
+        |    CAST(greatest(1, (w * 1000) // w_total) AS BIGINT) AS target_k FROM tot),
         |ranked AS (SELECT source, doc_id,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
@@ -361,7 +361,7 @@ object PipelineOps {
          |         WHEN $bucketSql < 20 THEN 'val'
          |         ELSE 'train' END AS split
          |  FROM documents)
-         |SELECT split, lang, count(*) AS n_docs, sum(nw) AS n_words
+         |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, source, rnk, doc_id FROM (
@@ -409,7 +409,7 @@ object PipelineOps {
         |bp AS (SELECT doc_id, (10000 * nstop) // nw AS stop_bp,
         |              (10000 * npunct) // nc AS punct_bp FROM d)
         |SELECT stop_bp // 1000 AS stop_decile, count(*) AS n_docs,
-        |  sum(stop_bp) AS sum_stop_bp, sum(punct_bp) AS sum_punct_bp,
+        |  CAST(sum(stop_bp) AS BIGINT) AS sum_stop_bp, CAST(sum(punct_bp) AS BIGINT) AS sum_punct_bp,
         |  min(stop_bp) AS min_stop_bp, max(stop_bp) AS max_stop_bp
         |FROM bp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_fingerprint" ->

@@ -316,8 +316,8 @@ object Relational {
         |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM l),
         |c AS (SELECT user_id, event_id, ts_us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
         |  FROM n)
         |SELECT user_id, sess_seq, count(*) AS n_events,
         |  max(ts_us) - min(ts_us) AS span_us
@@ -332,7 +332,7 @@ object Relational {
         |ORDER BY gid, status, priority""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
          CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
@@ -403,7 +403,7 @@ object Relational {
          FROM g GROUP BY 1 ORDER BY zone""",
     "q_json_roundtrip" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-         count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY k_mod""",
     "q_agg_stats_orders" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -358,15 +358,15 @@ object TextOps {
         |    len(list_distinct(string_split_regex(text, '\s+'))) AS nd
         |  FROM documents)
         |SELECT lang, source, count(*) AS n_docs,
-        |  sum(nw) AS n_words, sum(nc) AS n_chars,
+        |  CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  CAST(sum(nd) AS DOUBLE) / sum(nw) AS diversity
         |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
-        |  list_sum(list_transform(string_split_regex(text, '\s+'),
-        |                          w -> (length(w) + 3) // 4)) AS subword_est,
+        |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+        |                               w -> (length(w) + 3) // 4)) AS BIGINT) AS subword_est,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->

@@ -37,6 +37,20 @@ for name, sql in sorted(oracle.items()):
     e = exp[ec].sort_values(ec, kind="mergesort").reset_index(drop=True)
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+    # dtype-kind compare: the driver hashes rendered values, so int 123
+    # vs float 123.0 is a mismatch even when == says equal (DuckDB
+    # widens sum/list_sum over BIGINT to HUGEINT -> float64 at fetch).
+    # Int WIDTH (int32 vs int64) is tolerated, mirroring the driver.
+    KIND = {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "obj", "S": "obj", "U": "obj", "M": "ts", "m": "td"}
+    dbad = []
+    for c in gc:
+        gk = KIND.get(g[c].dtype.kind, g[c].dtype.kind)
+        ek = KIND.get(e[c].dtype.kind, e[c].dtype.kind)
+        if gk != ek:
+            dbad.append((c, str(g[c].dtype), str(e[c].dtype)))
+    if dbad:
+        print(f"FAIL {name}: dtype kind mismatch {dbad}"); fails += 1; continue
     # value compare, exact (driver hashes values)
     bad = []
     for c in gc:
