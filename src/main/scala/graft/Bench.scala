@@ -50,7 +50,23 @@ object Bench {
     val errJson = errors.reverse
       .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The driver extracts this JSON from process output; sbt wraps
+    // stdout lines in [info]/[success] noise that has drowned it three
+    // rounds running. Emit it on all three channels: stdout, a known
+    // file, and (last, after Spark is stopped so no WARN can trail it)
+    // stderr as the final line of the process.
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")).toAbsolutePath
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable => // the file is a convenience channel;
+      System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
   }
 }

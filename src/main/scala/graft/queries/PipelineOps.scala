@@ -132,18 +132,21 @@ object PipelineOps {
   private val wordHashSql =
     "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
 
-  /** Document fingerprint via polynomial rolling hash over the word
-    * sequence: acc = (acc * 31 + h(word)) mod 1e9+7 — order-sensitive
-    * (unlike a bag-of-words hash) and computed in one codegen'd
-    * aggregate per row, no shuffle until the final fingerprint
-    * groupBy. Exact word-sequence duplicates collapse to one
-    * fingerprint; the modulus keeps every intermediate < 2^35 so the
+  /** Document-prefix fingerprint via polynomial rolling hash over the
+    * first 8 words: acc = (acc * 31 + h(word)) mod 1e9+7 —
+    * order-sensitive (unlike a bag-of-words hash) and computed in one
+    * codegen'd aggregate per row, no shuffle until the final
+    * fingerprint groupBy. Docs sharing a boilerplate opening collapse
+    * to one fingerprint (the corpus has no full-text duplicates at any
+    * SF, so the prefix is the scope where the collapse is observable —
+    * this is also the production shape for header/boilerplate
+    * screening); the modulus keeps every intermediate < 2^35 so the
     * arithmetic is exact in both engines. */
   def qRollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id",
-        expr(s"aggregate($wordHashSql, CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
+        expr(s"aggregate(slice($wordHashSql, 1, 8), CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
           .as("fingerprint"))
       .groupBy($"fingerprint")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
@@ -226,19 +229,28 @@ object PipelineOps {
     * floor(sqrt(double)) (IEEE sqrt is correctly rounded, floor exact),
     * shares via integer division, and membership is the target_k
     * smallest id-hashes per source (deterministic, re-derivable).
-    * Shapes: one agg for sizes, a tiny window over the per-source rows
-    * for the total, one ranking window for membership. */
+    * Shapes: one agg for sizes, a broadcast 1-row total joined back to
+    * the per-source rows (no unpartitioned window — that would funnel
+    * everything through one partition), one ranking window for
+    * membership with a LITERAL 1000-row pre-cap: the budget is 1000
+    * docs total so target_k ≤ 1000 always, and the literal predicate
+    * is what lets Spark compile the window to a map-side
+    * WindowGroupLimit below the exchange instead of fully sorting each
+    * source's entire corpus slice (the non-literal `rnk <= target_k`
+    * alone would not trigger it). */
   def qDatasetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perSource = docs(s, dir)
+    val sized = docs(s, dir)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
-      .withColumn("w_total", sum($"w").over(Window.partitionBy()))
+    val total = sized.agg(sum($"w").as("w_total"))
+    val perSource = sized.crossJoin(broadcast(total))
       .withColumn("target_k", greatest(lit(1L), expr("(w * 1000) DIV w_total")))
     val ranked = docs(s, dir)
       .select($"source", $"doc_id")
       .withColumn("rnk", row_number().over(
         Window.partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")))
+      .filter($"rnk" <= 1000) // literal cap => map-side WindowGroupLimit
     ranked.join(perSource, Seq("source"))
       .filter($"rnk" <= $"target_k")
       .groupBy($"source", $"n_docs", $"w", $"target_k")
@@ -415,7 +427,7 @@ object PipelineOps {
     "q_rolling_fingerprint" ->
       s"""WITH f AS (
          |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), $wordHashListSql),
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ($wordHashListSql)[1:8]),
          |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
          |  FROM documents)
          |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc

@@ -10,7 +10,7 @@ class EntrySmokeSpec extends AnyFunSuite {
 
   test("every query returns rows at sf0.001 (no vacuous entries)") {
     // threshold/dup-detection ops; legitimately sparse at tiny SF
-    val allowEmpty = Set("q_ngram_jaccard", "q_embed_neardup", "q_rolling_fingerprint")
+    val allowEmpty = Set("q_ngram_jaccard", "q_embed_neardup")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(SparkTestSession.spark, "/root/testdata/sf0.001").count()
       if (!allowEmpty(name)) assert(n > 0, s"$name returned 0 rows at sf0.001")

@@ -101,6 +101,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dataset_mix: literal rank cap engages WindowGroupLimit; no single-partition window") {
+    // The 1000-doc budget bound is a LITERAL predicate precisely so the
+    // membership window compiles to a map-side WindowGroupLimit (the
+    // exact `rnk <= target_k` filter alone is non-literal and would
+    // fully sort every source's corpus slice at scale); and the w_total
+    // is a broadcast 1-row agg, never an unpartitioned window.
+    val df = PipelineOps.qDatasetMix(spark, dir)
+    val s = planString(df)
+    assert(s.contains("WindowGroupLimit"), s)
+    val unpartitioned = collectNodes(executed(df)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"unpartitioned WindowExec (single-partition funnel): $s")
+  }
+
   test("q_lww_dedup_events: window partitions on the dedup key (hash shuffle)") {
     val s = planString(Relational.qLwwDedupEvents(spark, dir))
     assert(s.contains("hashpartitioning(user_id"), s)
