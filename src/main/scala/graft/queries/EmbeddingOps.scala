@@ -70,7 +70,7 @@ object EmbeddingOps {
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings")
-      .select($"vec_id", $"label", qvec.as("q"), size($"embedding").as("dim"))
+      .select($"vec_id", $"label", qvec.as("q"), size($"embedding").cast("long").as("dim"))
       .withColumn("nsq", dot(s, "q", "q"))
   }
 
@@ -124,7 +124,7 @@ object EmbeddingOps {
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 10)
-      .select($"qid", $"rnk", $"cid", $"dot", $"nq", $"nc")
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"cid", $"dot", $"nq", $"nc")
       .orderBy($"qid", $"rnk")
   }
 
@@ -153,7 +153,7 @@ object EmbeddingOps {
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5)
-      .select($"qid", $"rnk", $"cid", $"dot")
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"cid", $"dot")
       .orderBy($"qid", $"rnk")
   }
 
@@ -215,7 +215,7 @@ object EmbeddingOps {
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
     scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
-      .select($"qid", $"rnk", $"cid", $"dot")
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"cid", $"dot")
       .orderBy($"qid", $"rnk")
   }
 
@@ -364,7 +364,7 @@ object EmbeddingOps {
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          |bands AS ($bandsSql),
          |occ AS (SELECT band, count(*) AS occ FROM bands GROUP BY band)
-         |SELECT band // $TableSpan AS band_table, count(*) AS n_buckets,
+         |SELECT CAST(band // $TableSpan AS BIGINT) AS band_table, count(*) AS n_buckets,
          |  CAST(sum(occ) AS BIGINT) AS n_vectors, max(occ) AS max_occupancy,
          |  CAST(sum(CASE WHEN occ > $BucketCap THEN occ - $BucketCap ELSE 0 END) AS BIGINT) AS dropped
          |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -107,7 +107,7 @@ object Relational {
     t(s, dir, "part")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .select($"p_brand", $"rn", $"p_partkey", $"p_retailprice")
+      .select($"p_brand", $"rn".cast("long").as("rn"), $"p_partkey", $"p_retailprice")
       .orderBy($"p_brand", $"rn")
   }
 

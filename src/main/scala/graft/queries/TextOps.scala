@@ -423,7 +423,7 @@ object TextOps {
          |v AS (SELECT doc_id,
          |    $voteSql
          |  FROM h GROUP BY doc_id),
-         |sig AS (SELECT doc_id, $sigSql AS simhash FROM v)
+         |sig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS simhash FROM v)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
          |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin,
     "q_ngram_jaccard" ->

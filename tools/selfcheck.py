@@ -51,6 +51,10 @@ for name, sql in sorted(oracle.items()):
             dbad.append((c, str(g[c].dtype), str(e[c].dtype)))
     if dbad:
         print(f"FAIL {name}: dtype kind mismatch {dbad}"); fails += 1; continue
+    wbad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in gc
+            if str(g[c].dtype) != str(e[c].dtype)]
+    if wbad:  # same kind, different width — driver tolerates; surface it
+        print(f"WARN {name}: dtype width differs {wbad}")
     # value compare, exact (driver hashes values)
     bad = []
     for c in gc:
