@@ -234,6 +234,26 @@ object EmbeddingOps {
       .orderBy($"band_table")
   }
 
+  /** ANN quality audit: recall@5 of the LSH path against the
+    * brute-force ground truth, per query vector, in integer basis
+    * points — the "is the approximation good enough" number that must
+    * ship next to any ANN index. Re-runs both pipelines (deliberate
+    * recompute-over-cache, same policy as the dedup funnel) and joins
+    * their bounded outputs; the audit itself adds only a top-k-sized
+    * join + one tiny agg on top. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = qKnnBrute(s, dir).filter($"rnk" <= 5).select($"qid", $"cid")
+    val approx = qAnnLsh(s, dir).select($"qid".as("aqid"), $"cid".as("acid"))
+    truth
+      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_truth"), count($"acid").as("n_hits"))
+      .select($"qid", $"n_truth", $"n_hits",
+        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
@@ -241,6 +261,7 @@ object EmbeddingOps {
     "q_ivf_ann" -> qIvfAnn,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_lsh_bucket_audit" -> qLshBucketAudit,
+    "q_ann_recall" -> qAnnRecall,
   )
 
   private val qvecSql =
@@ -261,7 +282,19 @@ object EmbeddingOps {
        |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
        |  FROM bands) WHERE rn <= $BucketCap""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** The recall oracle nests the brute/LSH oracles verbatim as
+    * subqueries (each keeps its own WITH scope), so the audit can never
+    * disagree with the audited queries about their results. */
+  val oracles: Map[String, String] = baseOracles +
+    ("q_ann_recall" ->
+      s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+         |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= 5) t
+         |LEFT JOIN (${baseOracles("q_ann_lsh")}) a
+         |  ON a.qid = t.qid AND a.cid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_embed_stats" ->
       s"""WITH per AS (
          |  SELECT label, len(embedding) AS dim,

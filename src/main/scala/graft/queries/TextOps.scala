@@ -115,6 +115,36 @@ object TextOps {
       .orderBy($"lang", $"predicted")
   }
 
+  /** Repetition-ratio quality metric (the Gopher/C4 family of
+    * degenerate-text filters): per document, the share of bigrams
+    * claimed by the single most frequent bigram, in integer basis
+    * points. Degenerate generations ("foo bar foo bar foo bar ...")
+    * score near 10000; healthy prose scores low. Bigrams are hashed
+    * (h1 * 31 + h2 mod 1e9+7) from the same 32-bit md5 word alphabet
+    * the fingerprint ops use, so all arithmetic is integer-exact
+    * cross-engine. Two partial-agg-friendly groupBys — (doc_id, bh)
+    * then doc_id — both on content-derived keys whose cardinality
+    * grows with the data, and a top-20 bounded output: scale-safe. */
+  def qRepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordHash =
+      "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+    docs(s, dir)
+      .select($"doc_id", expr(wordHash).as("hs"))
+      .filter(size($"hs") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(hs) - 2), i -> (hs[i] * 31 + hs[i + 1]) % 1000000007)"))
+        .as("bh"))
+      .groupBy($"doc_id", $"bh")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(max($"cnt").as("top_cnt"), sum($"cnt").as("n_bigrams"))
+      .select($"doc_id", $"n_bigrams", $"top_cnt",
+        expr("(10000 * top_cnt) DIV n_bigrams").as("rep_bp"))
+      .orderBy($"rep_bp".desc, $"doc_id")
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: md5 of the
@@ -306,6 +336,7 @@ object TextOps {
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
+    "q_repetition_ratio" -> qRepetitionRatio,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash" -> qSimhash,
@@ -369,6 +400,24 @@ object TextOps {
         |                               w -> (length(w) + 3) // 4)) AS BIGINT) AS subword_est,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition_ratio" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, '\s+'),
+        |                   x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hs
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(hs)),
+        |                          i -> (hs[i] * 31 + hs[i + 1]) % 1000000007)) AS bh
+        |  FROM h WHERE len(hs) >= 2),
+        |c AS (SELECT doc_id, bh, count(*) AS cnt FROM b GROUP BY doc_id, bh),
+        |d AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_cnt,
+        |             CAST(sum(cnt) AS BIGINT) AS n_bigrams
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, top_cnt,
+        |  CAST((10000 * top_cnt) // n_bigrams AS BIGINT) AS rep_bp
+        |FROM d ORDER BY rep_bp DESC, doc_id LIMIT 20""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT lang,
