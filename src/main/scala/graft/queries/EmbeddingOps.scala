@@ -254,6 +254,23 @@ object EmbeddingOps {
       .orderBy($"qid")
   }
 
+  /** Same audit for the IVF path: recall@3 vs brute truth. A real
+    * deployment runs both audits on every index rebuild and alerts on
+    * regression — nprobe/nlist tuning without the recall number is
+    * guessing. */
+  def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = qKnnBrute(s, dir).filter($"rnk" <= 3).select($"qid", $"cid")
+    val approx = qIvfAnn(s, dir).select($"qid".as("aqid"), $"cid".as("acid"))
+    truth
+      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_truth"), count($"acid").as("n_hits"))
+      .select($"qid", $"n_truth", $"n_hits",
+        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
+      .orderBy($"qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
@@ -262,6 +279,7 @@ object EmbeddingOps {
     "q_embed_neardup" -> qEmbedNearDup,
     "q_lsh_bucket_audit" -> qLshBucketAudit,
     "q_ann_recall" -> qAnnRecall,
+    "q_ivf_recall" -> qIvfRecall,
   )
 
   private val qvecSql =
@@ -285,12 +303,19 @@ object EmbeddingOps {
   /** The recall oracle nests the brute/LSH oracles verbatim as
     * subqueries (each keeps its own WITH scope), so the audit can never
     * disagree with the audited queries about their results. */
-  val oracles: Map[String, String] = baseOracles +
-    ("q_ann_recall" ->
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "q_ann_recall" ->
       s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
          |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
          |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= 5) t
          |LEFT JOIN (${baseOracles("q_ann_lsh")}) a
+         |  ON a.qid = t.qid AND a.cid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+     "q_ivf_recall" ->
+      s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+         |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= 3) t
+         |LEFT JOIN (${baseOracles("q_ivf_ann")}) a
          |  ON a.qid = t.qid AND a.cid = t.cid
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
 

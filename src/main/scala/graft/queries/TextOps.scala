@@ -331,8 +331,60 @@ object TextOps {
         ($"n_exact_unique" - $"n_neardup_removed").as("n_final"))
   }
 
+  /** Iteration dial for [[qDedupClusters]]: each round does one
+    * neighbor-min hop AND one pointer-jump (label-of-label), so label
+    * agreement spreads ~2^Iters hops — 4 rounds covers component
+    * diameter ≥ 16. Near-dup components are unions of bucket cliques
+    * (measured diameter 1 at sf0.1); production corpora with chained
+    * near-dups raise the dial logarithmically, never linearly. */
+  private val ClusterIters = 4
+
+  /** Connected components over the verified near-dup pairs: the step
+    * that turns a pair list into an actual dedup decision (every doc
+    * keeps/drops by its cluster's canonical = minimum doc_id). The
+    * distributed shape is iterative label propagation — min-label
+    * neighbor push + pointer jumping, all hash equi-joins and
+    * partial-agg min-groupBys, no driver-side graph state, so the same
+    * plan runs at any corpus size (iterations scale with log of
+    * component diameter, not data size). The oracle computes true
+    * components via a recursive CTE over the same pairs SQL. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = qMinhashPairs(s, dir).select($"doc_a", $"doc_b")
+    // Iterative lineage MUST be truncated: labels_{i+1} references
+    // labels_i twice (the pointer-jump self-join), so a naive loop
+    // builds a 2^Iters-wide plan tree, each copy re-embedding the
+    // whole minhash pipeline — exponentially growing planning AND
+    // recompute (measured: 33s -> 306s from 1 to 4 iterations).
+    // localCheckpoint materializes the (pair-graph-sized, small) edge
+    // and label frames and cuts the plan at a LogicalRDD — the
+    // standard iterative-graph treatment (GraphX checkpoints for the
+    // same reason); on a real cluster with executor churn, swap for
+    // reliable checkpoint(dir). persist() is NOT enough: cache
+    // substitution still carries (and re-canonicalizes) the full
+    // logical tree every iteration.
+    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
+      .select($"v", least($"v", $"mn").as("l")).localCheckpoint()
+    for (_ <- 1 to ClusterIters) {
+      // neighbor-min: push each vertex's label across its edges
+      val pushed = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
+        .select($"dst".as("v"), $"l")
+      val propagated = pushed.union(labels).groupBy($"v").agg(min($"l").as("l"))
+      // pointer jump: l(v) <- min(l(v), l(l(v))) — doubles reach
+      val byLabel = propagated.select($"v".as("pv"), $"l".as("pl"))
+      labels = propagated.join(byLabel, $"l" === $"pv", "left")
+        .select($"v", least($"l", coalesce($"pl", $"l")).as("l")).localCheckpoint()
+    }
+    labels.groupBy($"l".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"v").as("max_doc"))
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_funnel" -> qDedupFunnel,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
@@ -380,7 +432,25 @@ object TextOps {
   private val sigSql = (0 until 16)
     .map(b => s"(CASE WHEN v$b >= 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  /** The clusters oracle computes TRUE connected components with a
+    * recursive CTE over the same pairs SQL the pairs oracle runs
+    * (nested verbatim, own WITH scope) — so a green row proves the
+    * iterative Spark propagation converged to the exact components. */
+  val oracles: Map[String, String] = baseOracles +
+    ("q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM (${baseOracles("q_minhash_pairs")})),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
+         |SELECT l AS cluster_id, count(*) AS n_docs, max(v) AS max_doc
+         |FROM lab GROUP BY l ORDER BY cluster_id""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_text_stats" ->
       """WITH per AS (
         |  SELECT lang, source,
