@@ -116,6 +116,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(unpartitioned.isEmpty, s"unpartitioned WindowExec (single-partition funnel): $s")
   }
 
+  test("q_repetition_ratio: partial aggregation + pruned scan") {
+    val s = planString(TextOps.qRepetitionRatio(spark, dir))
+    assert(s.contains("partial_count") || s.contains("partial_max") || s.contains("Partial"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("q_dedup_clusters: iteration lineage is checkpoint-truncated, joins are equi") {
+    // The load-bearing property: the returned plan must hang off
+    // materialized RDD scans (LogicalRDD from localCheckpoint), not a
+    // 2^iters-deep re-expansion of the minhash pipeline.
+    val s = planString(TextOps.qDedupClusters(spark, dir))
+    assert(s.contains("ExistingRDD") || s.contains("LogicalRDD"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_lww_dedup_events: window partitions on the dedup key (hash shuffle)") {
     val s = planString(Relational.qLwwDedupEvents(spark, dir))
     assert(s.contains("hashpartitioning(user_id"), s)
