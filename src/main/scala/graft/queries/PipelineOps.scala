@@ -154,6 +154,31 @@ object PipelineOps {
       .orderBy($"fingerprint")
   }
 
+  /** Incremental ingest-time dedup screen: the id-hash 80+ bucket
+    * slice plays the "incoming batch", buckets < 80 the "existing
+    * corpus"; an incoming doc is flagged when its first-8-word prefix
+    * fingerprint (the boilerplate screen, same hash as
+    * [[qRollingFingerprint]]) already exists in the corpus. This is
+    * the op a production pipeline runs on every ingest — corpus-wide
+    * dedup is the batch job, this is the gate — and its shape is one
+    * fingerprint aggregation over the corpus side + one equi-join: at
+    * 100 TB the corpus fingerprint index is the thing you keep
+    * materialized (bucketed by fingerprint, or fronted by a Bloom
+    * filter) so each batch joins against it without a rescan. */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = docs(s, dir)
+      .select($"doc_id", bucket.as("b"),
+        expr(s"aggregate(slice($wordHashSql, 1, 8), CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
+          .as("fingerprint"))
+    val existing = fp.filter($"b" < 80)
+      .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing"))
+    fp.filter($"b" >= 80)
+      .join(existing, Seq("fingerprint"))
+      .select($"doc_id", $"fingerprint", $"n_existing")
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document repeated passages: hash every 8-word window of
     * every doc (the windowed form of the rolling hash — the window set
     * is the semantic; Catalyst evaluates each window in a constant-k
@@ -297,6 +322,7 @@ object PipelineOps {
     "q_doc_chunks" -> qDocChunks,
     "q_quality_score" -> qQualityScore,
     "q_rolling_fingerprint" -> qRollingFingerprint,
+    "q_incremental_dedup" -> qIncrementalDedup,
     "q_common_passages" -> qCommonPassages,
   )
 
@@ -433,6 +459,17 @@ object PipelineOps {
          |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc
          |FROM f GROUP BY fingerprint HAVING count(*) > 1
          |ORDER BY fingerprint""".stripMargin,
+    "q_incremental_dedup" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, $bucketSql AS b,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ($wordHashListSql)[1:8]),
+         |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         |  FROM documents),
+         |old AS (SELECT fingerprint, count(*) AS n_existing
+         |        FROM f WHERE b < 80 GROUP BY fingerprint)
+         |SELECT n.doc_id, n.fingerprint, o.n_existing
+         |FROM f n JOIN old o ON o.fingerprint = n.fingerprint
+         |WHERE n.b >= 80 ORDER BY n.doc_id""".stripMargin,
     "q_common_passages" ->
       s"""WITH h AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
          |w AS (
