@@ -47,9 +47,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson = errors.reverse
-      .map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    // Full JSON escaping (incl. control chars): exception messages are
+    // routinely multi-line, and a raw \n here would split the one-line
+    // JSON across lines on every channel — unparseable exactly when
+    // there are errors to report.
+    val errJson = errors.reverse.map(Json.quote).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three

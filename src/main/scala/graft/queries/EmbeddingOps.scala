@@ -234,19 +234,22 @@ object EmbeddingOps {
       .orderBy($"band_table")
   }
 
-  /** ANN quality audit: recall@5 of the LSH path against the
+  /** ANN quality audit: recall@k of an approximate path against the
     * brute-force ground truth, per query vector, in integer basis
     * points — the "is the approximation good enough" number that must
-    * ship next to any ANN index. Re-runs both pipelines (deliberate
-    * recompute-over-cache, same policy as the dedup funnel) and joins
-    * their bounded outputs; the audit itself adds only a top-k-sized
-    * join + one tiny agg on top. */
-  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    * ship next to any ANN index (a deployment re-runs it on every
+    * index rebuild and alerts on regression). Re-runs both pipelines
+    * (deliberate recompute-over-cache, same policy as the dedup
+    * funnel) and joins their bounded outputs; the audit itself adds
+    * only a top-k-sized join + one tiny agg. One definition serves
+    * both audited paths so the two recall metrics can never drift. */
+  private def recallAudit(s: SparkSession, dir: String, truthK: Int,
+                          approx: DataFrame): DataFrame = {
     import s.implicits._
-    val truth = qKnnBrute(s, dir).filter($"rnk" <= 5).select($"qid", $"cid")
-    val approx = qAnnLsh(s, dir).select($"qid".as("aqid"), $"cid".as("acid"))
+    val truth = qKnnBrute(s, dir).filter($"rnk" <= truthK).select($"qid", $"cid")
     truth
-      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .join(approx.select($"qid".as("aqid"), $"cid".as("acid")),
+        $"qid" === $"aqid" && $"cid" === $"acid", "left")
       .groupBy($"qid")
       .agg(count(lit(1)).as("n_truth"), count($"acid").as("n_hits"))
       .select($"qid", $"n_truth", $"n_hits",
@@ -254,22 +257,13 @@ object EmbeddingOps {
       .orderBy($"qid")
   }
 
-  /** Same audit for the IVF path: recall@3 vs brute truth. A real
-    * deployment runs both audits on every index rebuild and alerts on
-    * regression — nprobe/nlist tuning without the recall number is
-    * guessing. */
-  def qIvfRecall(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val truth = qKnnBrute(s, dir).filter($"rnk" <= 3).select($"qid", $"cid")
-    val approx = qIvfAnn(s, dir).select($"qid".as("aqid"), $"cid".as("acid"))
-    truth
-      .join(approx, $"qid" === $"aqid" && $"cid" === $"acid", "left")
-      .groupBy($"qid")
-      .agg(count(lit(1)).as("n_truth"), count($"acid").as("n_hits"))
-      .select($"qid", $"n_truth", $"n_hits",
-        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
-      .orderBy($"qid")
-  }
+  /** Recall@5 of the sign-LSH path. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    recallAudit(s, dir, truthK = 5, approx = qAnnLsh(s, dir))
+
+  /** Recall@3 of the IVF path. */
+  def qIvfRecall(s: SparkSession, dir: String): DataFrame =
+    recallAudit(s, dir, truthK = 3, approx = qIvfAnn(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_stats" -> qEmbedStats,
@@ -300,24 +294,22 @@ object EmbeddingOps {
        |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
        |  FROM bands) WHERE rn <= $BucketCap""".stripMargin
 
-  /** The recall oracle nests the brute/LSH oracles verbatim as
-    * subqueries (each keeps its own WITH scope), so the audit can never
-    * disagree with the audited queries about their results. */
+  /** One recall-oracle template, instantiated per audited path: nests
+    * the brute/approx oracles verbatim as subqueries (each keeps its
+    * own WITH scope), so the audit can never disagree with the audited
+    * queries about their results, and the two instantiations can never
+    * drift from each other. */
+  private def recallOracle(truthK: Int, approxSql: String): String =
+    s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+       |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+       |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= $truthK) t
+       |LEFT JOIN ($approxSql) a
+       |  ON a.qid = t.qid AND a.cid = t.cid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   val oracles: Map[String, String] = baseOracles ++ Map(
-    "q_ann_recall" ->
-      s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
-         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
-         |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= 5) t
-         |LEFT JOIN (${baseOracles("q_ann_lsh")}) a
-         |  ON a.qid = t.qid AND a.cid = t.cid
-         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
-     "q_ivf_recall" ->
-      s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
-         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
-         |FROM (SELECT * FROM (${baseOracles("q_knn_brute")}) WHERE rnk <= 3) t
-         |LEFT JOIN (${baseOracles("q_ivf_ann")}) a
-         |  ON a.qid = t.qid AND a.cid = t.cid
-         |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
+    "q_ann_recall" -> recallOracle(5, baseOracles("q_ann_lsh")),
+    "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")))
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q_embed_stats" ->

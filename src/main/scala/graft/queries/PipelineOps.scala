@@ -128,9 +128,9 @@ object PipelineOps {
       .orderBy($"stop_decile")
   }
 
-  /** Per-word 32-bit hash (md5 prefix) — the rolling-hash alphabet. */
-  private val wordHashSql =
-    "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
+  /** Per-word 32-bit hash (md5 prefix) — the rolling-hash alphabet,
+    * shared via [[Hashing]] (single cross-engine source of truth). */
+  private val wordHashSql = Hashing.wordHashSql
 
   /** Document-prefix fingerprint via polynomial rolling hash over the
     * first 8 words: acc = (acc * 31 + h(word)) mod 1e9+7 —
@@ -146,7 +146,7 @@ object PipelineOps {
     import s.implicits._
     docs(s, dir)
       .select($"doc_id",
-        expr(s"aggregate(slice($wordHashSql, 1, 8), CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
+        expr(Hashing.prefixFingerprintSql(8))
           .as("fingerprint"))
       .groupBy($"fingerprint")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
@@ -169,7 +169,7 @@ object PipelineOps {
     import s.implicits._
     val fp = docs(s, dir)
       .select($"doc_id", bucket.as("b"),
-        expr(s"aggregate(slice($wordHashSql, 1, 8), CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % 1000000007)")
+        expr(Hashing.prefixFingerprintSql(8))
           .as("fingerprint"))
     val existing = fp.filter($"b" < 80)
       .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing"))
@@ -329,8 +329,7 @@ object PipelineOps {
   private val bucketSql =
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
 
-  private val wordHashListSql =
-    "list_transform(string_split_regex(text, '\\s+'), x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT))"
+  private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
     "q_dataset_mix" ->
@@ -453,8 +452,7 @@ object PipelineOps {
     "q_rolling_fingerprint" ->
       s"""WITH f AS (
          |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ($wordHashListSql)[1:8]),
-         |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         |    ${Hashing.prefixFingerprintDuck(8)} AS fingerprint
          |  FROM documents)
          |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc
          |FROM f GROUP BY fingerprint HAVING count(*) > 1
@@ -462,8 +460,7 @@ object PipelineOps {
     "q_incremental_dedup" ->
       s"""WITH f AS (
          |  SELECT doc_id, $bucketSql AS b,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ($wordHashListSql)[1:8]),
-         |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+         |    ${Hashing.prefixFingerprintDuck(8)} AS fingerprint
          |  FROM documents),
          |old AS (SELECT fingerprint, count(*) AS n_existing
          |        FROM f WHERE b < 80 GROUP BY fingerprint)

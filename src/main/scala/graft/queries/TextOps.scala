@@ -127,10 +127,8 @@ object TextOps {
     * grows with the data, and a top-20 bounded output: scale-safe. */
   def qRepetitionRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wordHash =
-      "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"
     docs(s, dir)
-      .select($"doc_id", expr(wordHash).as("hs"))
+      .select($"doc_id", expr(Hashing.wordHashSql).as("hs"))
       .filter(size($"hs") >= 2)
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(hs) - 2), i -> (hs[i] * 31 + hs[i + 1]) % 1000000007)"))
@@ -331,13 +329,15 @@ object TextOps {
         ($"n_exact_unique" - $"n_neardup_removed").as("n_final"))
   }
 
-  /** Iteration dial for [[qDedupClusters]]: each round does one
+  /** Round bound for [[qDedupClusters]]: each round does one
     * neighbor-min hop AND one pointer-jump (label-of-label), so label
-    * agreement spreads ~2^Iters hops — 4 rounds covers component
-    * diameter ≥ 16. Near-dup components are unions of bucket cliques
-    * (measured diameter 1 at sf0.1); production corpora with chained
-    * near-dups raise the dial logarithmically, never linearly. */
-  private val ClusterIters = 4
+    * agreement spreads ~2^rounds hops; the loop stops at the actual
+    * fixed point (checked per round) and 16 rounds bounds component
+    * diameter ~2^16 — hitting the bound without converging throws
+    * loudly rather than emitting silently split clusters. Near-dup
+    * components are unions of bucket cliques (measured diameter 1 at
+    * sf0.1), so convergence is 1-2 rounds in practice. */
+  private val MaxClusterRounds = 16
 
   /** Connected components over the verified near-dup pairs: the step
     * that turns a pair list into an actual dedup decision (every doc
@@ -367,7 +367,16 @@ object TextOps {
       .toDF("src", "dst").localCheckpoint()
     var labels = edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
       .select($"v", least($"v", $"mn").as("l")).localCheckpoint()
-    for (_ <- 1 to ClusterIters) {
+    // Convergence is CHECKED, not assumed: labels only ever decrease
+    // (every step is a min), so the label sum is strictly decreasing
+    // until the fixed point — sum unchanged ⇔ no label moved. One tiny
+    // agg per round over the checkpointed frame.
+    def labelSum(): Long =
+      labels.agg(coalesce(sum($"l"), lit(0L))).head.getLong(0)
+    var prevSum = Long.MinValue
+    var curSum = labelSum()
+    var rounds = 0
+    while (curSum != prevSum && rounds < MaxClusterRounds) {
       // neighbor-min: push each vertex's label across its edges
       val pushed = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .select($"dst".as("v"), $"l")
@@ -376,7 +385,12 @@ object TextOps {
       val byLabel = propagated.select($"v".as("pv"), $"l".as("pl"))
       labels = propagated.join(byLabel, $"l" === $"pv", "left")
         .select($"v", least($"l", coalesce($"pl", $"l")).as("l")).localCheckpoint()
+      prevSum = curSum
+      curSum = labelSum()
+      rounds += 1
     }
+    require(curSum == prevSum,
+      s"dedup cluster propagation did not converge in $MaxClusterRounds rounds")
     labels.groupBy($"l".as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"), max($"v").as("max_doc"))
       .orderBy($"cluster_id")
@@ -471,10 +485,8 @@ object TextOps {
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_repetition_ratio" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    list_transform(string_split_regex(text, '\s+'),
-        |                   x -> CAST('0x' || substring(md5(x), 1, 8) AS BIGINT)) AS hs
+      s"""WITH h AS (
+        |  SELECT doc_id, ${Hashing.wordHashListSql} AS hs
         |  FROM documents),
         |b AS (
         |  SELECT doc_id,
