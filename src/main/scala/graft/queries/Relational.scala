@@ -239,6 +239,25 @@ object Relational {
       .orderBy($"hour_ts", $"event_type")
   }
 
+  /** Cohort retention over the event log: cohort = a user's first
+    * active day; output = distinct active users per (cohort day,
+    * day offset) — the classic product-analytics rollup, covering the
+    * first-touch + join-back + time-offset shape. One partial-agg min
+    * per user, one hash join back on the high-cardinality user_id,
+    * one partial-agg rollup on the bounded (cohort, offset) key.
+    * Day arithmetic is date-exact (UTC session tz both engines). */
+  def qUserRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", date_trunc("day", $"ts").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+    ev.join(first, Seq("user_id"))
+      .groupBy($"cohort_day",
+        datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
   /** Gap-based sessionization: a 30-minute silence starts a new session
     * per user. lag + running sum over (user, time) windows — the
     * cumulative-frame window class (ROWS UNBOUNDED PRECEDING), distinct
@@ -304,6 +323,7 @@ object Relational {
     "q_agg_stats_orders" -> qAggStatsOrders,
     "q_semi_anti_join" -> qSemiAntiJoin,
     "q_hourly_events" -> qHourlyEvents,
+    "q_user_retention" -> qUserRetention,
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,5 +444,13 @@ object Relational {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q_user_retention" ->
+      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(e.d AS DATE)) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON f.user_id = e.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -133,6 +133,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_incremental_dedup: pruned scan, corpus side aggregated before the join") {
+    val s = planString(PipelineOps.qIncrementalDedup(spark, dir))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+    assert(s.contains("partial_count"), s) // fingerprint index is partial-agged
+  }
+
+  test("q_user_retention: both aggregations keep map-side partials") {
+    val s = planString(Relational.qUserRetention(spark, dir))
+    assert(s.contains("partial_min") || s.contains("partial_count"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q_lww_dedup_events: window partitions on the dedup key (hash shuffle)") {
     val s = planString(Relational.qLwwDedupEvents(spark, dir))
     assert(s.contains("hashpartitioning(user_id"), s)
