@@ -258,6 +258,28 @@ object Relational {
       .orderBy($"cohort_day", $"day_offset")
   }
 
+  /** Ordered event funnel: users who viewed, then clicked strictly
+    * after their first view, then purchased strictly after their first
+    * click — conversion counting with ORDER, not mere co-occurrence.
+    * One conditional-min aggregation per user (partial-agg friendly,
+    * 3 timestamps of state per user), then a single global count row.
+    * Timestamp comparisons are µs-exact in both engines; NULL step
+    * times drop out of the strict comparisons identically. */
+  def qEventFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firsts = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+    firsts.agg(
+      count($"t_view").as("n_view"),
+      count(when($"t_click" > $"t_view", 1)).as("n_view_click"),
+      count(when($"t_click" > $"t_view" && $"t_buy" > $"t_click", 1))
+        .as("n_view_click_buy"))
+  }
+
   /** Gap-based sessionization: a 30-minute silence starts a new session
     * per user. lag + running sum over (user, time) windows — the
     * cumulative-frame window class (ROWS UNBOUNDED PRECEDING), distinct
@@ -324,6 +346,7 @@ object Relational {
     "q_semi_anti_join" -> qSemiAntiJoin,
     "q_hourly_events" -> qHourlyEvents,
     "q_user_retention" -> qUserRetention,
+    "q_event_funnel" -> qEventFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,5 +475,16 @@ object Relational {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id)
+        |SELECT count(t_view) AS n_view,
+        |  count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END) AS n_view_click_buy
+        |FROM f""".stripMargin,
   )
 }

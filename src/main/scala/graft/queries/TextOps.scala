@@ -143,6 +143,32 @@ object TextOps {
       .limit(20)
   }
 
+  /** Exact length percentiles (p50/p90/p99 of word counts) per
+    * language by rank selection: row_number within lang ordered by
+    * (count, doc_id), pick the ceil(n·p/100)-th row. Exact quantiles
+    * NEED the within-group sort — that is a range-partitioned
+    * distributed sort at scale (the TeraSort shape, linear in data per
+    * node), and the alternative for 100 TB dashboards is a mergeable
+    * sketch (t-digest / KLL) traded for exactness; this op is the
+    * exact form, deterministic down to the doc_id tiebreak so both
+    * engines select the identical row. */
+  def qLengthPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"lang", $"doc_id", size(wordsCol).cast("long").as("nw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"nw", $"doc_id")
+    val ranked = d.withColumn("rn", row_number().over(w))
+    val targets = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .select($"lang", $"n",
+        explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+      .withColumn("target_rn", expr("(n * pct + 99) DIV 100"))
+    ranked.join(targets, Seq("lang"))
+      .filter($"rn" === $"target_rn")
+      .select($"lang", $"pct", $"n", $"nw".as("p_words"))
+      .orderBy($"lang", $"pct")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: md5 of the
@@ -403,6 +429,7 @@ object TextOps {
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
     "q_repetition_ratio" -> qRepetitionRatio,
+    "q_length_percentiles" -> qLengthPercentiles,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash" -> qSimhash,
@@ -484,6 +511,19 @@ object TextOps {
         |                               w -> (length(w) + 3) // 4)) AS BIGINT) AS subword_est,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_length_percentiles" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw
+        |  FROM documents),
+        |r AS (SELECT lang, nw,
+        |    row_number() OVER (PARTITION BY lang ORDER BY nw, doc_id) AS rn
+        |  FROM d),
+        |t AS (SELECT lang, count(*) AS n, unnest([50, 90, 99]) AS pct
+        |      FROM d GROUP BY lang)
+        |SELECT t.lang, CAST(t.pct AS BIGINT) AS pct, t.n,
+        |  r.nw AS p_words
+        |FROM t JOIN r ON r.lang = t.lang AND r.rn = (t.n * t.pct + 99) // 100
+        |ORDER BY t.lang, t.pct""".stripMargin,
     "q_repetition_ratio" ->
       s"""WITH h AS (
         |  SELECT doc_id, ${Hashing.wordHashListSql} AS hs
