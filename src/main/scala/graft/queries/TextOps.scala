@@ -169,6 +169,35 @@ object TextOps {
       .orderBy($"lang", $"pct")
   }
 
+  /** The sketch companion of [[qLengthPercentiles]]: estimate the
+    * median word count per language from a fixed k=64-doc sample
+    * instead of a full sort — the shape a 100 TB dashboard runs. The
+    * "random" sample is the k smallest id-hashes per group (hash-order
+    * reservoir, deterministic ⇒ oracle-checkable, and the literal
+    * rank cap compiles to a map-side WindowGroupLimit so each mapper
+    * ships ≤ k rows per group); the estimate is the exact median of
+    * the sample by rank selection. Exact-sample-median of a uniform
+    * sample is the classic mergeable-quantile scheme in miniature —
+    * per-group state is k rows, independent of corpus size. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 64
+    val d = docs(s, dir)
+      .select($"lang", $"doc_id", size(wordsCol).cast("long").as("nw"))
+    val wSample = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val sample = d.withColumn("srn", row_number().over(wSample))
+      .filter($"srn" <= k) // literal => map-side WindowGroupLimit
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"nw", $"doc_id")
+    val ranked = sample.withColumn("rn", row_number().over(wRank))
+    val sizes = sample.groupBy($"lang").agg(count(lit(1)).as("n_sample"))
+    ranked.join(sizes, Seq("lang"))
+      .filter($"rn" === expr("(n_sample + 1) DIV 2"))
+      .select($"lang", $"n_sample", $"nw".as("p50_est"))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content fingerprint: md5 of the
@@ -430,6 +459,7 @@ object TextOps {
     "q_lang_id" -> qLangId,
     "q_repetition_ratio" -> qRepetitionRatio,
     "q_length_percentiles" -> qLengthPercentiles,
+    "q_quantile_sketch" -> qQuantileSketch,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash" -> qSimhash,
@@ -511,6 +541,22 @@ object TextOps {
         |                               w -> (length(w) + 3) // 4)) AS BIGINT) AS subword_est,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw
+        |  FROM documents),
+        |sample AS (SELECT lang, doc_id, nw FROM (
+        |  SELECT lang, doc_id, nw,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS srn
+        |  FROM d) WHERE srn <= 64),
+        |r AS (SELECT lang, nw,
+        |    row_number() OVER (PARTITION BY lang ORDER BY nw, doc_id) AS rn
+        |  FROM sample),
+        |t AS (SELECT lang, count(*) AS n_sample FROM sample GROUP BY lang)
+        |SELECT t.lang, t.n_sample, r.nw AS p50_est
+        |FROM t JOIN r ON r.lang = t.lang AND r.rn = (t.n_sample + 1) // 2
+        |ORDER BY t.lang""".stripMargin,
     "q_length_percentiles" ->
       """WITH d AS (
         |  SELECT lang, doc_id, CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw
