@@ -133,6 +133,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_quantile_sketch: the k-row sample cap runs as map-side WindowGroupLimit") {
+    val s = planString(TextOps.qQuantileSketch(spark, dir))
+    assert(s.contains("WindowGroupLimit"), s)
+    assert(s.contains("Partial"), s)
+  }
+
   test("q_incremental_dedup: pruned scan, corpus side aggregated before the join") {
     val s = planString(PipelineOps.qIncrementalDedup(spark, dir))
     val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
