@@ -27,9 +27,33 @@ class JsonSpec extends AnyFunSuite {
     // minimal JSON round-trip without a parser dependency: the quoted
     // form must be exactly recoverable by reversing the escapes
     val body = line.stripPrefix("{\"errors\":[\"").stripSuffix("\"]}")
-    val back = body
-      .replace("\\n", "\n").replace("\\r", "\r").replace("\\t", "\t")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
-    assert(back == msg)
+    assert(unescape(body) == msg)
+  }
+
+  test("unescape is a true left-to-right decoder: backslash-then-n survives") {
+    // "\\n" (literal backslash + letter n) must NOT decode to a newline;
+    // a replace-chain that substitutes \n before \\ gets this wrong
+    val msg = "a\\nb" // 4 chars: a, backslash, n, b
+    assert(unescape(Json.quote(msg).drop(1).dropRight(1)) == msg)
+  }
+
+  /** Single-pass left-to-right JSON string-escape decoder (test-only). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n'  => sb += '\n'; i += 2
+          case 'r'  => sb += '\r'; i += 2
+          case 't'  => sb += '\t'; i += 2
+          case '"'  => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'u'  => sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case c    => sb += c; i += 2
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.result()
   }
 }
