@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /** Relational query surface over the driver testdata.
@@ -329,6 +330,163 @@ object Relational {
       .orderBy($"gid", $"status", $"priority")
   }
 
+  /** As-of join without a join: for each purchase, the most recent
+    * click at-or-before it by the same user. Implemented in the
+    * union-window ("piggyback") form: tag both streams, union them, and
+    * take last(click_ts, ignoreNulls) over (user ORDER BY ts, tag) —
+    * ONE hash exchange plus a sort, no range join, no per-key quadratic
+    * probing. At 100 TB this is the shape that wins: a generic
+    * range/ASOF join needs an interval index or per-key buffering,
+    * while the union window is the TeraSort-shaped window Spark
+    * already scales linearly. Clicks order before purchases at equal
+    * timestamps (ord 0 < 1), giving the ASOF `>=` tie contract; a
+    * purchase with no prior click reports gap_us = -1 (left-join
+    * semantics, kept integer to avoid cross-engine NULL/NaN hazards). */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"), $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", lit(0).as("ord"),
+        lit(null).cast("long").as("p_event"), $"ts_us".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", lit(1).as("ord"),
+        $"event_id".as("p_event"), lit(null).cast("long").as("click_ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"ord" === 1)
+      .select($"user_id", $"p_event".as("event_id"),
+        coalesce($"ts_us" - $"last_click", lit(-1L)).as("gap_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Range-join attribution via time-bucketing: clicks in the hour
+    * before each purchase, per purchase. A naive range join is
+    * O(clicks × purchases) per user; bucketing time by the window width
+    * makes it an equi-join on (user, bucket) where each purchase probes
+    * exactly two buckets — candidate volume is bounded by per-bucket
+    * event rate, never by history length, and no (click, purchase)
+    * pair can match through both buckets, so there is no dedup stage.
+    * Zero-click purchases re-enter via a left join on the purchase set. */
+  def qClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val winUs = 3600L * 1000000L
+    val ev = t(s, dir, "events")
+      .select($"user_id", $"event_id", expr("ts_ns div 1000").as("ts_us"), $"event_type")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us".as("c_ts"))
+      .withColumn("bucket", expr("c_ts div 3600000000"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts_us".as("p_ts"))
+    val counts = purchases
+      .withColumn("bucket", explode(array(expr("p_ts div 3600000000"),
+        expr("p_ts div 3600000000 - 1"))))
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter($"c_ts" > $"p_ts" - winUs && $"c_ts" <= $"p_ts")
+      .groupBy($"event_id").agg(count(lit(1)).as("cnt"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .select($"event_id", $"user_id", coalesce($"cnt", lit(0L)).as("n_clicks"))
+      .orderBy($"event_id")
+  }
+
+  /** RANGE-frame rolling window: each user's peak events-per-trailing-
+    * hour. A RANGE frame bounds window state by TIME, not row count —
+    * the frame buffer holds one hour of a user's events no matter how
+    * long the history, the property that keeps window memory flat at
+    * 100 TB. (The ROWS-frame classes are covered by q_sessionize and
+    * q_window_topk_parts; this is the third, value-bounded class.) */
+  def qRollingPeak(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .select($"user_id", expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("c1h", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(max($"c1h").as("peak_1h"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1
+    * aggregates on (key, salt) — a 16-way fan-out of every hot key —
+    * phase 2 combines the partials on the key alone. A single-phase
+    * groupBy on a 5-value key funnels each value through one reducer;
+    * the salt caps any reducer's input at 1/16 of a key. Spark's
+    * map-side partial aggregation usually makes this moot for algebraic
+    * aggregates (documented in SCALE.md); the two-phase form is THE fix
+    * when partial agg is off or per-group state is large (collect_set,
+    * exact distincts). The salt is hash-derived (retry-deterministic,
+    * never rand()), and sums stay decimal-exact across both phases, so
+    * the result is bit-identical to the plain groupBy the oracle runs. */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("n_part"),
+        sum($"value".cast(DecimalType(18, 2))).as("v_part"))
+      .groupBy($"event_type")
+      .agg(sum($"n_part").as("n"), sum($"v_part").cast("double").as("total_value"))
+      .orderBy($"event_type")
+  }
+
+  /** Salted skewed join through [[graft.operators.SaltedJoin]]: the
+    * event log (skewed fact) joins the customer dim on (key, salt),
+    * the dim replicated salts-ways — each hot user's rows spread over
+    * 8 reducers instead of one straggler. The oracle runs the plain
+    * join: salting must be result-invisible. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"user_id", $"value")
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.operators.SaltedJoin.inner(ev, cust, "user_id", 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum2($"value").as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Pivot: order counts per status × priority, priorities as columns.
+    * The EXPLICIT value list matters at scale: with it, pivot is one
+    * aggregation pass (map-side partials, 5 conditional counts per
+    * group); without it Spark first runs a distinct-values job over the
+    * pivot column — an extra full pass that's never acceptable on a
+    * scaling column. Missing cells coalesce to 0. */
+  def qPivotPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prio = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+      "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+      "5-LOW" -> "p5_low")
+    val pivoted = t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot("o_orderpriority", prio.map(_._1))
+      .agg(count(lit(1)))
+    prio.foldLeft(pivoted) { case (df, (v, alias)) =>
+        df.withColumn(alias, coalesce(col(s"`$v`"), lit(0L)))
+      }
+      .select($"o_orderstatus" +: prio.map(p => col(p._2)): _*)
+      .orderBy($"o_orderstatus")
+  }
+
+  /** CUBE over (lang, source): all four grouping sets — per-pair,
+    * per-lang, per-source, grand total — in ONE partial-aggregated
+    * pass (Spark expands the sets with a grouping id and still
+    * combines map-side). grouping() disambiguates real NULLs from
+    * subtotal rows, same contract as [[qRollupOrders]]. */
+  def qCubeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .cube($"lang", $"source")
+      .agg(
+        (grouping($"lang") * 2 + grouping($"source")).cast("long").as("gid"),
+        count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+      .select($"gid", coalesce($"lang", lit("ALL")).as("lang"),
+        coalesce($"source", lit("ALL")).as("source"), $"n_docs", $"total_chars")
+      .orderBy($"gid", $"lang", $"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> qSessionize,
     "q_rollup_orders" -> qRollupOrders,
@@ -347,6 +505,13 @@ object Relational {
     "q_hourly_events" -> qHourlyEvents,
     "q_user_retention" -> qUserRetention,
     "q_event_funnel" -> qEventFunnel,
+    "q_asof_join" -> qAsofJoin,
+    "q_click_attribution" -> qClickAttribution,
+    "q_rolling_peak" -> qRollingPeak,
+    "q_salted_agg" -> qSaltedAgg,
+    "q_salted_join" -> qSaltedJoin,
+    "q_pivot_priority" -> qPivotPriority,
+    "q_cube_docs" -> qCubeDocs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +640,56 @@ object Relational {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the truth spec for the Spark
+    // union-window implementation: >= tie semantics, NULL → -1.
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, coalesce(p.ts_us - c.ts_us, -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    // The oracle runs the naive range join — the bucketed equi-join
+    // must be result-identical to it.
+    "q_click_attribution" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, count(c.ts_us) AS n_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts_us > p.ts_us - 3600000000 AND c.ts_us <= p.ts_us
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q_rolling_peak" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c1h
+        |  FROM e)
+        |SELECT user_id, CAST(max(c1h) AS BIGINT) AS peak_1h, count(*) AS n_events
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Salting must be result-invisible: both salted ops are checked
+    // against the PLAIN aggregation / join.
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube_docs" ->
+      """SELECT CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid,
+        |  coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
     "q_event_funnel" ->
       """WITH f AS (
         |  SELECT user_id,

@@ -291,6 +291,16 @@ object TextOps {
     * screen at scale. */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    simhashSigs(s, dir)
+      .groupBy($"simhash")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
+      .orderBy($"simhash")
+  }
+
+  /** Per-doc 16-bit simhash signature (shared by [[qSimhash]] and
+    * [[qSimhashPairs]]; the oracle twin is `voteSql`/`sigSql` below). */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val words = docs(s, dir)
       .select($"doc_id", explode(array_distinct(wordsCol)).as("w"))
       .withColumn("h", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int"))
@@ -301,9 +311,38 @@ object TextOps {
     words.groupBy($"doc_id")
       .agg(votes.head, votes.tail: _*)
       .select($"doc_id", sig.as("simhash"))
-      .groupBy($"simhash")
-      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_doc"))
-      .orderBy($"simhash")
+  }
+
+  /** All signature pairs within hamming distance 3, via pigeonhole
+    * banding: the 16-bit signature splits into 4 bands of 4 bits, and
+    * any two signatures ≤3 bits apart must agree on at least one whole
+    * band (3 differing bits touch at most 3 of the 4 bands) — so a
+    * band-value equi-join generates EVERY qualifying pair, losslessly,
+    * unlike probabilistic minhash banding. The pairwise stage runs on
+    * the signature GROUP BY's output, never on docs: candidates are
+    * bounded by the signature space (≤2^16 signatures × ≤696 hamming-3
+    * neighbors each, ~22.8M pairs absolute worst case) regardless of
+    * corpus size, which is what makes a pairs listing shippable at
+    * 100 TB when doc-level pair expansion is not. */
+  def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSigs(s, dir)
+      .groupBy($"simhash").agg(count(lit(1)).as("n_docs"))
+    val bands = sigs.select($"simhash", $"n_docs",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright($"simhash", 4 * b).bitwiseAND(15).as("bv"))): _*)).as("x"))
+      .select($"simhash", $"n_docs", $"x.band".as("band"), $"x.bv".as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+        col("a.n_docs").as("na"), col("b.n_docs").as("nb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"sig_a", $"sig_b", $"hamming", ($"na" * $"nb").as("pair_docs"))
+      .orderBy($"sig_a", $"sig_b")
   }
 
   /** N-gram Jaccard dedup with hybrid blocking: the blocking key is
@@ -463,6 +502,7 @@ object TextOps {
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash" -> qSimhash,
+    "q_simhash_pairs" -> qSimhashPairs,
     "q_ngram_jaccard" -> qNgramJaccard,
   )
 
@@ -643,6 +683,27 @@ object TextOps {
          |sig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS simhash FROM v)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_doc
          |FROM sig GROUP BY simhash ORDER BY simhash""".stripMargin,
+    // The pairs oracle is the NAIVE all-pairs hamming filter over the
+    // signature table — the Spark side's pigeonhole banding must be
+    // provably lossless against it (it is: ≤3 differing bits cannot
+    // touch all 4 bands).
+    "q_simhash_pairs" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(string_split_regex(text, '\\s+'))) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 4) AS INTEGER) AS h FROM w),
+         |v AS (SELECT doc_id,
+         |    $voteSql
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sigSql AS BIGINT) AS simhash FROM v),
+         |s AS (SELECT simhash, count(*) AS n_docs FROM sig GROUP BY simhash)
+         |SELECT a.simhash AS sig_a, b.simhash AS sig_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+         |  a.n_docs * b.n_docs AS pair_docs
+         |FROM s a JOIN s b ON a.simhash < b.simhash
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY sig_a, sig_b""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH ws AS (SELECT doc_id, lang, source, string_split_regex(text, '\s+') AS w FROM documents),
         |hb AS (SELECT DISTINCT doc_id, lang, source, md5(w[i+1] || ' ' || w[i+2]) AS hm

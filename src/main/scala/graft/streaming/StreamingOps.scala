@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operator surface over the `events` stream:
@@ -106,4 +106,39 @@ object StreamingOps {
           }
       }
   }
+
+  /** Oracle-gated streaming query: the events table replayed through
+    * the file-stream source into [[hourlyCounts]], collected via a
+    * complete-mode memory sink under Trigger.AvailableNow. The input is
+    * a single file ⇒ one micro-batch ⇒ the watermark never advances
+    * mid-run, so the streaming result equals the batch hourly rollup
+    * exactly — which is precisely what the DuckDB oracle checks. The
+    * memory sink is the harness-side collect point only and holds the
+    * BOUNDED aggregate (hours × event types); a deployment writes the
+    * same plan to a file/Kafka sink partitioned by window, and the
+    * multi-batch/late-data paths are exercised in StreamingOpsSpec. */
+  def qStreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source wants a directory or glob (a bare file
+    // path fails basePath validation); the glob pins it to events.
+    val q = hourlyCounts(eventsStream(s, s"$dir/events.parque[t]"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("graft_stream_hourly").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_hourly").orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_streaming_hourly" -> qStreamingHourly)
+
+  /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
+    * epoch-aligned, so window.start ≡ date_trunc('hour'). */
+  val oracles: Map[String, String] = Map(
+    "q_streaming_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)
 }

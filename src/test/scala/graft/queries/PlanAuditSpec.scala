@@ -3,7 +3,7 @@ package graft.queries
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
 
 /** Physical-plan audits: the properties that make a plan survive a
@@ -28,8 +28,17 @@ class PlanAuditSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  private def collectNodes(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectNodes)) ++ p.subqueries.flatMap(collectNodes)
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    // AQE query stages are leaf nodes whose real subtree hangs off
+    // .plan, not .children — without this case the traversal stops at
+    // every stage boundary and node-presence assertions go vacuous.
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => p.children
+    }
+    (p +: kids.flatMap(collectNodes)) ++ p.subqueries.flatMap(collectNodes)
+  }
 
   test("q1: shipdate filter is pushed to the lineitem parquet scan") {
     val s = planString(Relational.q1PricingSummary(spark, dir))
@@ -185,6 +194,57 @@ class PlanAuditSpec extends AnyFunSuite {
     val s = planString(Relational.q1PricingSummary(spark, dir))
     assert(s.contains("partial_sum"), s)
     assert(s.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2, s)
+  }
+
+  test("q_asof_join: planned as one window pass — no join operator at all") {
+    // The union-window form's whole point: the executed plan must be
+    // scan → union → sort+window → filter, with zero join nodes (a
+    // range/ASOF join would buffer per-key or index intervals).
+    val p = executed(Relational.qAsofJoin(spark, dir))
+    val joins = collectNodes(p).filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.isEmpty, s"as-of join planned a join: ${joins.map(_.nodeName)}")
+    assert(collectNodes(p).exists(_.nodeName.contains("Window")))
+  }
+
+  test("q_click_attribution: bucketed range join stays an equi-join") {
+    val s = planString(Relational.qClickAttribution(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_rolling_peak: window frame is RANGE (time-bounded state)") {
+    val s = planString(Relational.qRollingPeak(spark, dir))
+    assert(s.contains("RANGE BETWEEN") || s.contains("specifiedwindowframe(RangeFrame"), s)
+  }
+
+  test("q_salted_agg: phase-1 aggregate keys include the salt") {
+    val s = planString(Relational.qSaltedAgg(spark, dir))
+    assert(s.contains("salt"), s)
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+  }
+
+  test("q_salted_join: join key carries the salt column") {
+    val s = planString(Relational.qSaltedJoin(spark, dir))
+    assert(s.contains("__graft_salt"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_simhash_pairs: pigeonhole candidates come from a band equi-join") {
+    val s = planString(TextOps.qSimhashPairs(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_cube_docs: grouping sets expand once, aggregation stays partial") {
+    val s = planString(Relational.qCubeDocs(spark, dir))
+    assert(s.contains("Expand"), s)
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+  }
+
+  test("q_pivot_priority: explicit value list keeps pivot a single agg pass") {
+    val s = planString(Relational.qPivotPriority(spark, dir))
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
   }
 
   test("dns scan: partition count equals (pruned) zone count") {
