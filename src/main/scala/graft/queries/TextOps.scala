@@ -227,7 +227,11 @@ object TextOps {
         expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
         .as("s"))
       .select($"doc_id", md5($"s").as("hm"))
-      .distinct()
+    // NOT distinct'd: dedup here would cost a full (doc_id, hm) shuffle
+    // of the widest intermediate in the pipeline. Every consumer is
+    // duplicate-insensitive instead — min() aggregates ignore repeats
+    // and collect_set dedups as it aggregates — so the only shuffle the
+    // shingle set ever takes is the per-doc aggregation itself.
   }
 
   /** 60-bit integer key of a hashed shingle — the verify joins compare
@@ -249,16 +253,23 @@ object TextOps {
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hs = shingles(s, dir)
-    val sh = hs.select($"doc_id", h64.as("h"))
 
-    // ONE per-doc aggregation carries both the minhash signature and
-    // the shingle count: the bands branch and the two size joins then
-    // share an identical subplan, so the exchange is computed once and
-    // reused instead of re-shuffling the shingle set per consumer.
+    // ONE per-doc aggregation carries the minhash signature, the
+    // shingle count, AND the shingle-hash set as an array: bands and
+    // both verify joins consume the same doc_id-partitioned exchange,
+    // so the scan→explode→md5 pipeline and its shuffle run exactly
+    // once (ReusedExchange). The previous shape verified by joining
+    // candidate pairs against the row-per-shingle table twice — two
+    // more full shingle computations plus a pair×shingle shuffle whose
+    // volume scales with candidate count × doc length; the array form
+    // verifies a pair with one in-memory array_intersect, and its
+    // per-row state is bounded by doc length (same order as the text
+    // column itself), never by corpus size.
     val minhashCols = (0 until 8).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
     val perDoc = hs
       .groupBy($"doc_id")
-      .agg(minhashCols.head, (minhashCols.tail :+ count(lit(1)).as("n")): _*)
+      .agg(minhashCols.head, (minhashCols.tail :+ collect_set(h64).as("hs")): _*)
+      .withColumn("n", size($"hs").cast("long")) // distinct-shingle count, free off the set
 
     val bands = perDoc.select($"doc_id", array(
       (0 until 4).map(b => concat(lit(b.toString), lit(":"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*
@@ -267,18 +278,14 @@ object TextOps {
 
     val cand = bucketPairs(capBuckets(bands, MinhashBucketCap))
 
-    val sizes = perDoc.select($"doc_id", $"n")
-    val inter = cand
-      .join(sh.as("sa"), $"sa.doc_id" === $"doc_a")
-      .join(sh.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.as("na"), $"na.doc_id" === $"doc_a")
-      .join(sizes.as("nb"), $"nb.doc_id" === $"doc_b")
-      .select($"doc_a", $"doc_b", $"inter",
-        ($"na.n" + $"nb.n" - $"inter").as("uni"))
+    val sigs = perDoc.select($"doc_id", $"n", $"hs")
+    cand
+      .join(sigs.as("na"), $"na.doc_id" === $"doc_a")
+      .join(sigs.as("nb"), $"nb.doc_id" === $"doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"na.hs", $"nb.hs")).cast("long").as("inter"),
+        ($"na.n" + $"nb.n").as("sz"))
+      .select($"doc_a", $"doc_b", $"inter", ($"sz" - $"inter").as("uni"))
       .filter($"inter" * 2 >= $"uni") // jaccard >= 0.5
       .orderBy($"doc_a", $"doc_b")
   }
@@ -366,14 +373,14 @@ object TextOps {
       .select($"doc_id", $"lang", $"source",
         explode(expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")).as("s"))
       .select($"doc_id", $"lang", $"source", md5($"s").as("hm"))
-      .distinct()
-    val bigrams = hb.select($"doc_id", h64.as("h"))
-
-    // single per-doc aggregation for signature + size (see qMinhashPairs)
+    // un-distinct'd + array verify: same single-aggregation shape as
+    // qMinhashPairs — one doc_id exchange feeds bands and both verify
+    // joins, and the pair×bigram shuffle is gone.
     val minhashCols = (0 until 4).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
     val perDoc = hb
       .groupBy($"doc_id", $"lang", $"source")
-      .agg(minhashCols.head, (minhashCols.tail :+ count(lit(1)).as("n")): _*)
+      .agg(minhashCols.head, (minhashCols.tail :+ collect_set(h64).as("hs")): _*)
+      .withColumn("n", size($"hs").cast("long"))
     val bands = perDoc.select($"doc_id", explode(array(
       (0 until 4).map(b =>
         concat($"lang", lit("|"), $"source", lit(s"|$b:"), col(s"m$b"))): _*
@@ -381,16 +388,14 @@ object TextOps {
 
     val cand = bucketPairs(capBuckets(bands, NgramBlockCap))
 
-    val sizes = perDoc.select($"doc_id", $"n")
-    val inter = cand
-      .join(bigrams.as("sa"), $"sa.doc_id" === $"doc_a")
-      .join(bigrams.as("sb"), $"sb.doc_id" === $"doc_b" && $"sb.h" === $"sa.h")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("na"), $"na.doc_id" === $"doc_a")
-      .join(sizes.as("nb"), $"nb.doc_id" === $"doc_b")
-      .select($"doc_a", $"doc_b", $"inter", ($"na.n" + $"nb.n" - $"inter").as("uni"))
+    val sigs = perDoc.select($"doc_id", $"n", $"hs")
+    cand
+      .join(sigs.as("na"), $"na.doc_id" === $"doc_a")
+      .join(sigs.as("nb"), $"nb.doc_id" === $"doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"na.hs", $"nb.hs")).cast("long").as("inter"),
+        ($"na.n" + $"nb.n").as("sz"))
+      .select($"doc_a", $"doc_b", $"inter", ($"sz" - $"inter").as("uni"))
       .filter($"inter" * 10 >= $"uni" * 3) // jaccard >= 0.3
       .orderBy($"doc_a", $"doc_b")
   }
