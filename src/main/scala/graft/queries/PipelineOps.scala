@@ -311,7 +311,55 @@ object PipelineOps {
       .limit(20)
   }
 
+  /** Sequence packing: docs greedily packed into 256-token context
+    * windows ("bins") per source, in stable doc_id order, via a running
+    * token sum — bin = (cum−1) div budget. The training-data step that
+    * turns a corpus into fixed-size model inputs. One window exchange
+    * on source (the running sum), reused by the bin aggregation —
+    * per-row state is one long, and packing is reproducible because
+    * the order key is the stable id, never arrival order. A 100 TB run
+    * partitions the window by (source, day-bucket) to keep any single
+    * partition's sorted run bounded; the bin arithmetic is unchanged. */
+  def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .select($"source", expr("(cum - 1) div 256").as("bin"), $"n_tok")
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .orderBy($"source", $"bin")
+  }
+
+  /** Vocabulary-coverage audit: share of corpus tokens covered by the
+    * top-16 global vocabulary, per source, in basis points — the
+    * tokenizer-fit / OOV-rate check a pipeline runs before committing
+    * to a vocab. Two passes: a partial-agg word count whose top-K is a
+    * LITERAL bound (so the broadcast is bounded by construction, like
+    * the mix/quantile caps — never by data), then one token→vocab
+    * broadcast left join + per-source aggregate. Integer basis points,
+    * exact under any partitioning. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = docs(s, dir)
+      .select($"source", explode(split($"text", "\\s+")).as("wd"))
+    val vocab = tok.groupBy($"wd").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"wd").limit(16)
+      .select($"wd".as("vw"))
+    tok.join(broadcast(vocab), $"wd" === $"vw", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"), count($"vw").as("n_invocab"))
+      .select($"source", $"n_tokens", $"n_invocab",
+        expr("n_invocab * 10000 div n_tokens").as("coverage_bp"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sequence_pack" -> qSequencePack,
+    "q_vocab_coverage" -> qVocabCoverage,
     "q_mink_hash" -> qMinkHash,
     "q_dataset_mix" -> qDatasetMix,
     "q_split_contamination" -> qSplitContamination,
@@ -332,6 +380,27 @@ object PipelineOps {
   private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
+    "q_sequence_pack" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST((cum - 1) // 256 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY source, bin""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT source, unnest(string_split_regex(text, '\s+')) AS wd FROM documents),
+        |vocab AS (SELECT wd FROM (SELECT wd, count(*) AS n FROM tok GROUP BY 1
+        |          ORDER BY n DESC, wd LIMIT 16)),
+        |cv AS (SELECT source, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN wd IN (SELECT wd FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_invocab
+        |  FROM tok GROUP BY 1)
+        |SELECT source, n_tokens, n_invocab,
+        |  CAST(n_invocab * 10000 // n_tokens AS BIGINT) AS coverage_bp
+        |FROM cv ORDER BY source""".stripMargin,
     "q_dataset_mix" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

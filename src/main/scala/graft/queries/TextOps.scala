@@ -495,7 +495,47 @@ object TextOps {
       .orderBy($"cluster_id")
   }
 
+  /** Collocation extraction: the 20 most-associated word bigrams by
+    * lift — observed bigram count over the count expected from the
+    * marginals — with min support 20. Lift is kept in integer basis
+    * points (n_xy · N · 10⁴ div (n_x · n_y)), so ranking is exact under
+    * any partitioning and engine-portable (no log / PMI floats). One
+    * bigram aggregation feeds everything: the marginals, the corpus
+    * total (broadcast 1-row crossJoin — never an unpartitioned
+    * window), and the support-filtered candidates. The aggregate is
+    * localCheckpoint-materialized: its four consumers push DIFFERENT
+    * null filters into their copies of the subplan, so plain exchange
+    * reuse does not fire and the corpus would be scanned and exploded
+    * four times (asserted gone); the frame is bigram-type-sized
+    * (vocab², sublinear in corpus), so materializing it is the cheap
+    * side of that trade at any scale. The marginal joins are left
+    * unhinted — vocabulary grows (Heaps' law), so AQE picks broadcast
+    * only while it actually fits. */
+  def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bi = docs(s, dir)
+      .select(wordsCol.as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val tot = bi.agg(sum($"n_xy").as("n_bi"))
+    val ux = bi.groupBy($"w1".as("w1x")).agg(sum($"n_xy").as("nx"))
+    val uy = bi.groupBy($"w2".as("w2y")).agg(sum($"n_xy").as("ny"))
+    bi.filter($"n_xy" >= 20)
+      .join(ux, $"w1x" === $"w1")
+      .join(uy, $"w2y" === $"w2")
+      .crossJoin(broadcast(tot))
+      .select($"w1", $"w2", $"n_xy",
+        expr("n_xy * n_bi * 10000 div (nx * ny)").as("lift_bp"))
+      .orderBy($"lift_bp".desc, $"w1", $"w2")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
     "q_text_stats" -> qTextStats,
@@ -653,6 +693,21 @@ object TextOps {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_doc, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    // Positional marginals (first-word / second-word), mirroring the
+    // Spark side; integer-exact lift in basis points.
+    "q_collocations" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |bi AS (SELECT w[i+1] AS w1, w[i+2] AS w2, CAST(count(*) AS BIGINT) AS n_xy
+        |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
+        |       WHERE len(w) >= 2 AND i <= len(w) - 2 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_bi FROM bi),
+        |ux AS (SELECT w1 AS wd, CAST(sum(n_xy) AS BIGINT) AS nx FROM bi GROUP BY 1),
+        |uy AS (SELECT w2 AS wd, CAST(sum(n_xy) AS BIGINT) AS ny FROM bi GROUP BY 1)
+        |SELECT b.w1, b.w2, b.n_xy,
+        |  CAST(b.n_xy * (SELECT n_bi FROM tot) * 10000 // (ux.nx * uy.ny) AS BIGINT) AS lift_bp
+        |FROM bi b JOIN ux ON ux.wd = b.w1 JOIN uy ON uy.wd = b.w2
+        |WHERE b.n_xy >= 20
+        |ORDER BY lift_bp DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $minhashCteSql
          |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni

@@ -125,6 +125,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(unpartitioned.isEmpty, s"unpartitioned WindowExec (single-partition funnel): $s")
   }
 
+  test("q_sequence_pack: the window's exchange is the plan's ONLY hash exchange") {
+    // The (source, bin) aggregation must reuse the running-sum window's
+    // hashpartitioning(source) (partitioning-subset rule) — Spark then
+    // plans it as a single complete aggregation with no second shuffle.
+    val df = PipelineOps.qSequencePack(spark, dir)
+    val nodes = collectNodes(executed(df))
+    val hashExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1, s"expected 1 hash exchange, got ${hashExchanges.size}")
+    val unpartitioned = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "unpartitioned WindowExec")
+  }
+
+  test("q_vocab_coverage: literal-bounded vocab joins by broadcast") {
+    val p = executed(PipelineOps.qVocabCoverage(spark, dir))
+    assert(collectNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), p.toString)
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("q_collocations: bigram aggregate materialized once — no parquet rescan per consumer") {
+    // tot, ux, uy, and the support filter push different null filters
+    // into their subplan copies, so exchange reuse can't fire; the
+    // localCheckpoint must leave the final plan reading the
+    // materialized RDD with ZERO parquet scans.
+    val s = executed(TextOps.qCollocations(spark, dir)).toString
+    assert(!s.contains("FileScan parquet"), s)
+    assert(s.contains("ExistingRDD"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q_repetition_ratio: partial aggregation + pruned scan") {
     val s = planString(TextOps.qRepetitionRatio(spark, dir))
     assert(s.contains("partial_count") || s.contains("partial_max") || s.contains("Partial"), s)
