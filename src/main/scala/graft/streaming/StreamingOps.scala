@@ -131,8 +131,31 @@ object StreamingOps {
     s.table("graft_stream_hourly").orderBy(col("hour_ts"), col("event_type"))
   }
 
+  /** Sliding 2h-window / 1h-slide event counts: each event lands in
+    * exactly two open windows, so state is 2× the tumbling case but
+    * still bounded by (open windows × type cardinality) under the
+    * watermark. Oracle-gated like [[qStreamingHourly]]: a single-file
+    * replay's result must equal the batch computation, which the
+    * DuckDB side expresses by unnesting each event into its two
+    * hourly-aligned window starts. */
+  def qStreamingSliding(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val counts = eventsStream(s, s"$dir/events.parque[t]")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName("graft_stream_sliding").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_sliding").orderBy(col("win_start"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_streaming_hourly" -> qStreamingHourly)
+    "q_streaming_hourly" -> qStreamingHourly,
+    "q_streaming_sliding" -> qStreamingSliding)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -140,5 +163,13 @@ object StreamingOps {
     "q_streaming_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    // A (2h, 1h-slide) window with hourly-aligned starts contains event
+    // t iff start ∈ {trunc_hour(t), trunc_hour(t) − 1h}.
+    "q_streaming_sliding" ->
+      """WITH w AS (SELECT event_type,
+        |    unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        |  FROM events)
+        |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
 }
