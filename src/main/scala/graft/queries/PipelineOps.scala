@@ -302,10 +302,16 @@ object PipelineOps {
           |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
           |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
         .as("whash"))
-    win.groupBy($"whash")
+    // Two-level distinct instead of two countDistinct()s: multiple
+    // distinct aggregates plan an Expand that doubles the exploded
+    // window-hash volume through the shuffle; deduping (whash, split,
+    // doc_id) first partial-aggregates map-side at 1× volume, and the
+    // second rollup's conditional sums are plain partial aggs.
+    win.groupBy($"whash", $"split", $"doc_id").agg(count(lit(1)).as("dup"))
+      .groupBy($"whash")
       .agg(
-        countDistinct(when($"split" === "train", $"doc_id")).as("n_train_docs"),
-        countDistinct(when($"split" === "test", $"doc_id")).as("n_test_docs"))
+        sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train_docs"),
+        sum(when($"split" === "test", 1L).otherwise(0L)).as("n_test_docs"))
       .filter($"n_train_docs" >= 1 && $"n_test_docs" >= 1)
       .orderBy($"n_test_docs".desc, $"whash")
       .limit(20)
