@@ -30,6 +30,10 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
                                  n_bytes: Long, checksum: Long, n_frames: Long)
 
+  /** A resize plan: input dims → aspect-preserving output dims. */
+  final case class MediaResize(doc_id: Long, media_type: String,
+                               in_w: Long, in_h: Long, out_w: Long, out_h: Long)
+
   object MediaDecoder {
     /** STUB decode: real implementation would decompress/decode the
       * payload (??? in a codec-less container). Deterministic fake:
@@ -42,6 +46,30 @@ object Multimodal {
         n_bytes = b.bytes.length.toLong,
         checksum = java.lang.Long.parseLong(hex, 16),
         n_frames = b.bytes.length.toLong / 1000L + 1L)
+    }
+  }
+
+  object MediaResizer {
+    /** Longest output side of the resize stub. Small enough that the
+      * synthetic payload dims (6×8 … 23×25 at the test corpus) exercise
+      * BOTH the downscale and the already-fits branch. */
+    val MaxSide = 12L
+
+    /** STUB resize plan: real implementation reads the codec's actual
+      * dimensions and emits a scaled bitmap (the `???` in a codec-less
+      * container); the fake derives dims from the byte length
+      * (w = ⌊√n⌋, h = ⌈n/w⌉) and plans an aspect-preserving integer
+      * downscale to [[MaxSide]]. All arithmetic is integer-exact (and
+      * IEEE sqrt is correctly rounded, so both engines agree), which is
+      * what lets DuckDB replay the plan bit-for-bit. */
+    def plan(b: MediaBlob): MediaResize = {
+      val n = math.max(b.bytes.length.toLong, 1L)
+      val w = math.max(math.sqrt(n.toDouble).toLong, 1L)
+      val h = (n + w - 1) / w
+      val m = math.max(w, h)
+      if (m <= MaxSide) MediaResize(b.doc_id, b.media_type, w, h, w, h)
+      else MediaResize(b.doc_id, b.media_type, w, h,
+        math.max(w * MaxSide / m, 1L), math.max(h * MaxSide / m, 1L))
     }
   }
 
@@ -100,9 +128,30 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** Resize as a query: the per-partition resize pass (same
+    * mapPartitions batching as decode — one codec context per
+    * partition, payload bytes never shuffle) rolled up to pixel-volume
+    * reduction per media type. */
+  def qMediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobsFromDocuments(s, dir)
+      .mapPartitions { it =>
+        // per-partition codec/scaler init would go here
+        it.map(MediaResizer.plan)
+      }.toDF()
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"in_w" * $"in_h").as("in_px"),
+        sum($"out_w" * $"out_h").as("out_px"))
+      .select($"media_type", $"n_media", $"in_px", $"out_px",
+        expr("out_px * 10000 div in_px").as("reduction_bp"))
+      .orderBy($"media_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_frame_sample" -> qFrameSample,
+    "q_media_resize" -> qMediaResize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,6 +170,24 @@ object Multimodal {
         |SELECT media_type, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(checksum) AS BIGINT) AS sum_checksum, CAST(sum(n_frames) AS BIGINT) AS total_frames
         |FROM feat GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "q_media_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    greatest(CAST(floor(sqrt(CAST(octet_length(encode(text)) AS DOUBLE))) AS BIGINT), 1) AS w,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, media_type, w, CAST((n + w - 1) // w AS BIGINT) AS h FROM dims),
+        |r AS (SELECT doc_id, media_type, w AS in_w, h AS in_h,
+        |    CASE WHEN greatest(w, h) <= 12 THEN w ELSE greatest(w * 12 // greatest(w, h), 1) END AS out_w,
+        |    CASE WHEN greatest(w, h) <= 12 THEN h ELSE greatest(h * 12 // greatest(w, h), 1) END AS out_h
+        |  FROM d2)
+        |SELECT media_type, count(*) AS n_media,
+        |  CAST(sum(in_w * in_h) AS BIGINT) AS in_px, CAST(sum(out_w * out_h) AS BIGINT) AS out_px,
+        |  CAST(sum(out_w * out_h) * 10000 // sum(in_w * in_h) AS BIGINT) AS reduction_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_frame_sample" ->
       """WITH feat AS (
         |  SELECT doc_id,
