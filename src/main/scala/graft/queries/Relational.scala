@@ -487,7 +487,48 @@ object Relational {
       .orderBy($"gid", $"lang", $"source")
   }
 
+  /** FULL OUTER join reconciliation: per-user order activity vs event
+    * activity, classified both/orders_only/events_only — the audit
+    * shape for "which ids exist on which side". Both inputs are
+    * pre-aggregated to one row per key BEFORE the join (partial-agg
+    * map-side), so the full-outer shuffle carries key-cardinality rows,
+    * not raw fact rows, and the rollup output is 3 rows. */
+  def qFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+      .groupBy($"o_custkey".as("o_uid")).agg(count(lit(1)).as("n_orders"))
+    val e = t(s, dir, "events")
+      .groupBy($"user_id".as("e_uid")).agg(count(lit(1)).as("n_events"))
+    o.join(e, $"o_uid" === $"e_uid", "full_outer")
+      .select(
+        when($"o_uid".isNull, "events_only")
+          .when($"e_uid".isNull, "orders_only").otherwise("both").as("side"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .groupBy($"side")
+      .agg(count(lit(1)).as("n_users"), sum($"n_orders").as("total_orders"),
+        sum($"n_events").as("total_events"))
+      .orderBy($"side")
+  }
+
+  /** INTERSECT / EXCEPT set reconciliation between the event-user and
+    * customer id sets, as one row of counts. Spark plans INTERSECT and
+    * EXCEPT as hash semi/anti joins over distinct inputs — same scale
+    * shape as [[qSemiAntiJoin]]; the three 1-row counts combine by
+    * broadcast crossJoin (never a shuffle). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events").select($"user_id").distinct()
+    val c = t(s, dir, "customer").select($"c_custkey".as("user_id")).distinct()
+    val shared = e.intersect(c).agg(count(lit(1)).as("n_shared"))
+    val eOnly = e.except(c).agg(count(lit(1)).as("n_events_only"))
+    val cOnly = c.except(e).agg(count(lit(1)).as("n_customers_only"))
+    shared.crossJoin(broadcast(eOnly)).crossJoin(broadcast(cOnly))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer_join" -> qFullOuterJoin,
+    "q_set_ops" -> qSetOps,
     "q_sessionize" -> qSessionize,
     "q_rollup_orders" -> qRollupOrders,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -515,6 +556,23 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer_join" ->
+      """WITH o AS (SELECT o_custkey AS uid, count(*) AS n_orders FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY 1),
+        |j AS (SELECT CASE WHEN o.uid IS NULL THEN 'events_only'
+        |         WHEN e.uid IS NULL THEN 'orders_only' ELSE 'both' END AS side,
+        |    coalesce(o.n_orders, 0) AS n_orders, coalesce(e.n_events, 0) AS n_events
+        |  FROM o FULL OUTER JOIN e ON o.uid = e.uid)
+        |SELECT side, count(*) AS n_users, CAST(sum(n_orders) AS BIGINT) AS total_orders,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_set_ops" ->
+      """WITH e AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT DISTINCT c_custkey AS user_id FROM customer),
+        |i AS (SELECT count(*) AS n_shared FROM (SELECT user_id FROM e INTERSECT SELECT user_id FROM c)),
+        |xe AS (SELECT count(*) AS n_events_only FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM c)),
+        |xc AS (SELECT count(*) AS n_customers_only FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM e))
+        |SELECT n_shared, n_events_only, n_customers_only FROM i, xe, xc""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |l AS (SELECT user_id, event_id, ts_us,

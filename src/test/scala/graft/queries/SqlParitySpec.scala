@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface parity: the engine is equally drivable through
+  * `spark.sql` — the DataFrame queries and their SQL twins must return
+  * identical rows, and SQL-only constructs (IN / EXISTS / scalar
+  * subqueries) must plan to the same scale-safe shapes (semi joins,
+  * broadcast scalar), never a cartesian. */
+class SqlParitySpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def view(name: String): Unit =
+    Tables.t(spark, dir, name).createOrReplaceTempView(name)
+
+  private lazy val views: Unit =
+    Seq("lineitem", "orders", "customer", "events").foreach(view)
+
+  test("q1 via spark.sql equals the DataFrame plan") {
+    views
+    // The q1 oracle is plain ANSI — the same text runs on Spark SQL.
+    val sql = spark.sql(graft.SparkEntry.oracleSql("q1_pricing_summary"))
+    val df = Relational.q1PricingSummary(spark, dir)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+  }
+
+  test("IN subquery plans as a semi join, not a cartesian") {
+    views
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM orders WHERE o_custkey IN (SELECT user_id FROM events)")
+    val n = q.collect()(0).getLong(0)
+    val expected = Tables.t(spark, dir, "orders")
+      .join(Tables.t(spark, dir, "events").select(org.apache.spark.sql.functions.col("user_id")),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("user_id"), "left_semi")
+      .count()
+    assert(n == expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("SemiJoin") || plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("EXISTS and scalar subqueries execute without cartesian plans") {
+    views
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin)
+    assert(q.collect()(0).getLong(0) > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
