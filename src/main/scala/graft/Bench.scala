@@ -7,9 +7,10 @@ import org.apache.spark.sql.SparkSession
   * query runs once untimed first — whole-stage-codegen compilation and
   * JIT dominate first executions (10-20x on sub-second queries) and
   * would measure the JVM, not the plan. The timed pass then takes the
-  * per-query MINIMUM of two runs: the host shares hardware and a
-  * single run can catch a 10x external stall; the minimum is the
-  * standard least-interference estimator of steady-state plan cost.
+  * per-query MINIMUM of three runs: the host shares hardware and a
+  * single run can catch a 10x external stall (round-5 recorded one at
+  * 3x total); the minimum is the standard least-interference estimator
+  * of steady-state plan cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,7 +41,7 @@ object Bench {
         spark.catalog.clearCache()
         elapsed
       }
-      val timing = try Some(math.min(once(), once()))
+      val timing = try Some(Seq(once(), once(), once()).min)
         catch { case e: Throwable =>
           errors ::= s"$name: ${e.getMessage}"; spark.catalog.clearCache(); None }
       name -> timing.getOrElse(-1.0)
