@@ -19,7 +19,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Connector.queries ++
       graft.queries.TextOps.queries ++ graft.queries.EmbeddingOps.queries ++
       graft.queries.PipelineOps.queries ++ graft.functions.Multimodal.queries ++
-      graft.streaming.StreamingOps.queries
+      graft.queries.Storage.queries ++ graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Connector.oracles ++
       graft.queries.TextOps.oracles ++ graft.queries.EmbeddingOps.oracles ++
       graft.queries.PipelineOps.oracles ++ graft.functions.Multimodal.oracles ++
-      graft.streaming.StreamingOps.oracles
+      graft.queries.Storage.oracles ++ graft.streaming.StreamingOps.oracles
 }

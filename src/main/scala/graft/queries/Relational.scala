@@ -526,7 +526,75 @@ object Relational {
     shared.crossJoin(broadcast(eOnly)).crossJoin(broadcast(cOnly))
   }
 
+  /** CDC changelog apply (the MERGE INTO / upsert shape, and the batch
+    * twin of the connector's IXFR change-log semantics): compact the
+    * change stream to ONE change per key, then apply it to a snapshot.
+    *
+    * Compaction is last-write-wins max_by — one record of state per
+    * key, partial-aggregatable, exactly the sink-side dedup the DNS
+    * connector runs per zone (SURVEY §2.1 #18). The apply is a single
+    * full-outer join on the key: snapshot-only keys are retained,
+    * matched keys take the change (tombstone ⇒ deleted, else updated),
+    * change-only keys insert (tombstone ⇒ no-op). At 100 TB both sides
+    * hash-shuffle once on the key and every downstream MERGE engine
+    * (Delta/Iceberg/Hudi) bottoms out in this exact plan; the output
+    * rolls the per-key outcomes up to a 5-row reconciliation audit. */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Change log: every event upserts `value` onto the user's record;
+    // 'error' is a tombstone. Latest (ts, event_id) per user wins.
+    val change = t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"event_type", $"value"), struct($"ts", $"event_id")).as("ch"))
+      .select($"user_id",
+        when($"ch.event_type" === "error", "DELETE").otherwise("UPSERT").as("action"),
+        $"ch.value".as("new_value"))
+    // The snapshot deliberately covers only part of the key space
+    // (MACHINERY customers are absent, as after a partial backfill):
+    // changes to uncovered keys drive the insert and delete-no-op
+    // outcomes, so all five MERGE classes are exercised, not three.
+    val snap = t(s, dir, "customer")
+      .filter($"c_mktsegment" =!= "MACHINERY")
+      .select($"c_custkey".as("user_id"), $"c_acctbal".as("balance"),
+        lit(1).as("in_snap"))
+    val outcome = when($"action".isNull, "retained")
+      .when($"action" === "DELETE" && $"in_snap".isNotNull, "deleted")
+      .when($"action" === "DELETE", "delete_noop")
+      .when($"in_snap".isNotNull, "updated")
+      .otherwise("inserted")
+    snap.join(change, Seq("user_id"), "full_outer")
+      .select(outcome.as("outcome"),
+        when($"action" === "DELETE", lit(null))
+          .otherwise(coalesce($"new_value", $"balance")).as("fv"))
+      .groupBy($"outcome")
+      .agg(count(lit(1)).as("n_keys"), dsum2(coalesce($"fv", lit(0.0))).as("total_value"))
+      .orderBy($"outcome")
+  }
+
+  /** Equi-depth histogram via ntile: per event type, 10 equal-count
+    * value deciles with their boundaries — the distribution profile a
+    * data-quality dashboard shows per slice. ntile needs a total order
+    * within each partition (ties broken by event_id so both engines
+    * agree), which makes this the third member of the full-sort family:
+    * like q_length_percentiles it sorts each type's rows in one window
+    * partition, honest but skew-prone when type cardinality is low —
+    * at 100 TB the documented alternative is q_quantile_sketch's capped
+    * per-group sample (SCALE.md). The rollup above the window is
+    * partial-aggregated and 10×|types| rows. */
+  def qNtileDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+    t(s, dir, "events")
+      .select($"event_type", $"value", $"event_id")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"event_type", $"decile")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_v"), max($"value").as("max_v"))
+      .orderBy($"event_type", $"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> qCdcApply,
+    "q_ntile_deciles" -> qNtileDeciles,
     "q_full_outer_join" -> qFullOuterJoin,
     "q_set_ops" -> qSetOps,
     "q_sessionize" -> qSessionize,
@@ -556,6 +624,37 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The LWW compaction mirrors q_lww_* (ts DESC, event_id DESC
+    // window); the apply is the same full-outer + CASE classification.
+    "q_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS action,
+        |    value AS new_value
+        |  FROM (SELECT user_id, event_type, value,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1),
+        |s AS (SELECT c_custkey AS user_id, c_acctbal AS balance, 1 AS in_snap
+        |      FROM customer WHERE c_mktsegment <> 'MACHINERY'),
+        |f AS (
+        |  SELECT CASE WHEN action IS NULL THEN 'retained'
+        |              WHEN action = 'DELETE' AND in_snap IS NOT NULL THEN 'deleted'
+        |              WHEN action = 'DELETE' THEN 'delete_noop'
+        |              WHEN in_snap IS NOT NULL THEN 'updated'
+        |              ELSE 'inserted' END AS outcome,
+        |         CASE WHEN action = 'DELETE' THEN NULL
+        |              ELSE coalesce(new_value, balance) END AS fv
+        |  FROM s FULL OUTER JOIN ch USING (user_id))
+        |SELECT outcome, count(*) AS n_keys,
+        |  CAST(sum(CAST(coalesce(fv, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ntile_deciles" ->
+      """SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM (SELECT event_type, value,
+        |        ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_full_outer_join" ->
       """WITH o AS (SELECT o_custkey AS uid, count(*) AS n_orders FROM orders GROUP BY 1),
         |e AS (SELECT user_id AS uid, count(*) AS n_events FROM events GROUP BY 1),

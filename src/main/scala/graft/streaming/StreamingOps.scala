@@ -153,9 +153,29 @@ object StreamingOps {
     s.table("graft_stream_sliding").orderBy(col("win_start"), col("event_type"))
   }
 
+  /** Oracle-gated keyed streaming dedup: [[firstSeen]]'s
+    * flatMapGroupsWithState run over the single-file replay — each
+    * (user_id, event_type) emits exactly its earliest (ts, event_id)
+    * event. One micro-batch means the iterator holds the key's whole
+    * history, so "first in state order" equals "first in event-time
+    * order" and the result matches the batch window oracle exactly;
+    * the multi-batch path (where state, not the iterator, carries
+    * first-ness) is exercised in StreamingOpsSpec. State per key is one
+    * record — the O(1) property that lets this run forever. */
+  def qStreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = firstSeen(s, eventsStream(s, s"$dir/events.parque[t]")).toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_stream_dedup").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_hourly" -> qStreamingHourly,
-    "q_streaming_sliding" -> qStreamingSliding)
+    "q_streaming_sliding" -> qStreamingSliding,
+    "q_streaming_dedup" -> qStreamingDedup)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -171,5 +191,13 @@ object StreamingOps {
         |    unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
         |  FROM events)
         |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type, count(*) AS n
-        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Batch truth for first-per-key: earliest (ts, event_id) window.
+    "q_streaming_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        |  epoch_us(ts) AS first_ts_micros
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |      FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin)
 }

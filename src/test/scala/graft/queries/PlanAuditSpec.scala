@@ -281,6 +281,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("partial_count") || s.contains("Partial"), s)
   }
 
+  test("q_partitioned_prune: returnflag prunes directories, shipdate pushes to row groups") {
+    // The layout's whole point: the partition-column predicate must be
+    // a PartitionFilter (directories never opened), NOT a post-scan
+    // Filter; the range predicate must reach PushedFilters where the
+    // sortWithinPartitions-built row-group stats can skip pages.
+    val s = planString(Storage.qPartitionedPrune(spark, dir))
+    val scanLine = s.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("l_returnflag"), s)
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), s)
+    // the partition column comes from the directory path, not file IO:
+    // the ReadSchema struct (same line as the rest of the scan) must
+    // not list it
+    val readSchema = scanLine.split("ReadSchema:").last
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q_cdc_apply: changelog compaction is partial-aggregated, apply is a single equi-join") {
+    val s = planString(Relational.qCdcApply(spark, dir))
+    assert(s.contains("partial_max_by") || s.contains("Partial"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("FullOuter"), s)
+  }
+
   test("dns scan: partition count equals (pruned) zone count") {
     val bhj = executed(graft.queries.Connector.qDnsRead(spark, dir))
     val bcast = collectNodes(bhj).collect { case b: BroadcastHashJoinExec => b }
