@@ -179,6 +179,83 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** Bloom-filter sizing: 2^20 bits / 3 probe hashes. The bit count is
+    * the deployment dial (m ≈ 1.44·k·n for a target FP rate — at 100 TB
+    * scale it to the corpus fingerprint cardinality; 2^33 bits = 1 GiB
+    * still broadcasts); positions are pmod(xxhash64(fingerprint, i), m)
+    * — computed by ONE shared SQL fragment so the build and probe sides
+    * can never disagree (the false-negative bug class). */
+  private val BloomBits = 1 << 20
+  private val BloomK = 3
+  private def bloomPosSql(i: Int): String =
+    s"pmod(xxhash64(fingerprint, $i), $BloomBits)"
+  private def bloomMightSql: String = (0 until BloomK).map { i =>
+    s"((element_at(bloom, CAST((${bloomPosSql(i)}) div 64 AS INT) + 1) & " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST((${bloomPosSql(i)}) % 64 AS INT))) != 0)"
+  }.mkString(" AND ")
+
+  /** Bloom-fronted ingest gate: the scale path of
+    * [[qIncrementalDedup]]. The corpus's prefix fingerprints build a
+    * fixed-size Bloom filter ([[graft.functions.BitSetAgg]] over shared
+    * hash positions); each incoming batch row probes the broadcast
+    * filter, and ONLY "might contain" rows proceed to the exact
+    * fingerprint join — definite-new rows (the vast majority of a
+    * healthy ingest) never shuffle at all. False positives are
+    * harmless by construction: the exact join clears them, so the
+    * output is identical to the plain join the oracle runs — the same
+    * result-invisibility contract as the salted operators. False
+    * negatives are impossible (bitset OR never loses a bit; position
+    * range is fail-fast checked). At 100 TB the filter is built ONCE,
+    * OR-merged incrementally per ingest day (BitSetAgg.merge is
+    * idempotent), and broadcast at megabytes — vs bucketing-or-
+    * shuffling the full corpus fingerprint index per batch. */
+  def qBloomGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = docs(s, dir)
+      .select($"doc_id", $"lang", bucket.as("b"),
+        expr(Hashing.prefixFingerprintSql(8)).as("fingerprint"))
+    val corpus = fp.filter($"b" < 80)
+      .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing"))
+    val bitset = udaf(new graft.functions.BitSetAgg(BloomBits))
+    val bloom = corpus
+      .select(explode(array((0 until BloomK).map(i => expr(bloomPosSql(i))): _*)).as("pos"))
+      .agg(bitset($"pos").as("bloom"))
+    val probed = fp.filter($"b" >= 80)
+      .crossJoin(broadcast(bloom))
+      .withColumn("might", expr(bloomMightSql))
+    val verified = probed.filter($"might")
+      .join(corpus.select($"fingerprint", lit(1).as("hit")), Seq("fingerprint"), "left")
+    val certainNew = probed.filter(!$"might").withColumn("hit", lit(null).cast("int"))
+    verified.select($"lang", $"hit")
+      .unionByName(certainNew.select($"lang", $"hit"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_batch"), count($"hit").as("n_dup"),
+        (count(lit(1)) - count($"hit")).as("n_new"))
+      .orderBy($"lang")
+  }
+
+  /** Built-in HLL++ sketch audited against the exact distinct count:
+    * approx_count_distinct's relative error must stay within the
+    * configured 5% rsd per group. The audit is the oracle-checkable
+    * part — DuckDB computes the exact counts and the flag must be TRUE
+    * for every group, so an HLL regression turns the row red. HLL
+    * register-max merges are order- and partitioning-independent, so
+    * the flag is deterministic. This is the third sketch next to the
+    * KMV estimator ([[qDistinctEstimate]], integer-exact cross-engine)
+    * and the min-k sample ([[qMinkHash]]): the built-in one a 100 TB
+    * dashboard actually runs, with its error bound enforced rather
+    * than assumed. */
+  def qHllAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_exact"),
+        approx_count_distinct($"user_id", 0.05).as("n_approx"))
+      .select($"event_type", $"n_exact",
+        (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("within_5pct"))
+      .orderBy($"event_type")
+  }
+
   /** Cross-document repeated passages: hash every 8-word window of
     * every doc (the windowed form of the rolling hash — the window set
     * is the semantic; Catalyst evaluates each window in a constant-k
@@ -377,6 +454,8 @@ object PipelineOps {
     "q_quality_score" -> qQualityScore,
     "q_rolling_fingerprint" -> qRollingFingerprint,
     "q_incremental_dedup" -> qIncrementalDedup,
+    "q_bloom_gate" -> qBloomGate,
+    "q_hll_audit" -> qHllAudit,
     "q_common_passages" -> qCommonPassages,
   )
 
@@ -542,6 +621,26 @@ object PipelineOps {
          |SELECT n.doc_id, n.fingerprint, o.n_existing
          |FROM f n JOIN old o ON o.fingerprint = n.fingerprint
          |WHERE n.b >= 80 ORDER BY n.doc_id""".stripMargin,
+    // The Bloom pre-filter must be result-invisible: the oracle is the
+    // PLAIN exact corpus join, no filter anywhere.
+    "q_bloom_gate" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang, $bucketSql AS b,
+         |    ${Hashing.prefixFingerprintDuck(8)} AS fingerprint
+         |  FROM documents),
+         |corpus AS (SELECT DISTINCT fingerprint FROM f WHERE b < 80),
+         |batch AS (SELECT lang, fingerprint FROM f WHERE b >= 80)
+         |SELECT lang, count(*) AS n_batch,
+         |  count(c.fingerprint) AS n_dup,
+         |  count(*) - count(c.fingerprint) AS n_new
+         |FROM batch n LEFT JOIN corpus c ON c.fingerprint = n.fingerprint
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact counts from DuckDB; the within-bound flag must be TRUE —
+    // an HLL drift past its rsd makes the driver row red.
+    "q_hll_audit" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_common_passages" ->
       s"""WITH h AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
          |w AS (

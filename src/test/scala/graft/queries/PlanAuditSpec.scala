@@ -305,6 +305,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("FullOuter"), s)
   }
 
+  test("q_bloom_gate: filter broadcasts, probe is a pre-join filter, exact join is equi") {
+    // The gate's value is WHERE the bloom test runs: the `might`
+    // predicate must sit on the probe side BELOW the exact fingerprint
+    // join (definite-new rows never shuffle), the 1-row filter must
+    // arrive by broadcast, and the verify join must be an equi-join.
+    val p = executed(PipelineOps.qBloomGate(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(collectNodes(p).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        n.isInstanceOf[BroadcastHashJoinExec]), s) // the 1-row bloom crossJoin
+    val joins = collectNodes(p).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // exact fingerprint join may be shuffled or AQE-broadcast at this SF,
+    // but never nested-loop on the fingerprint side
+    assert(joins.forall(_.leftKeys.nonEmpty), s)
+  }
+
   test("dns scan: partition count equals (pruned) zone count") {
     val bhj = executed(graft.queries.Connector.qDnsRead(spark, dir))
     val bcast = collectNodes(bhj).collect { case b: BroadcastHashJoinExec => b }
