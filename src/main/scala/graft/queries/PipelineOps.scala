@@ -256,6 +256,30 @@ object PipelineOps {
       .orderBy($"event_type")
   }
 
+  /** Mergeable-sketch re-aggregation, audited: per-type DataSketches
+    * HLL sketches of the user set union into ONE global sketch whose
+    * estimate must land within 5% of the exact global distinct count
+    * (lgConfigK=12 ⇒ ~1.6% rsd, so the bound has real margin). This is
+    * the pattern that makes 100 TB dashboards cheap — sketch once per
+    * partition/day at ingest, answer any rollup by unioning kilobyte
+    * sketches, never rescanning raw data — and the union step is
+    * exactly what [[qHllAudit]]'s single-level form doesn't exercise.
+    * Register-max unions are order- and partitioning-independent, so
+    * the audit flag is deterministic; the oracle pins it TRUE against
+    * DuckDB's exact count. */
+  def qHllUnionAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val sketches = ev.groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+    val unioned = sketches.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("n_approx"),
+      count(lit(1)).as("n_sketches"))
+    val exact = ev.agg(countDistinct($"user_id").as("n_exact"))
+    exact.crossJoin(broadcast(unioned))
+      .select($"n_exact", $"n_sketches",
+        (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("within_5pct"))
+  }
+
   /** Cross-document repeated passages: hash every 8-word window of
     * every doc (the windowed form of the rolling hash — the window set
     * is the semantic; Catalyst evaluates each window in a constant-k
@@ -456,6 +480,7 @@ object PipelineOps {
     "q_incremental_dedup" -> qIncrementalDedup,
     "q_bloom_gate" -> qBloomGate,
     "q_hll_audit" -> qHllAudit,
+    "q_hll_union_audit" -> qHllUnionAudit,
     "q_common_passages" -> qCommonPassages,
   )
 
@@ -641,6 +666,11 @@ object PipelineOps {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_union_audit" ->
+      """SELECT count(DISTINCT user_id) AS n_exact,
+        |  count(DISTINCT event_type) AS n_sketches,
+        |  TRUE AS within_5pct
+        |FROM events""".stripMargin,
     "q_common_passages" ->
       s"""WITH h AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
          |w AS (

@@ -571,6 +571,29 @@ object Relational {
       .orderBy($"outcome")
   }
 
+  /** Native session windows: Spark's `session_window` (gap-merged
+    * event-time windows) over each user's events — the built-in
+    * operator form of what [[qSessionize]] assembles by hand from
+    * lag + running sum. Same 30-minute gap, so the two queries
+    * cross-check each other's session boundaries through their
+    * independent oracles. session_window aggregates like any groupBy
+    * (hash exchange on user_id, merge-able window state), and the same
+    * expression drives streaming session windows with a watermark —
+    * one more reason the native form is the deployment choice while
+    * the lag/cumsum form remains the explainable fallback. A session
+    * ends `gap` after its LAST event, and an event exactly `gap` after
+    * the previous one starts a NEW session — the oracle replicates
+    * both conventions (`>=` on the gap test, max(ts)+gap as the end). */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("sess_start"), $"sw.end".as("sess_end"),
+        $"n_events")
+      .orderBy($"user_id", $"sess_start")
+  }
+
   /** Equi-depth histogram via ntile: per event type, 10 equal-count
     * value deciles with their boundaries — the distribution profile a
     * data-quality dashboard shows per slice. ntile needs a total order
@@ -594,6 +617,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cdc_apply" -> qCdcApply,
+    "q_session_window" -> qSessionWindow,
     "q_ntile_deciles" -> qNtileDeciles,
     "q_full_outer_join" -> qFullOuterJoin,
     "q_set_ops" -> qSetOps,
@@ -648,6 +672,25 @@ object Relational {
         |SELECT outcome, count(*) AS n_keys,
         |  CAST(sum(CAST(coalesce(fv, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Replays session_window's conventions by hand: a gap of exactly
+    // 30 min starts a new session (>=), and a session ends 30 min
+    // after its last event.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT user_id, event_id, ts, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e),
+        |n AS (SELECT user_id, event_id, ts, ts_us,
+        |    CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM l),
+        |c AS (SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM n)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS sess_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS sess_end,
+        |  count(*) AS n_events
+        |FROM c GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
     "q_ntile_deciles" ->
       """SELECT event_type, CAST(decile AS BIGINT) AS decile, count(*) AS n,
         |  min(value) AS min_v, max(value) AS max_v

@@ -305,6 +305,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("FullOuter"), s)
   }
 
+  test("q_session_window: sessions shard by user_id, no cartesian") {
+    val s = planString(Relational.qSessionWindow(spark, dir))
+    assert(s.contains("hashpartitioning(user_id"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q_bloom_gate: filter broadcasts, probe is a pre-join filter, exact join is equi") {
     // The gate's value is WHERE the bloom test runs: the `might`
     // predicate must sit on the probe side BELOW the exact fingerprint
