@@ -235,22 +235,25 @@ object PipelineOps {
   }
 
   /** Built-in HLL++ sketch audited against the exact distinct count:
-    * approx_count_distinct's relative error must stay within the
-    * configured 5% rsd per group. The audit is the oracle-checkable
-    * part — DuckDB computes the exact counts and the flag must be TRUE
-    * for every group, so an HLL regression turns the row red. HLL
-    * register-max merges are order- and partitioning-independent, so
-    * the flag is deterministic. This is the third sketch next to the
-    * KMV estimator ([[qDistinctEstimate]], integer-exact cross-engine)
-    * and the min-k sample ([[qMinkHash]]): the built-in one a 100 TB
-    * dashboard actually runs, with its error bound enforced rather
-    * than assumed. */
+    * approx_count_distinct at 1% rsd must stay within 5% of exact per
+    * group — a 5-sigma margin, so the flag is a regression tripwire,
+    * not a coin flip (a 5%-rsd sketch against a 5% bound failed one
+    * group at sf0.1: rsd is ONE standard deviation, audit bounds need
+    * real headroom over the sketch's). The audit is the
+    * oracle-checkable part — DuckDB computes the exact counts and the
+    * flag must be TRUE for every group, so HLL drift turns the row
+    * red. Register-max merges are order- and partitioning-independent,
+    * so the flag is deterministic. This is the third sketch next to
+    * the KMV estimator ([[qDistinctEstimate]], integer-exact
+    * cross-engine) and the min-k sample ([[qMinkHash]]): the built-in
+    * one a 100 TB dashboard actually runs, with its error bound
+    * enforced rather than assumed. */
   def qHllAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "events")
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n_exact"),
-        approx_count_distinct($"user_id", 0.05).as("n_approx"))
+        approx_count_distinct($"user_id", 0.01).as("n_approx"))
       .select($"event_type", $"n_exact",
         (abs($"n_approx" - $"n_exact") <= $"n_exact" * 0.05).as("within_5pct"))
       .orderBy($"event_type")
