@@ -262,7 +262,8 @@ object PipelineOps {
   /** Mergeable-sketch re-aggregation, audited: per-type DataSketches
     * HLL sketches of the user set union into ONE global sketch whose
     * estimate must land within 5% of the exact global distinct count
-    * (lgConfigK=12 ⇒ ~1.6% rsd, so the bound has real margin). This is
+    * (lgConfigK=14 ⇒ ~0.8% rsd — >6 sigma under the 5% bound, same
+    * headroom rule the [[qHllAudit]] sf0.1 failure taught). This is
     * the pattern that makes 100 TB dashboards cheap — sketch once per
     * partition/day at ingest, answer any rollup by unioning kilobyte
     * sketches, never rescanning raw data — and the union step is
@@ -273,7 +274,7 @@ object PipelineOps {
   def qHllUnionAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = t(s, dir, "events")
-    val sketches = ev.groupBy($"event_type").agg(hll_sketch_agg($"user_id").as("sk"))
+    val sketches = ev.groupBy($"event_type").agg(hll_sketch_agg($"user_id", 14).as("sk"))
     val unioned = sketches.agg(
       hll_sketch_estimate(hll_union_agg($"sk")).as("n_approx"),
       count(lit(1)).as("n_sketches"))

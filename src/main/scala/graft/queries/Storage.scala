@@ -63,8 +63,40 @@ object Storage {
       .orderBy($"l_linestatus")
   }
 
+  /** Schema evolution across parquet generations: generation 1 writes
+    * orders WITHOUT the priority column, generation 2 (a later ingest,
+    * odd orderkeys) writes WITH it; the read merges the schemas
+    * (`mergeSchema=true` — a FOOTER-ONLY operation, no data rewrite)
+    * and old rows surface the new column as NULL. The query reconciles
+    * both generations in one pass, counting the backfill debt per
+    * status. This is how a 100 TB table adds a column: new files carry
+    * it, old files never rewrite, and the engine presents one logical
+    * schema — exactly the contract the DuckDB oracle replays by
+    * unioning the two generations with an explicit NULL. (mergeSchema
+    * is per-read here; a production deployment pins the merged schema
+    * in the catalog so the footer scan happens once, not per query.) */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "schema_evo")
+    val orders = t(s, dir, "orders")
+    orders.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count($"o_orderpriority").as("n_with_priority"),
+        (count(lit(1)) - count($"o_orderpriority")).as("n_backfill_debt"),
+        dsum2($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_partitioned_prune" -> qPartitionedPrune)
+    "q_partitioned_prune" -> qPartitionedPrune,
+    "q_schema_evolution" -> qSchemaEvolution)
 
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
@@ -75,5 +107,19 @@ object Storage {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1997-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The oracle replays the two generations as a union with an
+    // explicit NULL for the column generation 1 never had.
+    "q_schema_evolution" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  count(o_orderpriority) AS n_with_priority,
+        |  count(*) - count(o_orderpriority) AS n_backfill_debt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
 }
