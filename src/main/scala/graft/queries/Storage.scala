@@ -94,9 +94,53 @@ object Storage {
       .orderBy($"o_orderstatus")
   }
 
+  /** Z-order (Morton) clustering: interleave the bits of the two
+    * filter dimensions (customer key, order day) into one sort key,
+    * range-partition + sort the write by it, and answer a 2-D
+    * range query from the layout.
+    *
+    * Why not just sort by one column: a single-column sort gives
+    * perfect row-group min/max locality on THAT column and none on the
+    * other — a custkey-sorted table scans every file for a date-range
+    * query. Bit interleaving makes row-group extents small in BOTH
+    * dimensions (each successive bit halves one axis), so min/max
+    * stats prune files for either predicate alone or both — this is
+    * the layout Delta/Iceberg `OPTIMIZE ZORDER BY` produces, built
+    * here from 16 codegen'd shift/mask expressions and one
+    * repartitionByRange. The z key is layout-only and dropped before
+    * write; results must equal the raw-table query (oracle), and both
+    * predicates must reach PushedFilters (asserted). Range-boundary
+    * sampling only shapes FILE LAYOUT, never values, so the result is
+    * deterministic at any partitioning. */
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "zorder")
+    val src = t(s, dir, "orders")
+      .withColumn("x", pmod($"o_custkey", lit(1L << 16)))
+      .withColumn("y", pmod(datediff($"o_orderdate", lit("1995-01-01").cast("date"))
+        .cast("long"), lit(1L << 16)))
+    val morton = (0 until 16).map(i =>
+        shiftleft(shiftright($"x", i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright($"y", i).bitwiseAND(1), 2 * i + 1))
+      .reduce(_ + _)
+    src.withColumn("z", morton)
+      .repartitionByRange(8, $"z")
+      .sortWithinPartitions($"z")
+      .drop("x", "y", "z")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_custkey" >= 100 && $"o_custkey" < 200 &&
+        $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("total"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_prune" -> qPartitionedPrune,
-    "q_schema_evolution" -> qSchemaEvolution)
+    "q_schema_evolution" -> qSchemaEvolution,
+    "q_zorder_prune" -> qZorderPrune)
 
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
@@ -121,5 +165,15 @@ object Storage {
         |  count(o_orderpriority) AS n_with_priority,
         |  count(*) - count(o_orderpriority) AS n_backfill_debt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Clustering must be result-invisible: the oracle runs the 2-D
+    // range query on the RAW table.
+    "q_zorder_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_custkey >= 100 AND o_custkey < 200
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

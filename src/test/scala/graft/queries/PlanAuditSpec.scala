@@ -297,6 +297,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("q_zorder_prune: both range predicates reach PushedFilters") {
+    // Z-ordering's contract: min/max row-group stats can serve EITHER
+    // dimension, so both predicates must be pushed into the scan.
+    // (Read the scan node's metadata — the plan string truncates long
+    // PushedFilters lists.)
+    val p = executed(Storage.qZorderPrune(spark, dir))
+    val pushed = collectNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_custkey"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"), pushed)
+  }
+
   test("q_cdc_apply: changelog compaction is partial-aggregated, apply is a single equi-join") {
     val s = planString(Relational.qCdcApply(spark, dir))
     assert(s.contains("partial_max_by") || s.contains("Partial"), s)
