@@ -80,6 +80,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming session_window equals the batch session windows") {
+    import spark.implicits._
+    // The same session_window expression that drives q_session_window,
+    // under a watermark in a real stream. Session-window aggregations
+    // support complete/append only (update would emit partially-merged
+    // sessions); complete's snapshot after the single-batch replay
+    // must equal the batch computation row-for-row.
+    val q = StreamingOps.eventsStream(spark, streamDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("sess_start"), $"sw.end".as("sess_end"),
+        $"n_events")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("session_stream")
+    val batch = graft.queries.Relational.qSessionWindow(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
