@@ -137,10 +137,44 @@ object Storage {
       .orderBy($"o_orderstatus")
   }
 
+  /** Bucketed replica checksum — the anti-entropy audit: every row
+    * hashes to a 60-bit fingerprint (md5 over a canonical rendering of
+    * its fields), rows bucket by key hash, and each bucket reduces to
+    * (count, XOR of fingerprints). XOR is commutative, associative,
+    * and self-inverse, so the checksum is independent of row order AND
+    * partitioning, overflow-free, and any single-row difference flips
+    * it. Two replicas of a 100 TB table compare by exchanging
+    * #buckets tiny rows instead of data — equal checksums end the
+    * audit, a differing bucket scopes the repair scan to itself
+    * (coarse-level merkle descent; deepen by re-running with more
+    * buckets over the suspect range). Doubles are rendered via
+    * integer micro-units, never engine-specific float formatting, so
+    * the oracle reproduces every fingerprint bit-for-bit. */
+  def qReplicaChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canonical = concat_ws("|",
+      $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+      $"o_orderstatus", $"o_orderpriority",
+      // NTZ → UTC timestamp (session TZ is pinned UTC) for micros
+      unix_micros($"o_orderdate".cast("timestamp")).cast("string"),
+      // round() before the integer cast: price*100 sits within 1e-9 of
+      // an integer, and Spark's double→long cast TRUNCATES where
+      // DuckDB's ROUNDS — rounding first makes both engines land on
+      // the same micro-unit integer
+      round($"o_totalprice" * 100).cast("long").cast("string"))
+    t(s, dir, "orders")
+      .select(pmod($"o_orderkey", lit(16)).as("bucket"),
+        conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_prune" -> qPartitionedPrune,
     "q_schema_evolution" -> qSchemaEvolution,
-    "q_zorder_prune" -> qZorderPrune)
+    "q_zorder_prune" -> qZorderPrune,
+    "q_replica_checksum" -> qReplicaChecksum)
 
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
@@ -175,5 +209,18 @@ object Storage {
         |WHERE o_custkey >= 100 AND o_custkey < 200
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The "other replica": DuckDB reproduces every row fingerprint
+    // from the same canonical rendering — equal checksums per bucket
+    // IS the audit passing.
+    "q_replica_checksum" ->
+      """WITH r AS (SELECT o_orderkey % 16 AS bucket,
+        |    CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |      o_orderstatus, o_orderpriority,
+        |      CAST(epoch_us(o_orderdate) AS VARCHAR),
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -104,6 +104,66 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("foreachBatch incremental CDC merge equals the batch LWW compaction") {
+    import spark.implicits._
+    // The streaming form of the CDC apply (q_cdc_apply): the change
+    // log arrives in micro-batches and foreachBatch MERGEs each one
+    // into a keyed state table — compact the batch to one change per
+    // key first (max_by), then last-write-wins against existing state.
+    // After replaying the log split across two batches, the state must
+    // equal the single-shot batch compaction; batch-boundary placement
+    // must be invisible. (The driver-side map is the test's stand-in
+    // upsert sink; a deployment merges into a keyed store/table.)
+    val d = java.nio.file.Files.createTempDirectory("events-cdc-stream")
+    val ev = graft.queries.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        expr("ts_ns div 1000").as("ts_us"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("cdc-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, d.resolve(name))
+    }
+    stage(ev.filter($"event_id" % 2 === 0), "a.parquet")
+    stage(ev.filter($"event_id" % 2 === 1), "b.parquet")
+
+    val state = scala.collection.mutable.Map[Long, (Long, Long, String, Double)]()
+    var batches = 0
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        batch.groupBy($"user_id")
+          .agg(max_by(struct($"ts_us", $"event_id", $"event_type", $"value"),
+            struct($"ts_us", $"event_id")).as("ch"))
+          .select($"user_id", $"ch.ts_us", $"ch.event_id", $"ch.event_type", $"ch.value")
+          .collect().foreach { r =>
+            val (u, ts, eid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+            val newer = state.get(u).forall(s =>
+              Ordering.Tuple2[Long, Long].gt((ts, eid), (s._1, s._2)))
+            if (newer) state(u) = (ts, eid, r.getString(3), r.getDouble(4))
+          }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+    val expected = ev.groupBy($"user_id")
+      .agg(max_by(struct($"ts_us", $"event_id", $"event_type", $"value"),
+        struct($"ts_us", $"event_id")).as("ch"))
+      .select($"user_id", $"ch.ts_us", $"ch.event_id", $"ch.event_type", $"ch.value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))).toMap
+    assert(state.toMap == expected)
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
