@@ -265,7 +265,34 @@ object EmbeddingOps {
   def qIvfRecall(s: SparkSession, dir: String): DataFrame =
     recallAudit(s, dir, truthK = 3, approx = qIvfAnn(s, dir))
 
+  /** Cross-modal near-dup audit: every TEXT-verified near-dup pair
+    * (minhash + exact-Jaccard, [[TextOps.qMinhashPairs]]) annotated
+    * with its EMBEDDING-space agreement (integer dot + norms). The two
+    * signals come from independent pipelines over independent columns,
+    * so their agreement calibrates how aggressively either can be
+    * trusted alone — and DISAGREEMENT is the finding: on this corpus
+    * the embeddings do not separate the injected text duplicates from
+    * background pairs (max natural cosine ≈ 0.5), exactly what this
+    * audit exists to surface before anyone dedups 100 TB on embeddings
+    * alone. Scale shape: the pair set is the (duplicate-density-sized)
+    * minhash output; attaching vectors is two vec_id equi-joins. The
+    * oracle nests the minhash oracle verbatim, like the recall audits. */
+  def qNeardupXmodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.qMinhashPairs(s, dir)
+      .select($"doc_a", $"doc_b", $"inter", $"uni")
+    val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
+    pairs
+      .join(v.as("xa"), $"xa.vec_id" === $"doc_a")
+      .join(v.as("xb"), $"xb.vec_id" === $"doc_b")
+      .select($"doc_a", $"doc_b", $"inter", $"uni",
+        dot(s, "xa.q", "xb.q").as("dot"),
+        $"xa.nsq".as("na"), $"xb.nsq".as("nb"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neardup_xmodal" -> qNeardupXmodal,
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
     "q_ann_lsh" -> qAnnLsh,
@@ -308,6 +335,24 @@ object EmbeddingOps {
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
   val oracles: Map[String, String] = baseOracles ++ Map(
+    // Nests the minhash oracle verbatim (recall-audit pattern), then
+    // replays the quantized dot/norm arithmetic per surviving pair.
+    "q_neardup_xmodal" ->
+      s"""WITH mh AS (${TextOps.oracles("q_minhash_pairs")}),
+         |v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
+         |terms AS (
+         |  SELECT mh.doc_a, mh.doc_b, mh.inter, mh.uni, unnest(av.q) AS x, unnest(bv.q) AS y
+         |  FROM mh JOIN v av ON av.vec_id = mh.doc_a
+         |          JOIN v bv ON bv.vec_id = mh.doc_b),
+         |dots AS (
+         |  SELECT doc_a, doc_b, inter, uni, CAST(sum(x * y) AS BIGINT) AS dot
+         |  FROM terms GROUP BY 1, 2, 3, 4)
+         |SELECT d.doc_a, d.doc_b, d.inter, d.uni, d.dot,
+         |  na.nsq AS na, nb.nsq AS nb
+         |FROM dots d JOIN n na ON na.vec_id = d.doc_a
+         |            JOIN n nb ON nb.vec_id = d.doc_b
+         |ORDER BY d.doc_a, d.doc_b""".stripMargin,
     "q_ann_recall" -> recallOracle(5, baseOracles("q_ann_lsh")),
     "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")))
 
