@@ -259,6 +259,47 @@ object PipelineOps {
       .orderBy($"event_type")
   }
 
+  /** The capstone composition: the corpus-to-training-set pipeline as
+    * ONE query — length floor → stopword-ratio quality gate → exact
+    * dedup (canonical-min per normalized-text fingerprint) → near-dup
+    * drop (greedy larger-id of every minhash-verified pair, the
+    * funnel's rule) → deterministic split assignment → per-(split,
+    * lang) document and token accounting. Every stage is an operator
+    * this library verifies separately; the composition is what a user
+    * actually ships, and it stays one declarative plan: Catalyst fuses
+    * the per-doc stages into the scan projection, the dedup is one
+    * fingerprint exchange plus a semi-join, the near-dup drop is an
+    * anti-join against the (duplicate-density-sized) pair set, and
+    * the rollup is a bounded partial agg. At sf0.01: 500 raw → 457
+    * length-pass → 290 quality-pass → minus dup drops — every gate
+    * demonstrably bites. The oracle nests the minhash-pairs oracle
+    * verbatim and replays each stage as a CTE. */
+  def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = "array('the','a','of','and','to','in','is','it')"
+    val stats = docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", "\\s+")).cast("long").as("nw"),
+        expr(s"CAST(size(filter(split(text, '\\\\s+'), x -> array_contains($stopArr, x))) AS BIGINT)")
+          .as("nstop"),
+        md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"),
+        bucket.as("b"))
+    val quality = stats
+      .filter($"nw" >= 20)
+      .withColumn("stop_bp", expr("(10000 * nstop) DIV nw"))
+      .filter($"stop_bp" >= 500)
+    val canon = quality.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    val exact = quality.join(canon.select($"doc_id"), Seq("doc_id"), "left_semi")
+    val nearDupDrops = graft.queries.TextOps.qMinhashPairs(s, dir)
+      .select($"doc_b".as("doc_id")).distinct()
+    exact.join(nearDupDrops, Seq("doc_id"), "left_anti")
+      .select($"lang", $"nw",
+        when($"b" < 10, "test").when($"b" < 20, "val").otherwise("train").as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
   /** Mergeable-sketch re-aggregation, audited: per-type DataSketches
     * HLL sketches of the user set union into ONE global sketch whose
     * estimate must land within 5% of the exact global distinct count
@@ -483,6 +524,7 @@ object PipelineOps {
     "q_rolling_fingerprint" -> qRollingFingerprint,
     "q_incremental_dedup" -> qIncrementalDedup,
     "q_bloom_gate" -> qBloomGate,
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_hll_audit" -> qHllAudit,
     "q_hll_union_audit" -> qHllUnionAudit,
     "q_common_passages" -> qCommonPassages,
@@ -664,6 +706,27 @@ object PipelineOps {
          |  count(*) - count(c.fingerprint) AS n_new
          |FROM batch n LEFT JOIN corpus c ON c.fingerprint = n.fingerprint
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Each pipeline stage is a CTE; the near-dup pair set nests the
+    // minhash oracle verbatim (the recall-audit pattern).
+    "q_corpus_pipeline" ->
+      s"""WITH mh AS (${graft.queries.TextOps.oracles("q_minhash_pairs")}),
+         |stats AS (SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nw,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS nstop,
+         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         |    $bucketSql AS b
+         |  FROM documents),
+         |q AS (SELECT *, (10000 * nstop) // nw AS stop_bp FROM stats WHERE nw >= 20),
+         |q2 AS (SELECT * FROM q WHERE stop_bp >= 500),
+         |exact AS (SELECT * FROM q2
+         |          WHERE doc_id IN (SELECT min(doc_id) FROM q2 GROUP BY fp)),
+         |surv AS (SELECT * FROM exact
+         |         WHERE doc_id NOT IN (SELECT doc_b FROM mh))
+         |SELECT CASE WHEN b < 10 THEN 'test' WHEN b < 20 THEN 'val'
+         |            ELSE 'train' END AS split,
+         |  lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+         |FROM surv GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Exact counts from DuckDB; the within-bound flag must be TRUE —
     // an HLL drift past its rsd makes the driver row red.
     "q_hll_audit" ->

@@ -319,6 +319,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("FullOuter"), s)
   }
 
+  test("q_corpus_pipeline: one fused plan — semi/anti dedup joins, no cartesian") {
+    // The capstone must stay declarative: per-doc stages fuse into the
+    // scan projection, dedup is a semi-join, the near-dup drop an
+    // anti-join — never a nested loop or a collect-driven stage.
+    val s = planString(PipelineOps.qCorpusPipeline(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("LeftSemi"), s)
+    assert(s.contains("LeftAnti"), s)
+  }
+
   test("q_session_window: sessions shard by user_id, no cartesian") {
     val s = planString(Relational.qSessionWindow(spark, dir))
     assert(s.contains("hashpartitioning(user_id"), s)
