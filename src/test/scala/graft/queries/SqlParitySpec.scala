@@ -25,6 +25,17 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.collect().toSeq == df.collect().toSeq)
   }
 
+  test("the CDC merge oracle runs verbatim on Spark SQL and matches the DataFrame plan") {
+    views
+    // The merge is CTE-heavy ANSI (windows, FULL OUTER JOIN USING,
+    // CASE classification) — the exact oracle text must execute on
+    // Spark SQL and reproduce the DataFrame result row-for-row,
+    // decimal-exact doubles included.
+    val sql = spark.sql(graft.SparkEntry.oracleSql("q_cdc_apply"))
+    val df = Relational.qCdcApply(spark, dir)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+  }
+
   test("IN subquery plans as a semi join, not a cartesian") {
     views
     val q = spark.sql(
