@@ -57,6 +57,36 @@ object Connector {
        |  'z'||j||'.graft.' AS zone
        |FROM h ORDER BY zone, fqdn""".stripMargin
 
+  /** Zone-pruned read: four zones registered, ONE requested via an
+    * ordinary `filter` — the zone-equality predicate reaches the
+    * connector's `SupportsPushDownFilters`, which plans one
+    * InputPartition and runs ONE zone transfer instead of four
+    * (asserted partition-level in ReadConnectorSpec; this query makes
+    * the pruned RESULT part of the official oracle gate). Pruning
+    * whole transfers is the connector's only meaningful scan
+    * optimization — at a large zone count it is the difference
+    * between O(zones) network transfers and O(requested). */
+  def qDnsZonePruned(s: SparkSession, dir: String): DataFrame = {
+    val port = 5604
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .filter(col("zone") === "z2.graft.")
+      .select("action", "fqdn", "ip", "zone")
+      .orderBy("fqdn")
+  }
+
+  private val qDnsZonePrunedOracle: String =
+    """SELECT 'AXFR' AS action, 'h'||i||'.z2.graft.' AS fqdn,
+      |  '10.2.0.'||i AS ip, 'z2.graft.' AS zone
+      |FROM (SELECT unnest(generate_series(0, 11)) AS i)
+      |ORDER BY fqdn""".stripMargin
+
   /** Write-then-read round trip through BOTH connectors: a formulaic
     * update log (adds, deletes of seeded records, add/delete flips on
     * the same identity at different timestamps) written via
@@ -199,12 +229,14 @@ object Connector {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
+    "q_dns_zone_pruned" -> qDnsZonePruned,
     "q_dns_roundtrip" -> qDnsRoundtrip,
     "q_dns_ixfr" -> qDnsIxfr,
   )
 
   val oracles: Map[String, String] = Map(
     "q_dns_read" -> qDnsReadOracle,
+    "q_dns_zone_pruned" -> qDnsZonePrunedOracle,
     "q_dns_roundtrip" -> qDnsRoundtripOracle,
     "q_dns_ixfr" -> qDnsIxfrOracle,
   )
