@@ -54,12 +54,21 @@ object Bench {
     // there are errors to report.
     val errJson = errors.reverse.map(Json.quote).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The per-query map has grown past what the driver's output tail
+    // buffer retains (~3.5 KB at 84 queries): four rounds running the
+    // full line was captured starting mid-map and failed to parse. So
+    // the ABSOLUTE last line on both streams is a compact summary with
+    // no per-query map — it fits any tail buffer. The full line still
+    // goes out first on both streams and to bench.json for humans and
+    // for the per-query history.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir"}"""
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three
     // rounds running. Emit it on all three channels: stdout, a known
     // file, and (last, after Spark is stopped so no WARN can trail it)
-    // stderr as the final line of the process.
+    // stderr as the final lines of the process.
     println(line)
+    println(compact)
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")).toAbsolutePath
@@ -70,6 +79,7 @@ object Bench {
     spark.stop()
     System.out.flush()
     System.err.println(line)
+    System.err.println(compact)
     System.err.flush()
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.dns._
 
@@ -18,15 +19,26 @@ object Connector {
   private val Host = "verify-dns"
   private val TsMicros = 1723400000000000L
 
-  /** Zones z0..z3; zone j holds hosts h0..h(9+j) with formulaic IPs. */
-  private def seedReadFixture(port: Int): Unit = {
-    InMemoryDnsServer.reset(Host, port)
-    val srv = InMemoryDnsServer.at(Host, port)
+  /** Zones z0..z3; zone j holds hosts h0..h(9+j) with formulaic IPs.
+    * Parameterized by target server so the in-memory and wire paths
+    * share one fixture — and therefore one oracle. */
+  private def seedReadZones(srv: InMemoryDnsServer): Unit =
     (0 to 3).foreach { j =>
       srv.addZone(s"z$j.graft.",
         (0 to 9 + j).map(i => ARecord(s"h$i.z$j.graft.", s"10.$j.0.$i")))
     }
+
+  private def seedReadFixture(port: Int): Unit = {
+    InMemoryDnsServer.reset(Host, port)
+    seedReadZones(InMemoryDnsServer.at(Host, port))
   }
+
+  /** One loopback wire server per JVM (real TCP on an ephemeral
+    * 127.0.0.1 port, daemon accept thread). Queries re-seed its backing
+    * zones on every call — addZone replaces whole-zone state, so
+    * repeated Verify/Bench runs are idempotent. Single-process
+    * assumption, same as the in-memory registry. */
+  private lazy val wire: WireDnsServer = WireDnsServer.start()
 
   /** Full batch read through spark.read.format("dns"): registry →
     * table → one partition per zone → AXFR rows. */
@@ -87,6 +99,29 @@ object Connector {
       |FROM (SELECT unnest(generate_series(0, 11)) AS i)
       |ORDER BY fqdn""".stripMargin
 
+  /** The same full read through the WIRE client: executors open real
+    * TCP sockets to the loopback [[WireDnsServer]] and speak RFC
+    * 1035/5936 — message encode, TCP framing, compression-pointer-aware
+    * decode, multi-message AXFR termination — instead of calling the
+    * in-memory registry. Identical fixture ⇒ identical oracle: the two
+    * transports must be result-indistinguishable, which is exactly the
+    * contract that lets `client=wire` point at a standards-compliant
+    * server on a real cluster (the role dnsjava plays in the reference,
+    * Xfr.java:37-50). */
+  def qDnsWireRead(s: SparkSession, dir: String): DataFrame = {
+    seedReadZones(wire.backing)
+    s.read.format("dns")
+      .option("server", wire.host).option("port", wire.port.toString)
+      .option("client", "wire")
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("action", "fqdn", "ip", "organization", "timestamp", "zone")
+      .orderBy("zone", "fqdn")
+  }
+
   /** Write-then-read round trip through BOTH connectors: a formulaic
     * update log (adds, deletes of seeded records, add/delete flips on
     * the same identity at different timestamps) written via
@@ -106,15 +141,41 @@ object Connector {
   def qDnsRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val port = 5602
     InMemoryDnsServer.reset(Host, port)
-    val srv = InMemoryDnsServer.at(Host, port)
+    seedRoundtripZones(InMemoryDnsServer.at(Host, port))
+    // The SCALE write path: one hash exchange on the derived zone puts
+    // each zone's entire update set in one task → exactly one RFC 2136
+    // message per zone, LWW-deduped over the full zone history — the
+    // same deterministic final state a coalesce(1) would give, without
+    // serializing the write to one task.
+    graft.sources.dns.write.DnsWrites.repartitionByZone(roundtripUpdates(s))
+      .write.format("dns_update")
+      .option("server", Host).option("port", port.toString)
+      .mode("append").save()
+
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "w0.graft,w1.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("fqdn", "ip", "zone")
+      .orderBy("zone", "fqdn", "ip")
+  }
+
+  private def seedRoundtripZones(srv: InMemoryDnsServer): Unit =
     (0 to 1).foreach { j =>
       srv.addZone(s"w$j.graft.", (0 to 9).map(k => ARecord(s"seed$k.w$j.graft.", s"10.88.$j.$k")))
     }
+
+  /** The formulaic roundtrip update log (adds, deletes of seeded
+    * records, add/delete flips on the same identity at different
+    * timestamps), shared between the in-memory and wire roundtrips. */
+  private def roundtripUpdates(s: SparkSession): DataFrame = {
     import s.implicits._
     val j = $"id" % 2
     val k = $"id" % 15
     val firstHalf = $"id" < 30
-    val updates = s.range(60).select(
+    s.range(60).select(
       when(k <= 4, DnsAction.IxfrAdd)
         .when(k <= 9, DnsAction.IxfrDelete)
         .when(k <= 12, when(firstHalf, DnsAction.IxfrAdd).otherwise(DnsAction.IxfrDelete))
@@ -132,18 +193,25 @@ object Connector {
         .as("ip"),
       timestamp_micros(lit(TsMicros + 1000000L) + $"id").as("timestamp"),
       lit(3600).cast("int").as("ttl"))
-    // The SCALE write path: one hash exchange on the derived zone puts
-    // each zone's entire update set in one task → exactly one RFC 2136
-    // message per zone, LWW-deduped over the full zone history — the
-    // same deterministic final state a coalesce(1) would give, without
-    // serializing the write to one task.
-    graft.sources.dns.write.DnsWrites.repartitionByZone(updates)
+  }
+
+  /** The identical roundtrip through the WIRE transport on both legs:
+    * every partition's RFC 2136 update message is encoded, TCP-framed,
+    * decoded and applied by the loopback server (adds as class-IN RRs,
+    * deletes as class-NONE, rcode checked — wire.scala), and the final
+    * state is read back over a wire AXFR. Same update log, same oracle
+    * as [[qDnsRoundtrip]]: transport must never change results. */
+  def qDnsWireRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    seedRoundtripZones(wire.backing)
+    graft.sources.dns.write.DnsWrites.repartitionByZone(roundtripUpdates(s))
       .write.format("dns_update")
-      .option("server", Host).option("port", port.toString)
+      .option("server", wire.host).option("port", wire.port.toString)
+      .option("client", "wire")
       .mode("append").save()
 
     s.read.format("dns")
-      .option("server", Host).option("port", port.toString)
+      .option("server", wire.host).option("port", wire.port.toString)
+      .option("client", "wire")
       .option("organization", "graft").option("zones", "w0.graft,w1.graft")
       .option("xfr", "AXFR")
       .option("fixed-timestamp-micros", TsMicros.toString)
@@ -190,10 +258,19 @@ object Connector {
     * deletes-before-adds flattening order (made hash-stable here by the
     * ord column, mirroring q_union_changes). */
   def qDnsIxfr(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val port = 5603
     InMemoryDnsServer.reset(Host, port)
-    val srv = InMemoryDnsServer.at(Host, port)
+    seedIxfrZone(InMemoryDnsServer.at(Host, port))
+    ixfrProjection(s, s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "x.graft")
+      .option("xfr", "IXFR").option("serial", "1")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load())
+  }
+
+  /** Zone at serial 3 with a two-delta journal since serial 1. */
+  private def seedIxfrZone(srv: InMemoryDnsServer): Unit = {
     srv.addZone("x.graft.", (0 to 4).map(k => ARecord(s"h$k.x.graft.", s"10.0.0.$k")))
     // serial 1 → 2: add h5..h7, delete h0
     srv.update("x.graft.",
@@ -203,16 +280,31 @@ object Connector {
     srv.update("x.graft.",
       Seq(ARecord("h8.x.graft.", "10.0.0.8")),
       (1 to 2).map(k => ARecord(s"h$k.x.graft.", s"10.0.0.$k")))
+  }
 
-    s.read.format("dns")
-      .option("server", Host).option("port", port.toString)
+  private def ixfrProjection(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select($"action", $"fqdn", $"ip",
+        when($"action" === DnsAction.IxfrDelete, 0).otherwise(1).as("ord"))
+      .orderBy($"ord", $"fqdn")
+  }
+
+  /** The same IXFR through the wire: the hardest stretch of the codec
+    * under the oracle gate — the server serializes the RFC 1995 delta
+    * sequence (SOA(new), then per delta SOA(old) deletes SOA(mid) adds,
+    * closing SOA(new)) and [[WireTransferClient.parseTransfer]] must
+    * reconstruct the exact delta structure from the flat RR stream,
+    * including the client-SOA-in-authority request encoding. Same
+    * journal, same oracle as [[qDnsIxfr]]. */
+  def qDnsWireIxfr(s: SparkSession, dir: String): DataFrame = {
+    seedIxfrZone(wire.backing)
+    ixfrProjection(s, s.read.format("dns")
+      .option("server", wire.host).option("port", wire.port.toString)
+      .option("client", "wire")
       .option("organization", "graft").option("zones", "x.graft")
       .option("xfr", "IXFR").option("serial", "1")
       .option("fixed-timestamp-micros", TsMicros.toString)
-      .load()
-      .select($"action", $"fqdn", $"ip",
-        when($"action" === DnsAction.IxfrDelete, 0).otherwise(1).as("ord"))
-      .orderBy($"ord", $"fqdn")
+      .load())
   }
 
   private val qDnsIxfrOracle: String =
@@ -227,17 +319,107 @@ object Connector {
       |SELECT * FROM (SELECT * FROM dels UNION ALL SELECT * FROM adds)
       |ORDER BY ord, fqdn""".stripMargin
 
+  /** SQL-DDL surface: the connector registered as a catalog table via
+    * `CREATE TABLE ... USING dns OPTIONS (...)` and queried through
+    * `spark.sql` — the reference's RelationProvider SQL path
+    * (DnsSourceRelationProviderTest.java:125-135) on the V2 session
+    * catalog. Same fixture and oracle as [[qDnsRead]]: DDL-vs-DataFrame
+    * registration must be result-invisible. */
+  def qDnsSql(s: SparkSession, dir: String): DataFrame = {
+    val port = 5605
+    seedReadFixture(port)
+    s.sql("DROP TABLE IF EXISTS graft_dns_sql")
+    s.sql(
+      s"""CREATE TABLE graft_dns_sql USING dns OPTIONS (
+         | server '$Host', port '$port', organization 'graft',
+         | zones 'z0.graft,z1.graft,z2.graft,z3.graft', xfr 'AXFR',
+         | `fixed-timestamp-micros` '$TsMicros')""".stripMargin)
+    s.sql(
+      """SELECT action, fqdn, ip, organization, timestamp, zone
+        |FROM graft_dns_sql ORDER BY zone, fqdn""".stripMargin)
+  }
+
+  /** The streaming source under the oracle gate, resume-once included:
+    * two Trigger.Once runs of `readStream.format("dns")` into one
+    * parquet sink sharing one checkpoint. Run 1 starts at serial 0 ⇒
+    * AXFR of the seeded zone (10 rows); the zone then changes (3 adds,
+    * 1 delete); run 2 restores the committed serial from the
+    * self-managed progress log and transfers ONLY the IXFR delta
+    * (4 rows). The oracle pins the union — if resume re-ran the AXFR
+    * (duplicate rows) or the commit log failed to persist (13-record
+    * snapshot instead of the delta), the hash breaks. This is the
+    * reference's headline behavior (DnsStreamingSource.java:31-178,
+    * resume test DnsSourceRelationProviderTest.java:203-226) as an
+    * official gate row, not just a spec. */
+  def qDnsStream(s: SparkSession, dir: String): DataFrame = {
+    val port = 5606
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("st.graft.", (0 to 9).map(i => ARecord(s"h$i.st.graft.", s"10.5.0.$i")))
+
+    val base = Scratch.fresh("dns_stream", dir)
+    val out = s"$base/out"
+    val ck = s"$base/ck"
+
+    def runOnce(): Unit = {
+      val q = s.readStream.format("dns")
+        .option("server", Host).option("port", port.toString)
+        .option("organization", "graft").option("zones", "st.graft")
+        .option("fixed-timestamp-micros", TsMicros.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.Once())
+        .start()
+      require(q.awaitTermination(180000), "dns stream run did not terminate")
+    }
+
+    runOnce() // serial 0 ⇒ AXFR h0..h9
+    srv.update("st.graft.",
+      (10 to 12).map(i => ARecord(s"h$i.st.graft.", s"10.5.0.$i")),
+      Seq(ARecord("h0.st.graft.", "10.5.0.0")))
+    runOnce() // resume ⇒ IXFR delta only
+
+    s.read.parquet(out)
+      .select("action", "fqdn", "ip", "zone")
+      .orderBy("action", "fqdn")
+  }
+
+  private val qDnsStreamOracle: String =
+    """WITH axfr AS (
+      |  SELECT 'AXFR' AS action, 'h'||i||'.st.graft.' AS fqdn, '10.5.0.'||i AS ip
+      |  FROM (SELECT unnest(generate_series(0, 9)) AS i)),
+      |adds AS (
+      |  SELECT 'IXFR_ADD' AS action, 'h'||i||'.st.graft.' AS fqdn, '10.5.0.'||i AS ip
+      |  FROM (SELECT unnest(generate_series(10, 12)) AS i)),
+      |dels AS (SELECT 'IXFR_DELETE' AS action, 'h0.st.graft.' AS fqdn, '10.5.0.0' AS ip)
+      |SELECT action, fqdn, ip, 'st.graft.' AS zone
+      |FROM (SELECT * FROM axfr UNION ALL SELECT * FROM adds UNION ALL SELECT * FROM dels)
+      |ORDER BY action, fqdn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_zone_pruned" -> qDnsZonePruned,
     "q_dns_roundtrip" -> qDnsRoundtrip,
     "q_dns_ixfr" -> qDnsIxfr,
+    "q_dns_wire_read" -> qDnsWireRead,
+    "q_dns_wire_roundtrip" -> qDnsWireRoundtrip,
+    "q_dns_wire_ixfr" -> qDnsWireIxfr,
+    "q_dns_sql" -> qDnsSql,
+    "q_dns_stream" -> qDnsStream,
   )
 
+  /** Wire and SQL variants share the in-memory oracles verbatim —
+    * transport and registration surface must never change results. */
   val oracles: Map[String, String] = Map(
     "q_dns_read" -> qDnsReadOracle,
     "q_dns_zone_pruned" -> qDnsZonePrunedOracle,
     "q_dns_roundtrip" -> qDnsRoundtripOracle,
     "q_dns_ixfr" -> qDnsIxfrOracle,
+    "q_dns_wire_read" -> qDnsReadOracle,
+    "q_dns_wire_roundtrip" -> qDnsRoundtripOracle,
+    "q_dns_wire_ixfr" -> qDnsIxfrOracle,
+    "q_dns_sql" -> qDnsReadOracle,
+    "q_dns_stream" -> qDnsStreamOracle,
   )
 }

@@ -208,7 +208,15 @@ object PipelineOps {
     * range is fail-fast checked). At 100 TB the filter is built ONCE,
     * OR-merged incrementally per ingest day (BitSetAgg.merge is
     * idempotent), and broadcast at megabytes — vs bucketing-or-
-    * shuffling the full corpus fingerprint index per batch. */
+    * shuffling the full corpus fingerprint index per batch.
+    *
+    * In THIS self-contained query the `corpus` aggregation is planned
+    * twice — once feeding the Bloom build, once as the exact-verify
+    * join side — because the fixture corpus is a cheap scan. A
+    * deployment materializes the corpus fingerprint index as a table
+    * (exactly as [[qIncrementalDedup]]'s docs describe) so both roles
+    * read the one artifact; the "built ONCE" above refers to that
+    * deployment shape, not this demo plan. */
   def qBloomGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fp = docs(s, dir)

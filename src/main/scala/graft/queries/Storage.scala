@@ -20,13 +20,12 @@ import Tables._
   */
 object Storage {
 
-  /** Per-SF scratch dir for layout writes. Deterministic so repeat runs
-    * (bench warmup + 3 timed passes) overwrite in place instead of
-    * accumulating; per-SF so sf0.01 Verify and sf0.1 Bench never read
-    * each other's layout. */
+  /** Per-(process, SF) scratch dir for layout writes: deterministic
+    * within a JVM so repeat runs (bench warmup + 3 timed passes)
+    * overwrite in place; pid-scoped so concurrent JVMs on the same SF
+    * never read each other's half-rewritten layout (see [[Scratch]]). */
   private def scratch(dir: String, name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${name}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Scratch.dir(name, dir)
 
   /** Partition-pruned layout round-trip: write lineitem Hive-partitioned
     * by `l_returnflag` with rows sorted by `l_shipdate` inside each
@@ -170,11 +169,50 @@ object Storage {
       .orderBy($"bucket")
   }
 
+  /** Small-file compaction as an official gate row: a 16-task write
+    * fragments orders into 16 parquet files (the landing-zone problem —
+    * at 100 TB, per-file open/footer/scheduling cost dominates reads of
+    * over-fragmented tables, so pipelines compact continuously);
+    * compaction = read + coalesce(1) + rewrite. coalesce, NOT
+    * repartition: compaction must only narrow partitions, never pay a
+    * shuffle (at scale: coalesce to ceil(bytes/target_file_size)). The
+    * result row carries the file-level facts (16 before, 1 after — both
+    * measured from the data via input_file_name, not asserted
+    * driver-side) plus the row count and an order/partitioning-
+    * independent XOR content checksum over canonical row renderings,
+    * which the oracle recomputes from the ORIGINAL table — byte-level
+    * proof the rewrite lost nothing. The three 1-row aggregates combine
+    * via broadcast cross joins (no real shuffle). */
+  def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scratch(dir, "compaction")
+    val cols = Seq($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    t(s, dir, "orders").select(cols: _*)
+      .repartition(16).write.mode("overwrite").parquet(s"$base/fragmented")
+    s.read.parquet(s"$base/fragmented").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/compacted")
+    // input_file_name() is non-deterministic to Catalyst, so it must be
+    // projected before any distinct aggregation over it.
+    val nBefore = s.read.parquet(s"$base/fragmented")
+      .select(input_file_name().as("f"))
+      .agg(countDistinct($"f").as("n_files_before"))
+    val canonical = concat_ws("|",
+      $"o_orderkey".cast("string"), $"o_custkey".cast("string"), $"o_orderstatus",
+      round($"o_totalprice" * 100).cast("long").cast("string"))
+    val after = s.read.parquet(s"$base/compacted")
+      .select(input_file_name().as("f"),
+        conv(substring(md5(canonical), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(countDistinct($"f").as("n_files_after"),
+        count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+    nBefore.crossJoin(after)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_prune" -> qPartitionedPrune,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_zorder_prune" -> qZorderPrune,
-    "q_replica_checksum" -> qReplicaChecksum)
+    "q_replica_checksum" -> qReplicaChecksum,
+    "q_compaction" -> qCompaction)
 
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
@@ -210,6 +248,18 @@ object Storage {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // File counts are the layout contract (16-task fragment, 1-file
+    // compact) stated as literals; the checksum is recomputed from the
+    // ORIGINAL table — a compaction that dropped, duplicated, or
+    // altered any row flips it.
+    "q_compaction" ->
+      """SELECT CAST(16 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_after, count(*) AS n_rows,
+        |  bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |    o_orderstatus,
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT)) AS checksum
+        |FROM orders""".stripMargin,
     // The "other replica": DuckDB reproduces every row fingerprint
     // from the same canonical rendering — equal checksums per bucket
     // IS the audit passing.

@@ -450,20 +450,36 @@ object TextOps {
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = qMinhashPairs(s, dir).select($"doc_a", $"doc_b")
-    // Iterative lineage MUST be truncated: labels_{i+1} references
-    // labels_i twice (the pointer-jump self-join), so a naive loop
-    // builds a 2^Iters-wide plan tree, each copy re-embedding the
-    // whole minhash pipeline — exponentially growing planning AND
-    // recompute (measured: 33s -> 306s from 1 to 4 iterations).
-    // localCheckpoint materializes the (pair-graph-sized, small) edge
-    // and label frames and cuts the plan at a LogicalRDD — the
-    // standard iterative-graph treatment (GraphX checkpoints for the
-    // same reason); on a real cluster with executor churn, swap for
-    // reliable checkpoint(dir). persist() is NOT enough: cache
-    // substitution still carries (and re-canonicalizes) the full
-    // logical tree every iteration.
-    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
+    val (labels, _) = connectedComponents(s, pairs)
+    labels.groupBy($"l".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max($"v").as("max_doc"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Min-label connected components over an undirected pair list (any
+    * two columns; both edge directions are added here). Returns the
+    * (vertex, label) frame — label = component minimum — and the round
+    * count the loop actually took.
+    *
+    * Iterative lineage MUST be truncated: labels_{i+1} references
+    * labels_i twice (the pointer-jump self-join), so a naive loop
+    * builds a 2^Iters-wide plan tree, each copy re-embedding the
+    * whole upstream pipeline — exponentially growing planning AND
+    * recompute (measured: 33s -> 306s from 1 to 4 iterations).
+    * localCheckpoint materializes the (pair-graph-sized, small) edge
+    * and label frames and cuts the plan at a LogicalRDD — the
+    * standard iterative-graph treatment (GraphX checkpoints for the
+    * same reason); on a real cluster with executor churn, swap for
+    * reliable checkpoint(dir). persist() is NOT enough: cache
+    * substitution still carries (and re-canonicalizes) the full
+    * logical tree every iteration. */
+  private[queries] def connectedComponents(s: SparkSession,
+                                           pairs: DataFrame): (DataFrame, Int) = {
+    import s.implicits._
+    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(ca.as("src"), cb.as("dst"))
+      .union(pairs.select(cb.as("src"), ca.as("dst")))
+      .localCheckpoint()
     var labels = edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
       .select($"v", least($"v", $"mn").as("l")).localCheckpoint()
     // Convergence is CHECKED, not assumed: labels only ever decrease
@@ -489,10 +505,39 @@ object TextOps {
       rounds += 1
     }
     require(curSum == prevSum,
-      s"dedup cluster propagation did not converge in $MaxClusterRounds rounds")
-    labels.groupBy($"l".as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max($"v").as("max_doc"))
-      .orderBy($"cluster_id")
+      s"label propagation did not converge in $MaxClusterRounds rounds")
+    (labels, rounds)
+  }
+
+  /** The SAME component machinery in its multi-round regime: the
+    * near-dup graph converges in 1-2 rounds (bucket cliques, diameter
+    * ≤2), so [[qDedupClusters]] never exercises the loop's interesting
+    * case. This key builds long PATH graphs from the events user set —
+    * consecutive users (by rank) chained within blocks of 40, so every
+    * component is a 40-vertex path with the minimum at one end,
+    * diameter 39 — and the min label must propagate hop-by-hop with
+    * pointer-jump doubling: ~6 rounds, convergence still CHECKED per
+    * round against the 16-round bound. The oracle computes true
+    * components via the same recursive-CTE shape as q_dedup_clusters.
+    * The global rank is one bounded window over DISTINCT user ids
+    * (key cardinality, not event rows); the loop itself is all hash
+    * equi-joins + partial-agg mins at any scale. */
+  def qGraphComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir).select($"user_id").distinct()
+    val ranked = users.select($"user_id",
+      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"user_id")) - 1).as("rk"))
+    val a = ranked.select($"user_id".as("src"), $"rk".as("rka"))
+    val b = ranked.select($"user_id".as("dst"), $"rk".as("rkb"))
+    val chain = a.join(b, $"rkb" === $"rka" + 1)
+      .filter(($"rka" + 1) % 40 =!= 0) // cut between blocks of 40
+      .select($"src", $"dst")
+    val (labels, rounds) = connectedComponents(s, chain)
+    require(rounds > 1,
+      s"path graph must exercise the multi-round regime, converged in $rounds")
+    labels.groupBy($"l".as("component_id"))
+      .agg(count(lit(1)).as("n_vertices"), max($"v").as("max_vertex"))
+      .orderBy($"component_id")
   }
 
   /** Collocation extraction: the 20 most-associated word bigrams by
@@ -538,6 +583,7 @@ object TextOps {
     "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_graph_components" -> qGraphComponents,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
@@ -604,7 +650,26 @@ object TextOps {
          |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
          |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
          |SELECT l AS cluster_id, count(*) AS n_docs, max(v) AS max_doc
-         |FROM lab GROUP BY l ORDER BY cluster_id""".stripMargin)
+         |FROM lab GROUP BY l ORDER BY cluster_id""".stripMargin) +
+    // True components of the block-chained user path graph — the same
+    // recursive-CTE shape, over the same deterministic edge derivation
+    // the Spark side builds.
+    ("q_graph_components" ->
+      """WITH RECURSIVE
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |ranked AS (SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS rk
+        |           FROM users),
+        |chain AS (SELECT a.user_id AS src, b.user_id AS dst
+        |          FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+        |          WHERE (a.rk + 1) % 40 <> 0),
+        |edges AS (SELECT src, dst FROM chain UNION ALL SELECT dst, src FROM chain),
+        |reach(v, l) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
+        |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
+        |SELECT l AS component_id, count(*) AS n_vertices, max(v) AS max_vertex
+        |FROM lab GROUP BY l ORDER BY component_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     "q_text_stats" ->

@@ -172,10 +172,82 @@ object StreamingOps {
     s.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Multi-batch replay where the watermark provably BITES: the events
+    * table is split into four files replayed one per micro-batch
+    * (maxFilesPerTrigger=1, modification times pin the order) — early
+    * rows (Jan 1-10), then the recent rows in two slices (Jan 20-25,
+    * Jan 26-30), then the middle rows (Jan 11-19) arriving LAST. Spark
+    * filters late events with the PREVIOUS batch's watermark while
+    * evicting with the current one (the two-watermark split of
+    * SPARK-40925) — hence two recent slices: when the middle file
+    * arrives in batch 3, even the lagging late-event watermark already
+    * stands at max(Jan 20-30) − 2h, so every one of its rows targets an
+    * hourly window that was already finalized — the whole file is
+    * dropped as late, and append mode has emitted exactly the windows
+    * whose end falls at or below that final watermark. The oracle
+    * states both effects: counts computed WITHOUT the middle slice,
+    * windows capped at max(seen) − 2h — if the watermark failed to drop
+    * late rows (counts too high) or failed to finalize windows (rows
+    * missing), the hash breaks. The single-file gated trio above never
+    * advances the watermark mid-run; this is the gate row for the
+    * advancing case. State at any point is bounded by open windows ×
+    * type cardinality — the property that holds at any scale. */
+  def qStreamingLate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val day11Ns = 1704931200L * 1000000000L // 2024-01-11T00:00Z
+    val day20Ns = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+    val day26Ns = 1706227200L * 1000000000L // 2024-01-26T00:00Z
+
+    val base = graft.queries.Scratch.dir("stream_late", dir)
+    val landing = new java.io.File(base, "landing")
+    val staged = new java.io.File(base, "_STAGED")
+    // The 4-slice landing zone is a pure function of the SF dir — stage
+    // it once per JVM (marker-gated) so bench warmup + timed passes
+    // replay the same files instead of re-writing them.
+    if (!staged.exists()) {
+      graft.queries.Scratch.deleteRecursively(new java.io.File(base))
+      landing.mkdirs()
+      val raw = s.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
+      def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(base, s"stage_$name")
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged for $name"))
+        val dest = new java.io.File(landing, name)
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(mtime): Unit
+      }
+      // Names AND mtimes are both ascending — either ordering key the
+      // file source consults yields the same deterministic batch order.
+      val t0 = 1700000000000L
+      stage(raw.filter($"ts" < day11Ns), "f1_early.parquet", t0)
+      stage(raw.filter($"ts" >= day20Ns && $"ts" < day26Ns), "f2_recent.parquet", t0 + 60000)
+      stage(raw.filter($"ts" >= day26Ns), "f3_recent.parquet", t0 + 120000)
+      stage(raw.filter($"ts" >= day11Ns && $"ts" < day20Ns), "f4_late.parquet", t0 + 180000)
+      staged.createNewFile(): Unit
+    }
+
+    val counts = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts
+      .select(col("window.start").as("hour_ts"), col("event_type"), col("n"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_stream_late").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "late-data stream did not terminate")
+    s.table("graft_stream_late").orderBy(col("hour_ts"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_hourly" -> qStreamingHourly,
     "q_streaming_sliding" -> qStreamingSliding,
-    "q_streaming_dedup" -> qStreamingDedup)
+    "q_streaming_dedup" -> qStreamingDedup,
+    "q_streaming_late" -> qStreamingLate)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -192,6 +264,20 @@ object StreamingOps {
         |  FROM events)
         |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // The late-drop contract, stated in batch SQL: only the early+recent
+    // slices count (the middle slice arrived beyond the watermark and
+    // was dropped), and only windows finalized by the final watermark
+    // (end <= max(seen) - 2h) were emitted by append mode.
+    "q_streaming_late" ->
+      """WITH seen AS (
+        |  SELECT ts, event_type FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-11' OR ts >= TIMESTAMP '2024-01-20'),
+        |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM seen)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |  event_type, count(*) AS n
+        |FROM seen GROUP BY 1, 2
+        |HAVING hour_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY hour_ts, event_type""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,

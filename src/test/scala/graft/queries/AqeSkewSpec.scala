@@ -12,7 +12,14 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
   * must come out of adaptive execution with its skewed partition SPLIT
   * (isSkewJoin on the sort-merge join), not as one straggler task.
   * Thresholds are lowered to make a test-sized hot key cross the same
-  * code path a 100 GB hot partition crosses in production. */
+  * code path a 100 GB hot partition crosses in production.
+  *
+  * Version-pin note: these assertions reach into Spark INTERNALS
+  * (AdaptiveSparkPlanExec, QueryStageExec, SortMergeJoinExec.isSkewJoin)
+  * and hand-tuned byte thresholds, all validated against Spark 4.1.x.
+  * If this spec breaks after a Spark upgrade or an executor-memory
+  * change, triage as TEST BRITTLENESS (internal API / threshold drift)
+  * before suspecting a planner regression. */
 class AqeSkewSpec extends AnyFunSuite {
 
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {

@@ -47,10 +47,7 @@ class StorageSpec extends AnyFunSuite {
 
   test("partitioned layout writes exactly one directory per partition value") {
     Storage.qPartitionedPrune(spark, dir).collect()
-    val layout = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}").listFiles()
-      .filter(_.getName.startsWith("graft_part_layout_"))
-      .find(_.getName.contains("sf0.001")).get
+    val layout = new java.io.File(Scratch.dir("part_layout", dir))
     val valueDirs = layout.listFiles().filter(_.getName.startsWith("l_returnflag="))
     assert(valueDirs.map(_.getName).sorted.toSeq ==
       Seq("l_returnflag=A", "l_returnflag=N", "l_returnflag=R"))

@@ -25,7 +25,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     val q = StreamingOps.hourlyCounts(StreamingOps.eventsStream(spark, streamDir))
       .writeStream.format("memory").queryName("hourly_stream")
       .outputMode("complete").trigger(Trigger.Once()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.table("hourly_stream")
       .select($"window.start".as("h"), $"event_type", $"n", $"total_value")
@@ -50,7 +50,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     val q = StreamingOps.dedupStream(StreamingOps.eventsStream(spark, d.toString))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.table("dedup_stream")
     val expected = graft.queries.Tables.events(spark, dir).count()
@@ -64,7 +64,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     val q = StreamingOps.purchaseErrorJoin(src)
       .writeStream.format("memory").queryName("ssjoin_stream")
       .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.table("ssjoin_stream")
     val ev = graft.queries.Tables.events(spark, dir)
@@ -95,7 +95,7 @@ class StreamingOpsSpec extends AnyFunSuite {
         $"n_events")
       .writeStream.format("memory").queryName("session_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.table("session_stream")
     val batch = graft.queries.Relational.qSessionWindow(spark, dir)
@@ -152,7 +152,7 @@ class StreamingOpsSpec extends AnyFunSuite {
           }
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     assert(batches == 2, s"expected 2 micro-batches, got $batches")
     val expected = ev.groupBy($"user_id")
@@ -170,7 +170,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       .toDF()
       .writeStream.format("memory").queryName("firstseen_stream")
       .outputMode("append").trigger(Trigger.Once()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
 
     val streamed = spark.table("firstseen_stream")
     val batch = graft.queries.Tables.events(spark, dir)
