@@ -26,9 +26,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup pass: compile/JIT every plan shape once, untimed.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Warmup pass: compile/JIT every plan shape once, untimed. A
+    // warmup failure is never fatal here (the timed pass records it as
+    // -1 + errors), but it IS surfaced immediately for humans tailing
+    // the run.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup of $name failed: ${e.getMessage}") }
       spark.catalog.clearCache() // intra-query caches must not leak across queries
     }
 

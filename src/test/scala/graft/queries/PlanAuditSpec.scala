@@ -79,6 +79,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_compaction: the compact step narrows partitions without any shuffle") {
+    // Compaction = read + coalesce + rewrite; a shuffle here would
+    // move 100 TB to fix a file-count problem. Audit the actual
+    // coalesce plan (the gated query's result row only shows counts).
+    val base = Scratch.dir("compaction_audit", dir)
+    Tables.t(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .repartition(8).write.mode("overwrite").parquet(s"$base/frag")
+    val compact = spark.read.parquet(s"$base/frag").coalesce(1)
+    compact.collect()
+    val s = compact.queryExecution.executedPlan.toString
+    assert(!s.contains("Exchange"), s)
+    assert(s.contains("Coalesce"), s)
+  }
+
+  test("q_graph_components: chain edges come from an equi-join, propagation stays hash-joined") {
+    val s = planString(TextOps.qGraphComponents(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_minhash_pairs: candidate generation is a shuffled equi-join on band keys") {
     val s = planString(TextOps.qMinhashPairs(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
