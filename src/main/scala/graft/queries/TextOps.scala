@@ -579,7 +579,55 @@ object TextOps {
       .limit(20)
   }
 
+  /** PII scrubbing with redaction accounting — the compliance pass
+    * every training-data pipeline runs before anything else sees the
+    * text. Three pattern classes (emails, phone extensions, IPv4) are
+    * redacted by chained codegen'd `regexp_replace` — pure map work,
+    * no UDF, no shuffle below the final per-segment rollup — and the
+    * accounting reports matches found, characters redacted, and an XOR
+    * checksum of the SCRUBBED text, so the oracle verifies the exact
+    * rewritten bytes, not just the counts. The synthetic documents
+    * corpus contains no PII, so the tickets are constructed
+    * deterministically from customer fields (name/key/nation) by BOTH
+    * engines — the operator under test is the scrubber, and patterns
+    * stay in the RE2-compatible subset (character classes, bounded
+    * quantifiers, no lookaround) so Java and DuckDB regex semantics
+    * coincide. Match density varies per row (1-2 emails, 0-1 phones)
+    * so no count column is constant. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "555-[0-9]{4}"
+    val ip = "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val ticket = concat(
+      $"c_name", lit(" wrote: reach me at "),
+      lower(regexp_replace($"c_name", "#", "")), lit("@example.com"),
+      when($"c_custkey" % 2 === 1,
+        concat(lit(" or alt"), $"c_custkey".cast("string"), lit("@backup.org")))
+        .otherwise(lit("")),
+      when($"c_custkey" % 3 =!= 0,
+        concat(lit(", call 555-"), lpad(($"c_custkey" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      lit(" (gateway 10."), ($"c_custkey" % 256).cast("string"), lit("."),
+      $"c_nationkey".cast("string"), lit("."), ($"c_custkey" % 100).cast("string"), lit(")"))
+    Tables.t(s, dir, "customer")
+      .select($"c_mktsegment", ticket.as("ticket"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace($"ticket",
+          lit(email), lit("<EMAIL>")), lit(phone), lit("<PHONE>")), lit(ip), lit("<IP>")))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_tickets"),
+        sum(regexp_count($"ticket", lit(email))).as("n_emails"),
+        sum(regexp_count($"ticket", lit(phone))).as("n_phones"),
+        sum(regexp_count($"ticket", lit(ip))).as("n_ips"),
+        sum(length($"ticket") - length($"scrubbed")).as("redacted_chars"),
+        expr("bit_xor(CAST(conv(substring(md5(scrubbed), 1, 15), 16, 10) AS BIGINT))")
+          .as("checksum"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scrub" -> qPiiScrub,
     "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
@@ -672,6 +720,31 @@ object TextOps {
         |FROM lab GROUP BY l ORDER BY component_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // Same deterministic ticket construction, same RE2-safe patterns
+    // ('g' flag: DuckDB regexp_replace is first-match by default where
+    // Spark's is global); the checksum pins the scrubbed BYTES.
+    "q_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment,
+        |    c_name || ' wrote: reach me at ' || lower(replace(c_name, '#', '')) || '@example.com'
+        |    || CASE WHEN c_custkey % 2 = 1 THEN ' or alt' || c_custkey || '@backup.org' ELSE '' END
+        |    || CASE WHEN c_custkey % 3 <> 0 THEN ', call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || ' (gateway 10.' || (c_custkey % 256) || '.' || c_nationkey || '.' || (c_custkey % 100) || ')' AS ticket
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_mktsegment, ticket,
+        |    regexp_replace(regexp_replace(regexp_replace(ticket,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '(?:[0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        |  FROM t)
+        |SELECT c_mktsegment, count(*) AS n_tickets,
+        |  CAST(sum(len(regexp_extract_all(ticket, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(ticket, '555-[0-9]{4}'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(len(regexp_extract_all(ticket, '(?:[0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS n_ips,
+        |  CAST(sum(length(ticket) - length(scrubbed)) AS BIGINT) AS redacted_chars,
+        |  bit_xor(CAST('0x' || substring(md5(scrubbed), 1, 15) AS BIGINT)) AS checksum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_stats" ->
       """WITH per AS (
         |  SELECT lang, source,

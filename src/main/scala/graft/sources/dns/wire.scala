@@ -241,10 +241,10 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
           case _: IllegalArgumentException =>
             // unknown zone → NOTAUTH, the rcode != 0 the reference maps
             // to a job failure (DnsUpdate.java:76-81)
-            Message(req.id, responseFlags(req.opcode, RcodeNotAuth), req.questions,
-              Nil, Nil, Nil)
+            Seq(Message(req.id, responseFlags(req.opcode, RcodeNotAuth), req.questions,
+              Nil, Nil, Nil))
         }
-        try DnsWire.writeFramed(out, resp)
+        try resp.foreach(DnsWire.writeFramed(out, _))
         catch {
           // un-encodable response data (e.g. a malformed stored record)
           // must surface to the client as SERVFAIL, not kill the
@@ -265,7 +265,7 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
   private def aRr(r: ARecord, ttl: Long = 3600): Rr =
     Rr(r.fqdn, TypeA, ClassIn, ttl, AData(r.ip))
 
-  private def handle(req: Message): Message = req.opcode match {
+  private def handle(req: Message): Seq[Message] = req.opcode match {
     case OpcodeQuery =>
       val q = req.questions.headOption.getOrElse(
         throw new IOException("query without question"))
@@ -275,7 +275,7 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
           val clientSerial = req.authority.collectFirst {
             case Rr(_, TypeSoa, _, _, SoaData(s)) => s
           }.getOrElse(0L)
-          ixfrResponse(req, q.name, clientSerial)
+          Seq(ixfrResponse(req, q.name, clientSerial))
         case other => throw new IOException(s"unsupported qtype $other")
       }
     case OpcodeUpdate =>
@@ -289,16 +289,31 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
         case rr => throw new IOException(s"unsupported update RR: $rr")
       }
       backing.update(zone, changes) // throws on unknown zone → NOTAUTH
-      Message(req.id, responseFlags(OpcodeUpdate, RcodeNoError), req.questions, Nil, Nil, Nil)
+      Seq(Message(req.id, responseFlags(OpcodeUpdate, RcodeNoError), req.questions, Nil, Nil, Nil))
     case other => throw new IOException(s"unsupported opcode $other")
   }
 
-  /** RFC 5936: SOA, all records, closing SOA. */
-  private def axfrResponse(req: Message, zone: String): Message = {
+  /** How many RRs per AXFR response message. Real servers stream large
+    * zones across many messages (RFC 5936 §2.2 explicitly allows any
+    * split); a small chunk makes EVERY multi-record transfer in the
+    * suite exercise the client's multi-message termination loop, not
+    * just a golden vector. */
+  private val AxfrChunk = 5
+
+  /** RFC 5936: SOA, all records, closing SOA — streamed across
+    * multiple framed messages of at most [[AxfrChunk]] RRs. Only
+    * explicit-AXFR responses chunk: an IXFR request may legally get an
+    * AXFR-STYLE answer (journal gap), but this client reads IXFR
+    * responses single-message (documented in
+    * [[WireTransferClient.transfer]]), so those stay whole. */
+  private def axfrResponse(req: Message, zone: String): Seq[Message] = {
     val result = backing.axfr(zone)
     val soa = soaRr(zone, result.serial)
-    Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
-      (soa +: result.records.map(aRr(_))) :+ soa, Nil, Nil)
+    val rrs = (soa +: result.records.map(aRr(_))) :+ soa
+    rrs.grouped(AxfrChunk).map { chunk =>
+      Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+        chunk, Nil, Nil)
+    }.toSeq
   }
 
   /** RFC 1995: up-to-date → single SOA; journal hit → SOA(new) then per

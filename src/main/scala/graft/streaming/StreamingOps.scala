@@ -243,11 +243,93 @@ object StreamingOps {
     s.table("graft_stream_late").orderBy(col("hour_ts"), col("event_type"))
   }
 
+  /** The foreachBatch CDC merge under the oracle gate: the events
+    * changelog replays in three micro-batches (split by event_id mod 3
+    * — deliberately NOT time-ordered, so the merge's LWW comparison is
+    * load-bearing in every batch, not just the first), and each batch
+    * MERGEs into a keyed parquet state table: compact the batch to one
+    * newest change per user (partial-agg max_by), full-outer join
+    * against current state at KEY cardinality, keep the newer side,
+    * write the next state version. All merge logic is dataframe ops —
+    * no driver-side state, no collect — which is exactly the shape a
+    * deployment runs against a bucketed/Delta state table (there the
+    * join becomes the format's MERGE INTO; versioned-dir swap stands in
+    * for the table format's atomic commit). The oracle is the one-shot
+    * LWW compaction over the whole log: batch-boundary placement must
+    * be invisible, which only holds if every per-batch merge applied
+    * last-write-wins correctly. */
+  def qCdcStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = graft.queries.Scratch.dir("cdc_stream", dir)
+    val landing = new java.io.File(base, "landing")
+    val staged = new java.io.File(base, "_STAGED")
+    if (!staged.exists()) {
+      graft.queries.Scratch.deleteRecursively(new java.io.File(base))
+      landing.mkdirs()
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      (0 to 2).foreach { i =>
+        val tmp = new java.io.File(base, s"stage_$i")
+        raw.filter($"event_id" % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(landing, s"f$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000): Unit
+      }
+      staged.createNewFile(): Unit
+    }
+    // State versions are per-call scratch: the merge chain must start
+    // empty every run.
+    val stateBase = graft.queries.Scratch.fresh("cdc_stream_state", dir)
+    @volatile var statePath: Option[String] = None
+
+    val q = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id",
+        $"event_type", $"value")
+      .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+        val compacted = batch
+          .groupBy($"user_id")
+          .agg(max_by(struct($"ts_us", $"event_id", $"event_type", $"value"),
+            struct($"ts_us", $"event_id")).as("ch"))
+          .select($"user_id", $"ch.ts_us".as("in_ts"), $"ch.event_id".as("in_id"),
+            $"ch.event_type".as("in_type"), $"ch.value".as("in_value"))
+        val merged = statePath match {
+          case None => compacted.select($"user_id", $"in_ts".as("ts_us"),
+            $"in_id".as("event_id"), $"in_type".as("event_type"), $"in_value".as("value"))
+          case Some(p) =>
+            val cur = batch.sparkSession.read.parquet(p)
+            // LWW on (ts_us, event_id): take the incoming side only if
+            // strictly newer; a user present on one side keeps that side.
+            val newer = $"in_ts" > $"ts_us" ||
+              ($"in_ts" === $"ts_us" && $"in_id" > $"event_id")
+            cur.join(compacted, Seq("user_id"), "full_outer")
+              .select($"user_id",
+                when($"ts_us".isNull || ($"in_ts".isNotNull && newer), $"in_ts").otherwise($"ts_us").as("ts_us"),
+                when($"ts_us".isNull || ($"in_ts".isNotNull && newer), $"in_id").otherwise($"event_id").as("event_id"),
+                when($"ts_us".isNull || ($"in_ts".isNotNull && newer), $"in_type").otherwise($"event_type").as("event_type"),
+                when($"ts_us".isNull || ($"in_ts".isNotNull && newer), $"in_value").otherwise($"value").as("value"))
+        }
+        val next = s"$stateBase/v$id"
+        merged.write.mode("overwrite").parquet(next)
+        statePath = Some(next)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "cdc stream did not terminate")
+
+    s.read.parquet(statePath.getOrElse(
+        throw new IllegalStateException("cdc stream produced no state version")))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_hourly" -> qStreamingHourly,
     "q_streaming_sliding" -> qStreamingSliding,
     "q_streaming_dedup" -> qStreamingDedup,
-    "q_streaming_late" -> qStreamingLate)
+    "q_streaming_late" -> qStreamingLate,
+    "q_cdc_stream" -> qCdcStream)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -278,6 +360,17 @@ object StreamingOps {
         |FROM seen GROUP BY 1, 2
         |HAVING hour_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm)
         |ORDER BY hour_ts, event_type""".stripMargin,
+    // Batch truth for the incremental merge: the one-shot LWW
+    // compaction over the whole changelog — if any per-batch merge
+    // mis-applied last-write-wins, some user surfaces an older change
+    // and the hash breaks.
+    "q_cdc_stream" ->
+      """WITH ranked AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts_us, event_id, event_type, value
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
