@@ -291,7 +291,53 @@ object EmbeddingOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Distributed k-means (2 Lloyd rounds, k=8) over the quantized
+    * embeddings — the clustering step of semantic curation pipelines
+    * (SemDeDup-style cluster-then-prune, diversity balancing). Every
+    * arithmetic step is EXACT: integer squared distances expand to
+    * nsq − 2·dot + cnsq on the codegen'd quantized dot, ties break to
+    * the smallest centroid id, and centroid means are floor(sum/count)
+    * computed in IEEE double by both engines (sums stay ≤2^53, so the
+    * division is exact) — which is what makes a cross-engine oracle for
+    * an ML TRAINING loop possible at all. Plan shape: assignment is a
+    * broadcast over the k-row centroid table (intentional, like IVF's);
+    * the update is posexplode → partial-agg (cid, pos) sums — k×dim
+    * groups regardless of corpus size — and the k×dim means fold back
+    * to arrays. The fixed 2-round count is part of the spec (production
+    * iterates to a movement threshold); per-cluster inertia (exact
+    * integer) is reported so convergence quality is itself oracle-
+    * checked. Init = the k lowest vec_ids, deterministic (production:
+    * k-means|| sampling). */
+  def qKmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
+    val c0 = v.filter($"vec_id" < k)
+      .select($"vec_id".as("cid"), $"q".as("cq"), $"nsq".as("cnsq"))
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .select($"vec_id", $"q", $"cid",
+          ($"nsq" - lit(2L) * dot(s, "q", "cq") + $"cnsq").as("d2"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"cid", $"d2", $"q"), struct($"d2", $"cid")).as("a"))
+        .select($"vec_id", $"a.cid".as("cid"), $"a.d2".as("d2"), $"a.q".as("q"))
+    val c1 = assign(c0)
+      .select($"cid", posexplode($"q").as(Seq("pos", "val")))
+      .groupBy($"cid", $"pos")
+      .agg(floor(sum($"val").cast("double") / count(lit(1))).cast("long").as("m"))
+      .groupBy($"cid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        _.getField("m")).as("cq"))
+      .withColumn("cnsq", dot(s, "cq", "cq"))
+    assign(c1)
+      .groupBy($"cid".as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_vec_ids"),
+        sum($"d2").as("inertia"))
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans_clusters" -> qKmeansClusters,
     "q_neardup_xmodal" -> qNeardupXmodal,
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
@@ -357,6 +403,32 @@ object EmbeddingOps {
     "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")))
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // Two exact Lloyd rounds replayed in SQL: zipped unnests give the
+    // integer squared distances, floor(sum/count)-in-double gives the
+    // identical centroid means, and per-cluster inertia pins the
+    // training loop's numeric trajectory, not just the final sizes.
+    "q_kmeans_clusters" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 8),
+         |t1 AS (SELECT v.vec_id, c0.cid, unnest(v.q) AS a, unnest(c0.cq) AS b FROM v, c0),
+         |d1 AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t1 GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |u1 AS (SELECT a1.cid, generate_subscripts(v.q, 1) AS pos, unnest(v.q) AS val
+         |       FROM a1 JOIN v USING (vec_id)),
+         |m1 AS (SELECT cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |       FROM u1 GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m1 GROUP BY cid),
+         |t2 AS (SELECT v.vec_id, c1.cid, unnest(v.q) AS a, unnest(c1.cq) AS b FROM v, c1),
+         |d2r AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t2 GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM d2r) WHERE rn = 1)
+         |SELECT cid AS cluster_id, count(*) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
+         |  CAST(sum(d2) AS BIGINT) AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_stats" ->
       s"""WITH per AS (
          |  SELECT label, len(embedding) AS dim,
