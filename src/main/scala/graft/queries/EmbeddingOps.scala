@@ -310,17 +310,30 @@ object EmbeddingOps {
     * k-means|| sampling). */
   def qKmeansClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    kmeansFinalAssign(s, dir)
+      .groupBy($"cid".as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_vec_ids"),
+        sum($"d2").as("inertia"))
+      .orderBy($"cluster_id")
+  }
+
+  /** The 2-round Lloyd machinery: returns the final-round assignment
+    * (vec_id, cid, d2, q, nsq) for [[qKmeansClusters]]'s rollup and
+    * [[qSemanticDedup]]'s within-cluster prune. */
+  private def kmeansFinalAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val k = 8
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
     val c0 = v.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"nsq".as("cnsq"))
     def assign(cents: DataFrame): DataFrame =
       v.crossJoin(broadcast(cents))
-        .select($"vec_id", $"q", $"cid",
+        .select($"vec_id", $"q", $"nsq", $"cid",
           ($"nsq" - lit(2L) * dot(s, "q", "cq") + $"cnsq").as("d2"))
         .groupBy($"vec_id")
-        .agg(min_by(struct($"cid", $"d2", $"q"), struct($"d2", $"cid")).as("a"))
-        .select($"vec_id", $"a.cid".as("cid"), $"a.d2".as("d2"), $"a.q".as("q"))
+        .agg(min_by(struct($"cid", $"d2", $"q", $"nsq"), struct($"d2", $"cid")).as("a"))
+        .select($"vec_id", $"a.cid".as("cid"), $"a.d2".as("d2"),
+          $"a.q".as("q"), $"a.nsq".as("nsq"))
     val c1 = assign(c0)
       .select($"cid", posexplode($"q").as(Seq("pos", "val")))
       .groupBy($"cid", $"pos")
@@ -330,14 +343,41 @@ object EmbeddingOps {
         _.getField("m")).as("cq"))
       .withColumn("cnsq", dot(s, "cq", "cq"))
     assign(c1)
+  }
+
+  /** SemDeDup: cluster-then-prune semantic deduplication — k-means
+    * cells bound the pairwise stage, then every within-cluster pair
+    * above the cosine threshold drops its larger vec_id (deterministic
+    * keep-the-minimum greedy). The quadratic blowup that makes naive
+    * embedding dedup impossible at 100 TB is contained BY CONSTRUCTION:
+    * pairs exist only inside a cell, and production sizes k ∝ n to
+    * hold cells at a constant target size, so total pair work is
+    * linear in the corpus. Per-cluster accounting (total/dropped/kept
+    * + kept-id sum) is the oracle surface; the oracle replays the full
+    * composition — both Lloyd rounds, the pairwise cosines, the greedy
+    * drop — nested verbatim over the same tables. */
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a2 = kmeansFinalAssign(s, dir).select($"vec_id", $"cid", $"q", $"nsq")
+    val pairs = a2.as("a").join(a2.as("b"),
+        $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.cid".as("cid"), $"b.vec_id".as("vb"),
+        dot(s, "a.q", "b.q").as("dot"),
+        $"a.nsq".as("na"), $"b.nsq".as("nb"))
+      .filter($"dot" / sqrt(($"na" * $"nb").cast("double")) >= 0.4)
+    val drops = pairs.select($"cid", $"vb".as("vec_id")).distinct()
+    a2.join(drops.withColumn("dropped", lit(1)), Seq("cid", "vec_id"), "left")
       .groupBy($"cid".as("cluster_id"))
-      .agg(count(lit(1)).as("n_vectors"), sum($"vec_id").as("sum_vec_ids"),
-        sum($"d2").as("inertia"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count($"dropped").as("n_dropped"),
+        (count(lit(1)) - count($"dropped")).as("n_kept"),
+        sum(when($"dropped".isNull, $"vec_id").otherwise(lit(0L))).as("sum_kept_ids"))
       .orderBy($"cluster_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_clusters" -> qKmeansClusters,
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_neardup_xmodal" -> qNeardupXmodal,
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
@@ -402,33 +442,60 @@ object EmbeddingOps {
     "q_ann_recall" -> recallOracle(5, baseOracles("q_ann_lsh")),
     "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")))
 
+  /** Both Lloyd rounds as reusable CTEs (ending in `a2`, the final
+    * assignment) — shared verbatim between the k-means oracle and the
+    * SemDeDup oracle so the two can never disagree about what a
+    * cluster is. Zipped unnests give the integer squared distances,
+    * floor(sum/count)-in-double gives the identical centroid means. */
+  private lazy val kmeansA2Cte: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 8),
+       |t1 AS (SELECT v.vec_id, c0.cid, unnest(v.q) AS a, unnest(c0.cq) AS b FROM v, c0),
+       |d1 AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t1 GROUP BY 1, 2),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |u1 AS (SELECT a1.cid, generate_subscripts(v.q, 1) AS pos, unnest(v.q) AS val
+       |       FROM a1 JOIN v USING (vec_id)),
+       |m1 AS (SELECT cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |       FROM u1 GROUP BY 1, 2),
+       |c1 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m1 GROUP BY cid),
+       |t2 AS (SELECT v.vec_id, c1.cid, unnest(v.q) AS a, unnest(c1.cq) AS b FROM v, c1),
+       |d2r AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t2 GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM d2r) WHERE rn = 1)""".stripMargin
+
   private lazy val baseOracles: Map[String, String] = Map(
-    // Two exact Lloyd rounds replayed in SQL: zipped unnests give the
-    // integer squared distances, floor(sum/count)-in-double gives the
-    // identical centroid means, and per-cluster inertia pins the
-    // training loop's numeric trajectory, not just the final sizes.
+    // Two exact Lloyd rounds replayed in SQL; per-cluster inertia pins
+    // the training loop's numeric trajectory, not just the final sizes.
     "q_kmeans_clusters" ->
-      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, q AS cq FROM v WHERE vec_id < 8),
-         |t1 AS (SELECT v.vec_id, c0.cid, unnest(v.q) AS a, unnest(c0.cq) AS b FROM v, c0),
-         |d1 AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t1 GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM d1) WHERE rn = 1),
-         |u1 AS (SELECT a1.cid, generate_subscripts(v.q, 1) AS pos, unnest(v.q) AS val
-         |       FROM a1 JOIN v USING (vec_id)),
-         |m1 AS (SELECT cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m
-         |       FROM u1 GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list(m ORDER BY pos) AS cq FROM m1 GROUP BY cid),
-         |t2 AS (SELECT v.vec_id, c1.cid, unnest(v.q) AS a, unnest(c1.cq) AS b FROM v, c1),
-         |d2r AS (SELECT vec_id, cid, sum((a - b) * (a - b)) AS d2 FROM t2 GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, cid, d2 FROM (
-         |    SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |    FROM d2r) WHERE rn = 1)
+      s"""WITH $kmeansA2Cte
          |SELECT cid AS cluster_id, count(*) AS n_vectors,
          |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids,
          |  CAST(sum(d2) AS BIGINT) AS inertia
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The full SemDeDup composition: the SAME two Lloyd rounds, then
+    // within-cluster pairwise cosines and the greedy larger-id drop.
+    "q_semantic_dedup" ->
+      s"""WITH $kmeansA2Cte,
+         |nsq AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
+         |pp AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+         |       FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pd_t AS (SELECT pp.cid, pp.va, pp.vb, unnest(x.q) AS xa, unnest(y.q) AS xb
+         |         FROM pp JOIN v x ON x.vec_id = pp.va JOIN v y ON y.vec_id = pp.vb),
+         |pd AS (SELECT cid, va, vb, sum(xa * xb) AS dot FROM pd_t GROUP BY 1, 2, 3),
+         |nd AS (SELECT pd.cid, pd.vb FROM pd
+         |       JOIN nsq na ON na.vec_id = pd.va
+         |       JOIN nsq nb ON nb.vec_id = pd.vb
+         |       WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)) >= 0.4),
+         |drops AS (SELECT DISTINCT cid, vb AS vec_id FROM nd)
+         |SELECT a2.cid AS cluster_id, count(*) AS n_vectors,
+         |  count(d.vec_id) AS n_dropped,
+         |  count(*) - count(d.vec_id) AS n_kept,
+         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a2.vec_id ELSE 0 END) AS BIGINT) AS sum_kept_ids
+         |FROM a2 LEFT JOIN drops d ON d.cid = a2.cid AND d.vec_id = a2.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_embed_stats" ->
       s"""WITH per AS (
          |  SELECT label, len(embedding) AS dim,
