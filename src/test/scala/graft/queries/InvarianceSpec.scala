@@ -26,7 +26,12 @@ class InvarianceSpec extends AnyFunSuite {
     "q_vocab_coverage",   // literal top-K vocab tie-break
     "q_simhash_pairs",    // band join + distinct
     "q_minhash_pairs",    // collect_set array verify
-    "q_streaming_hourly") // streaming replay
+    "q_streaming_hourly", // streaming replay
+    "q_kmeans_clusters",  // floor-of-double centroid means over partial sums
+    "q_semantic_dedup",   // cluster self-join + float-cosine threshold
+    "q_graph_components", // iterative min-label propagation round count
+    "q_cdc_stream",       // multi-batch foreachBatch LWW merge chain
+    "q_pii_scrub")        // regex scrub + xor checksum
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

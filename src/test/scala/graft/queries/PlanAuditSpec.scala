@@ -99,6 +99,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_kmeans_clusters: centroid update keeps map-side partial aggregation") {
+    // The (cid, pos) sums after posexplode MUST partial-aggregate —
+    // that compression (dim x n rows -> k x dim groups per task) is
+    // the whole scale story of the Lloyd update.
+    val s = planString(EmbeddingOps.qKmeansClusters(spark, dir))
+    assert(s.contains("partial_sum") || s.contains("Partial"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q_minhash_pairs: candidate generation is a shuffled equi-join on band keys") {
     val s = planString(TextOps.qMinhashPairs(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
