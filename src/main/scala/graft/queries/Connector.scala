@@ -339,6 +339,109 @@ object Connector {
         |FROM graft_dns_sql ORDER BY zone, fqdn""".stripMargin)
   }
 
+  /** The SQL INSERT sink under the gate: `CREATE TABLE ... USING
+    * dns_update` + `INSERT INTO ... SELECT ... FROM range(...)` — the
+    * V2-native SQL write path (reference surface
+    * DnsSourceRelationProviderTest via RelationProvider; here the
+    * session catalog resolves the sink table and plans AppendData).
+    * The log adds 8 records and deletes 2 seeded ones; the oracle
+    * replays the final zone state. */
+  def qDnsSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val port = 5607
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("sq.graft.", (0 to 2).map(k => ARecord(s"seed$k.sq.graft.", s"10.6.0.$k")))
+    s.sql("DROP TABLE IF EXISTS graft_dns_sink")
+    s.sql(
+      s"""CREATE TABLE graft_dns_sink USING dns_update
+         |OPTIONS (server '$Host', port '$port')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO graft_dns_sink
+         |SELECT CASE WHEN id < 8 THEN 'IXFR_ADD' ELSE 'IXFR_DELETE' END AS action,
+         |  CASE WHEN id < 8 THEN 'i' || id || '.sq.graft'
+         |       ELSE 'seed' || (id - 8) || '.sq.graft' END AS fqdn,
+         |  CASE WHEN id < 8 THEN '10.7.0.' || id
+         |       ELSE '10.6.0.' || (id - 8) END AS ip,
+         |  timestamp_micros(${TsMicros + 1000000L} + id) AS timestamp,
+         |  CAST(3600 AS INT) AS ttl
+         |FROM range(10)""".stripMargin)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "sq.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("fqdn", "ip", "zone")
+      .orderBy("fqdn", "ip")
+  }
+
+  private val qDnsSqlInsertOracle: String =
+    """WITH final AS (
+      |  SELECT 'seed2.sq.graft.' AS fqdn, '10.6.0.2' AS ip
+      |  UNION ALL
+      |  SELECT 'i'||i||'.sq.graft.', '10.7.0.'||i
+      |  FROM (SELECT unnest(generate_series(0, 7)) AS i))
+      |SELECT fqdn, ip, 'sq.graft.' AS zone FROM final ORDER BY fqdn, ip""".stripMargin
+
+  /** The NATIVE streaming sink under the gate: a formulaic update log
+    * replayed through the file-stream source into
+    * `writeStream.format("dns_update")` (the V2 StreamingWrite — no
+    * foreachBatch), Trigger.Once + checkpoint, final zone state read
+    * back over AXFR. Ids 8-15 re-add the same fqdns with different IPs
+    * and later timestamps, so multi-record names and chronological
+    * apply are both exercised through the streaming path. */
+  def qDnsStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = 5608
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("sk.graft.", (0 to 4).map(k => ARecord(s"seed$k.sk.graft.", s"10.8.0.$k")))
+
+    val base = Scratch.fresh("dns_stream_sink", dir)
+    val k = $"id" % 8
+    val gen = ($"id" / 8).cast("long")
+    s.range(16).select(
+        when(k <= 4, DnsAction.IxfrAdd).otherwise(DnsAction.IxfrDelete).as("action"),
+        when(k <= 4, concat(lit("n"), k.cast("string"), lit(".sk.graft")))
+          .otherwise(concat(lit("seed"), (k - 5).cast("string"), lit(".sk.graft"))).as("fqdn"),
+        when(k <= 4, concat(lit("10.9."), gen.cast("string"), lit("."), k.cast("string")))
+          .otherwise(concat(lit("10.8.0."), (k - 5).cast("string"))).as("ip"),
+        timestamp_micros(lit(TsMicros + 2000000L) + $"id").as("timestamp"),
+        lit(3600).cast("int").as("ttl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/log")
+
+    val q = s.readStream.schema(DnsSchemas.write).parquet(s"$base/log")
+      .writeStream.format("dns_update")
+      .option("server", Host).option("port", port.toString)
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.Once())
+      .start()
+    require(q.awaitTermination(180000), "dns sink stream did not terminate")
+
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "sk.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("fqdn", "ip", "zone")
+      .orderBy("fqdn", "ip")
+  }
+
+  /** Final zone: seeds 3-4 survive (0-2 deleted), n0..n4 carry BOTH
+    * generation IPs (distinct A records per name). */
+  private val qDnsStreamSinkOracle: String =
+    """WITH adds AS (
+      |  SELECT 'n'||k||'.sk.graft.' AS fqdn, '10.9.'||g||'.'||k AS ip
+      |  FROM (SELECT unnest(generate_series(0, 4)) AS k)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS g)),
+      |seeds AS (
+      |  SELECT 'seed'||k||'.sk.graft.' AS fqdn, '10.8.0.'||k AS ip
+      |  FROM (SELECT unnest(generate_series(3, 4)) AS k))
+      |SELECT fqdn, ip, 'sk.graft.' AS zone
+      |FROM (SELECT * FROM adds UNION ALL SELECT * FROM seeds)
+      |ORDER BY fqdn, ip""".stripMargin
+
   /** The streaming source under the oracle gate, resume-once included:
     * two Trigger.Once runs of `readStream.format("dns")` into one
     * parquet sink sharing one checkpoint. Run 1 starts at serial 0 ⇒
@@ -406,7 +509,9 @@ object Connector {
     "q_dns_wire_roundtrip" -> qDnsWireRoundtrip,
     "q_dns_wire_ixfr" -> qDnsWireIxfr,
     "q_dns_sql" -> qDnsSql,
+    "q_dns_sql_insert" -> qDnsSqlInsert,
     "q_dns_stream" -> qDnsStream,
+    "q_dns_stream_sink" -> qDnsStreamSink,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -420,6 +525,8 @@ object Connector {
     "q_dns_wire_roundtrip" -> qDnsRoundtripOracle,
     "q_dns_wire_ixfr" -> qDnsIxfrOracle,
     "q_dns_sql" -> qDnsReadOracle,
+    "q_dns_sql_insert" -> qDnsSqlInsertOracle,
     "q_dns_stream" -> qDnsStreamOracle,
+    "q_dns_stream_sink" -> qDnsStreamSinkOracle,
   )
 }
