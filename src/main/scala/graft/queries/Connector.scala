@@ -339,6 +339,39 @@ object Connector {
         |FROM graft_dns_sql ORDER BY zone, fqdn""".stripMargin)
   }
 
+  /** The failure POLICY under the gate: four zones requested, one
+    * nonexistent, `ignore-failures=true` — the dead zone's transfer
+    * error is swallowed into an empty partition (reference
+    * DnsZoneRDD.java:83-92) and the other three read fully. The oracle
+    * states the surviving rows exactly: too many rows means a phantom
+    * zone, too few means the swallow took good zones with it, a thrown
+    * job means the policy didn't apply. (The fail-fast default and
+    * write-side validation rejections stay spec-tested — an error has
+    * no result row to hash.) */
+  def qDnsIgnoreFailures(s: SparkSession, dir: String): DataFrame = {
+    val port = 5609
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,nosuch.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("ignore-failures", "true")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("fqdn", "ip", "zone")
+      .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsIgnoreFailuresOracle: String =
+    """WITH h AS (
+      |  SELECT j, i FROM (SELECT unnest([0, 1, 3]) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i)
+      |  WHERE i <= 9 + j)
+      |SELECT 'h'||i||'.z'||j||'.graft.' AS fqdn,
+      |  '10.'||j||'.0.'||i AS ip, 'z'||j||'.graft.' AS zone
+      |FROM h ORDER BY zone, fqdn""".stripMargin
+
   /** The SQL INSERT sink under the gate: `CREATE TABLE ... USING
     * dns_update` + `INSERT INTO ... SELECT ... FROM range(...)` — the
     * V2-native SQL write path (reference surface
@@ -512,6 +545,7 @@ object Connector {
     "q_dns_sql_insert" -> qDnsSqlInsert,
     "q_dns_stream" -> qDnsStream,
     "q_dns_stream_sink" -> qDnsStreamSink,
+    "q_dns_ignore_failures" -> qDnsIgnoreFailures,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -528,5 +562,6 @@ object Connector {
     "q_dns_sql_insert" -> qDnsSqlInsertOracle,
     "q_dns_stream" -> qDnsStreamOracle,
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
+    "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
   )
 }
