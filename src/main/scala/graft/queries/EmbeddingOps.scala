@@ -358,7 +358,15 @@ object EmbeddingOps {
     * drop — nested verbatim over the same tables. */
   def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The assignment feeds THREE consumers (both self-join sides + the
+    // final membership join); without materialization each one replans
+    // the whole 2-round Lloyd pipeline (measured: 13 parquet scans, 9
+    // broadcast joins at sf0.01). localCheckpoint runs it once — the
+    // same recompute-vs-materialize call as q_dedup_clusters' loop,
+    // and the frame is embedding-table-sized, so the write is bounded
+    // by the input it replaces.
     val a2 = kmeansFinalAssign(s, dir).select($"vec_id", $"cid", $"q", $"nsq")
+      .localCheckpoint()
     val pairs = a2.as("a").join(a2.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
       .select($"a.cid".as("cid"), $"b.vec_id".as("vb"),
