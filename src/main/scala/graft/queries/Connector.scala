@@ -372,6 +372,94 @@ object Connector {
       |  '10.'||j||'.0.'||i AS ip, 'z'||j||'.graft.' AS zone
       |FROM h ORDER BY zone, fqdn""".stripMargin
 
+  private case class ValidationProbe(k: Long, action: Option[String],
+                                     fqdn: Option[String], ip: Option[String],
+                                     hasTs: Boolean, ttl: Option[Int])
+
+  /** Write-side row validation under the gate: a formulaic
+    * mixed-validity batch (5× each of 12 cases — both valid actions
+    * and every rejection rule) classified through
+    * [[graft.sources.dns.DnsValidation.invalidReason]] — the EXACT
+    * function the DataWriter throws on, not a parallel Column
+    * reimplementation — via a typed map (an audit path, not a hot
+    * path). The oracle re-derives every rule in SQL over the same
+    * constructed values: null/empty checks, the action enum, strict
+    * dotted-quad IPv4 octets, timestamp presence, positive ttl. A
+    * drift between the writer's Scala rules and their documented
+    * semantics now breaks this row instead of hiding in a spec. */
+  def qDnsValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = s.range(60).as[Long].map { id =>
+      val k = id % 12
+      val action = k match {
+        case 2 => None
+        case 3 => Some("  ")
+        case 4 => Some("SOMETHING")
+        case 1 => Some(DnsAction.IxfrDelete)
+        case _ => Some(DnsAction.IxfrAdd)
+      }
+      val fqdn = k match {
+        case 5 => None
+        case 6 => Some("")
+        case _ => Some(s"h$id.v.graft")
+      }
+      val ip = k match {
+        case 7 => None
+        case 8 => Some("10.0.0.300")
+        case 9 => Some("10.0.0")
+        case _ => Some("10.0.0.1")
+      }
+      ValidationProbe(k, action, fqdn, ip, hasTs = k != 10,
+        ttl = if (k == 11) Some(0) else Some(3600))
+    }
+    probes.map { p =>
+      DnsValidation.invalidReason(p.action, p.fqdn, p.ip, p.hasTs, p.ttl)
+        .getOrElse("ok")
+    }.toDF("reason")
+      .groupBy($"reason").agg(count(lit(1)).as("n"))
+      .orderBy($"reason")
+  }
+
+  /** Same construction, rules re-derived in SQL (not a k→reason lookup
+    * table — the oracle must exercise the rule SEMANTICS). */
+  private val qDnsValidateOracle: String =
+    """WITH probes AS (
+      |  SELECT i % 12 AS k,
+      |    CASE WHEN i % 12 = 2 THEN NULL
+      |         WHEN i % 12 = 3 THEN '  '
+      |         WHEN i % 12 = 4 THEN 'SOMETHING'
+      |         WHEN i % 12 = 1 THEN 'IXFR_DELETE'
+      |         ELSE 'IXFR_ADD' END AS action,
+      |    CASE WHEN i % 12 = 5 THEN NULL
+      |         WHEN i % 12 = 6 THEN ''
+      |         ELSE 'h'||i||'.v.graft' END AS fqdn,
+      |    CASE WHEN i % 12 = 7 THEN NULL
+      |         WHEN i % 12 = 8 THEN '10.0.0.300'
+      |         WHEN i % 12 = 9 THEN '10.0.0'
+      |         ELSE '10.0.0.1' END AS ip,
+      |    (i % 12 <> 10) AS has_ts,
+      |    CASE WHEN i % 12 = 11 THEN 0 ELSE 3600 END AS ttl
+      |  FROM (SELECT unnest(generate_series(0, 59)) AS i)),
+      |classified AS (
+      |  SELECT CASE
+      |    WHEN action IS NULL THEN 'null_action'
+      |    WHEN trim(action) = '' THEN 'empty_action'
+      |    WHEN action NOT IN ('AXFR', 'IXFR_ADD', 'IXFR_DELETE') THEN 'bad_action'
+      |    WHEN fqdn IS NULL THEN 'null_fqdn'
+      |    WHEN trim(fqdn) = '' THEN 'empty_fqdn'
+      |    WHEN ip IS NULL THEN 'null_ip'
+      |    WHEN trim(ip) = '' THEN 'empty_ip'
+      |    WHEN NOT (regexp_matches(ip, '^[0-9]{1,3}(\.[0-9]{1,3}){3}$')
+      |              AND len(list_filter(string_split(ip, '.'),
+      |                    x -> CAST(x AS INT) > 255)) = 0) THEN 'bad_ip'
+      |    WHEN NOT has_ts THEN 'null_timestamp'
+      |    WHEN ttl IS NULL THEN 'null_ttl'
+      |    WHEN ttl <= 0 THEN 'bad_ttl'
+      |    ELSE 'ok' END AS reason
+      |  FROM probes)
+      |SELECT reason, count(*) AS n FROM classified
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The SQL INSERT sink under the gate: `CREATE TABLE ... USING
     * dns_update` + `INSERT INTO ... SELECT ... FROM range(...)` — the
     * V2-native SQL write path (reference surface
@@ -546,6 +634,7 @@ object Connector {
     "q_dns_stream" -> qDnsStream,
     "q_dns_stream_sink" -> qDnsStreamSink,
     "q_dns_ignore_failures" -> qDnsIgnoreFailures,
+    "q_dns_validate" -> qDnsValidate,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -563,5 +652,6 @@ object Connector {
     "q_dns_stream" -> qDnsStreamOracle,
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
     "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
+    "q_dns_validate" -> qDnsValidateOracle,
   )
 }

@@ -101,6 +101,37 @@ object Ipv4 {
   }
 }
 
+/** The write-side row rules as ONE pure function — the single source of
+  * truth: [[graft.sources.dns.write]]'s DataWriter enforces it per row
+  * (reference DnsPartitionHandler.java:69-77) and the gated audit query
+  * `q_dns_validate` classifies a mixed-validity batch through the SAME
+  * code, with a DuckDB oracle re-deriving every rule in SQL — so the
+  * Scala rules and their documented semantics can never drift apart
+  * unnoticed. Rule ids are stable output values, ordered
+  * first-violation-wins exactly like the writer's throw order. */
+object DnsValidation {
+  def invalidReason(action: Option[String], fqdn: Option[String],
+                    ip: Option[String], hasTimestamp: Boolean,
+                    ttl: Option[Int]): Option[String] = {
+    def str(v: Option[String], name: String): Option[String] = v match {
+      case None => Some(s"null_$name")
+      case Some(s) if s.trim.isEmpty => Some(s"empty_$name")
+      case _ => None
+    }
+    str(action, "action")
+      .orElse(if (!DnsAction.all.contains(action.get)) Some("bad_action") else None)
+      .orElse(str(fqdn, "fqdn"))
+      .orElse(str(ip, "ip"))
+      .orElse(if (!Ipv4.isValid(ip.get)) Some("bad_ip") else None)
+      .orElse(if (!hasTimestamp) Some("null_timestamp") else None)
+      .orElse(ttl match {
+        case None => Some("null_ttl")
+        case Some(t) if t <= 0 => Some("bad_ttl")
+        case _ => None
+      })
+  }
+}
+
 /** Last-write-wins dedup for one update message: group by record
   * identity (action, fqdn, ip), keep the max-timestamp update
   * (reference DnsUpdate.java:46-54), order the survivors

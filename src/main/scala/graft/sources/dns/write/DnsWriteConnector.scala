@@ -144,35 +144,32 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
   private val perZone = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[DnsUpdateRecord]]
 
   override def write(row: InternalRow): Unit = {
-    // Validation mirrors DnsPartitionHandler.java:69-77: reject
-    // null/empty action, fqdn, ip, null timestamp, non-positive ttl.
-    def reqString(i: Int, name: String): String = {
-      if (row.isNullAt(i)) throw new IllegalArgumentException(s"dns_update: '$name' must not be null")
-      val v = row.getUTF8String(i).toString
-      if (v.trim.isEmpty) throw new IllegalArgumentException(s"dns_update: '$name' must not be empty")
-      v
-    }
-    val action = reqString(idx.action, "action")
-    if (!DnsAction.all.contains(action))
-      throw new IllegalArgumentException(
-        s"dns_update: invalid action '$action' (expected ${DnsAction.all.mkString("/")})")
-    val fqdnRaw = reqString(idx.fqdn, "fqdn")
-    val ip = reqString(idx.ip, "ip")
-    // Validate the address HERE, transport-independently: commit()
-    // sends one message per zone, so a row that only failed at wire
-    // encoding would abort the job AFTER earlier zones were already
-    // applied. Failing the task in write() keeps every transport
+    // Validation mirrors DnsPartitionHandler.java:69-77 via the shared
+    // rule table (DnsValidation — the same function the gated
+    // q_dns_validate audit classifies with). Address validity is
+    // checked HERE, transport-independently: commit() sends one
+    // message per zone, so a row that only failed at wire encoding
+    // would abort the job AFTER earlier zones were already applied;
+    // failing the task in write() keeps every transport
     // all-or-nothing per task (the reference fails the same way when
     // dnsjava parses the address).
-    if (!Ipv4.isValid(ip))
-      throw new IllegalArgumentException(s"dns_update: not an IPv4 address: '$ip'")
-    if (row.isNullAt(idx.timestamp))
-      throw new IllegalArgumentException("dns_update: 'timestamp' must not be null")
+    def strOpt(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    val actionOpt = strOpt(idx.action)
+    val fqdnOpt = strOpt(idx.fqdn)
+    val ipOpt = strOpt(idx.ip)
+    val hasTs = !row.isNullAt(idx.timestamp)
+    val ttlOpt = if (row.isNullAt(idx.ttl)) None else Some(row.getInt(idx.ttl))
+    DnsValidation.invalidReason(actionOpt, fqdnOpt, ipOpt, hasTs, ttlOpt).foreach { r =>
+      throw new IllegalArgumentException(
+        s"dns_update: invalid row ($r): action=${actionOpt.orNull}, " +
+          s"fqdn=${fqdnOpt.orNull}, ip=${ipOpt.orNull}, ttl=${ttlOpt.map(_.toString).getOrElse("null")}")
+    }
+    val action = actionOpt.get
+    val ip = ipOpt.get
     val tsMicros = row.getLong(idx.timestamp)
-    if (row.isNullAt(idx.ttl))
-      throw new IllegalArgumentException("dns_update: 'ttl' must not be null")
-    val ttl = row.getInt(idx.ttl)
-    if (ttl <= 0) throw new IllegalArgumentException(s"dns_update: 'ttl' must be > 0, got $ttl")
+    val ttl = ttlOpt.get
+    val fqdnRaw = fqdnOpt.get
 
     // Normalize to absolute name (DnsPartitionHandler.java:85-94), then
     // group by the zone derived from the fqdn (:52-62).
