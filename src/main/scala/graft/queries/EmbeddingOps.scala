@@ -307,7 +307,11 @@ object EmbeddingOps {
     * iterates to a movement threshold); per-cluster inertia (exact
     * integer) is reported so convergence quality is itself oracle-
     * checked. Init = the k lowest vec_ids, deterministic (production:
-    * k-means|| sampling). */
+    * k-means|| sampling). The quantized corpus is re-scanned per Lloyd
+    * pass here (~6 pruned scans for 2 rounds) because each pass is
+    * pushdown-cheap at demo scale; production iterating more rounds
+    * persists the working set once across rounds — exactly what MLlib's
+    * KMeans does — trading one materialization for per-round scans. */
   def qKmeansClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     kmeansFinalAssign(s, dir)
