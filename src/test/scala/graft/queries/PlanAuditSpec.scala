@@ -205,6 +205,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_semantic_dedup: the Lloyd pipeline is materialized once, downstream never rescans") {
+    // Three consumers (both self-join sides + the membership join)
+    // must hang off the checkpointed assignment — zero parquet scans
+    // in the final plan (measured 13 scans / 9 broadcast joins before
+    // the localCheckpoint).
+    val s = planString(EmbeddingOps.qSemanticDedup(spark, dir))
+    assert(s.contains("ExistingRDD") || s.contains("LogicalRDD"), s)
+    assert(!s.linesIterator.exists(_.contains("Scan parquet")), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q_pii_scrub: scrub is pure map work, rollup keeps partial aggregation") {
+    val s = planString(TextOps.qPiiScrub(spark, dir))
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+    assert(!s.contains("Join"), s) // no join anywhere — map + one agg
+  }
+
   test("q_quantile_sketch: the k-row sample cap runs as map-side WindowGroupLimit") {
     val s = planString(TextOps.qQuantileSketch(spark, dir))
     assert(s.contains("WindowGroupLimit"), s)
