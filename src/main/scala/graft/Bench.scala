@@ -65,7 +65,10 @@ object Bench {
     // no per-query map — it fits any tail buffer. The full line still
     // goes out first on both streams and to bench.json for humans and
     // for the per-query history.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir"}"""
+    // "compact":true disambiguates this line from the full one above
+    // for any consumer that greps by metric instead of taking the
+    // absolute last line — both lines share "metric":"total".
+    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir"}"""
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three
     // rounds running. Emit it on all three channels: stdout, a known

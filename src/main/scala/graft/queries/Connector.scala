@@ -19,6 +19,25 @@ object Connector {
   private val Host = "verify-dns"
   private val TsMicros = 1723400000000000L
 
+  /** Per-call fixture keys. The in-memory "port" is a JVM-local
+    * registry key, NOT an OS port — two concurrent JVMs each have
+    * their own registry and can never collide on it. Within a JVM,
+    * allocating a FRESH key per call makes each invocation's fixture
+    * private, so the seed-then-lazy-read window cannot race a
+    * concurrent caller of the same query; resetting the previous
+    * call's key keeps the registry bounded (≤1 live fixture per
+    * query), and a stale DataFrame consumed after a newer call fails
+    * loudly (ConnectException) instead of silently reading the newer
+    * call's state. */
+  private val portGen = new java.util.concurrent.atomic.AtomicInteger(56000)
+  private val lastPort = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def freshPort(name: String): Int = {
+    val p = portGen.incrementAndGet()
+    val prev = lastPort.put(name, p)
+    if (prev != null) InMemoryDnsServer.reset(Host, prev.intValue())
+    p
+  }
+
   /** Zones z0..z3; zone j holds hosts h0..h(9+j) with formulaic IPs.
     * Parameterized by target server so the in-memory and wire paths
     * share one fixture — and therefore one oracle. */
@@ -33,17 +52,27 @@ object Connector {
     seedReadZones(InMemoryDnsServer.at(Host, port))
   }
 
-  /** One loopback wire server per JVM (real TCP on an ephemeral
-    * 127.0.0.1 port, daemon accept thread). Queries re-seed its backing
-    * zones on every call — addZone replaces whole-zone state, so
-    * repeated Verify/Bench runs are idempotent. Single-process
-    * assumption, same as the in-memory registry. */
-  private lazy val wire: WireDnsServer = WireDnsServer.start()
+  /** Per-call loopback wire servers (real TCP on ephemeral 127.0.0.1
+    * ports, daemon accept threads), one namespace per query — the
+    * wire analogue of [[freshPort]]. Previously ONE shared server was
+    * re-seeded by all q_dns_wire_* queries, which made correctness
+    * silently depend on sequential execution (r8 ADVICE); a fresh
+    * server per call removes the coupling entirely. The replaced
+    * server for the same query is stopped — by then its DataFrame has
+    * been consumed (Verify writes / Bench counts before re-invoking),
+    * and a stale one would fail loudly on connect. */
+  private val lastWire = new java.util.concurrent.ConcurrentHashMap[String, WireDnsServer]()
+  private def freshWire(name: String): WireDnsServer = {
+    val s = WireDnsServer.start()
+    val prev = lastWire.put(name, s)
+    if (prev != null) WireDnsServer.stop(prev.port)
+    s
+  }
 
   /** Full batch read through spark.read.format("dns"): registry →
     * table → one partition per zone → AXFR rows. */
   def qDnsRead(s: SparkSession, dir: String): DataFrame = {
-    val port = 5601
+    val port = freshPort("q_dns_read")
     seedReadFixture(port)
     s.read.format("dns")
       .option("server", Host).option("port", port.toString)
@@ -79,7 +108,7 @@ object Connector {
     * optimization — at a large zone count it is the difference
     * between O(zones) network transfers and O(requested). */
   def qDnsZonePruned(s: SparkSession, dir: String): DataFrame = {
-    val port = 5604
+    val port = freshPort("q_dns_zone_pruned")
     seedReadFixture(port)
     s.read.format("dns")
       .option("server", Host).option("port", port.toString)
@@ -109,6 +138,7 @@ object Connector {
     * server on a real cluster (the role dnsjava plays in the reference,
     * Xfr.java:37-50). */
   def qDnsWireRead(s: SparkSession, dir: String): DataFrame = {
+    val wire = freshWire("q_dns_wire_read")
     seedReadZones(wire.backing)
     s.read.format("dns")
       .option("server", wire.host).option("port", wire.port.toString)
@@ -139,7 +169,7 @@ object Connector {
     * presence as "latest change per (fqdn, ip) is not a delete" —
     * exactly the LWW-dedup + chronological-apply contract. */
   def qDnsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val port = 5602
+    val port = freshPort("q_dns_roundtrip")
     InMemoryDnsServer.reset(Host, port)
     seedRoundtripZones(InMemoryDnsServer.at(Host, port))
     // The SCALE write path: one hash exchange on the derived zone puts
@@ -202,6 +232,7 @@ object Connector {
     * state is read back over a wire AXFR. Same update log, same oracle
     * as [[qDnsRoundtrip]]: transport must never change results. */
   def qDnsWireRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val wire = freshWire("q_dns_wire_roundtrip")
     seedRoundtripZones(wire.backing)
     graft.sources.dns.write.DnsWrites.repartitionByZone(roundtripUpdates(s))
       .write.format("dns_update")
@@ -258,7 +289,7 @@ object Connector {
     * deletes-before-adds flattening order (made hash-stable here by the
     * ord column, mirroring q_union_changes). */
   def qDnsIxfr(s: SparkSession, dir: String): DataFrame = {
-    val port = 5603
+    val port = freshPort("q_dns_ixfr")
     InMemoryDnsServer.reset(Host, port)
     seedIxfrZone(InMemoryDnsServer.at(Host, port))
     ixfrProjection(s, s.read.format("dns")
@@ -297,6 +328,7 @@ object Connector {
     * including the client-SOA-in-authority request encoding. Same
     * journal, same oracle as [[qDnsIxfr]]. */
   def qDnsWireIxfr(s: SparkSession, dir: String): DataFrame = {
+    val wire = freshWire("q_dns_wire_ixfr")
     seedIxfrZone(wire.backing)
     ixfrProjection(s, s.read.format("dns")
       .option("server", wire.host).option("port", wire.port.toString)
@@ -326,7 +358,7 @@ object Connector {
     * catalog. Same fixture and oracle as [[qDnsRead]]: DDL-vs-DataFrame
     * registration must be result-invisible. */
   def qDnsSql(s: SparkSession, dir: String): DataFrame = {
-    val port = 5605
+    val port = freshPort("q_dns_sql")
     seedReadFixture(port)
     s.sql("DROP TABLE IF EXISTS graft_dns_sql")
     s.sql(
@@ -349,7 +381,7 @@ object Connector {
     * write-side validation rejections stay spec-tested — an error has
     * no result row to hash.) */
   def qDnsIgnoreFailures(s: SparkSession, dir: String): DataFrame = {
-    val port = 5609
+    val port = freshPort("q_dns_ignore_failures")
     seedReadFixture(port)
     s.read.format("dns")
       .option("server", Host).option("port", port.toString)
@@ -468,7 +500,7 @@ object Connector {
     * The log adds 8 records and deletes 2 seeded ones; the oracle
     * replays the final zone state. */
   def qDnsSqlInsert(s: SparkSession, dir: String): DataFrame = {
-    val port = 5607
+    val port = freshPort("q_dns_sql_insert")
     InMemoryDnsServer.reset(Host, port)
     val srv = InMemoryDnsServer.at(Host, port)
     srv.addZone("sq.graft.", (0 to 2).map(k => ARecord(s"seed$k.sq.graft.", s"10.6.0.$k")))
@@ -513,7 +545,7 @@ object Connector {
     * apply are both exercised through the streaming path. */
   def qDnsStreamSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val port = 5608
+    val port = freshPort("q_dns_stream_sink")
     InMemoryDnsServer.reset(Host, port)
     val srv = InMemoryDnsServer.at(Host, port)
     srv.addZone("sk.graft.", (0 to 4).map(k => ARecord(s"seed$k.sk.graft.", s"10.8.0.$k")))
@@ -576,7 +608,7 @@ object Connector {
     * resume test DnsSourceRelationProviderTest.java:203-226) as an
     * official gate row, not just a spec. */
   def qDnsStream(s: SparkSession, dir: String): DataFrame = {
-    val port = 5606
+    val port = freshPort("q_dns_stream")
     InMemoryDnsServer.reset(Host, port)
     val srv = InMemoryDnsServer.at(Host, port)
     srv.addZone("st.graft.", (0 to 9).map(i => ARecord(s"h$i.st.graft.", s"10.5.0.$i")))

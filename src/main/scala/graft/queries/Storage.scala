@@ -187,7 +187,15 @@ object Storage {
     import s.implicits._
     val base = scratch(dir, "compaction")
     val cols = Seq($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
-    t(s, dir, "orders").select(cols: _*)
+    val orders = t(s, dir, "orders").select(cols: _*)
+    // The oracle pins n_files_before=16, which holds only while every
+    // one of the 16 repartitioned tasks gets at least one row. Guard
+    // explicitly (footer-metadata count, no data scan) so a future tiny
+    // SF fails with THIS message instead of a confusing hash mismatch.
+    val nRows = orders.count()
+    require(nRows >= 16 * 16,
+      s"q_compaction needs >=256 orders rows for a reliable 16-file fragment, got $nRows")
+    orders
       .repartition(16).write.mode("overwrite").parquet(s"$base/fragmented")
     s.read.parquet(s"$base/fragmented").coalesce(1)
       .write.mode("overwrite").parquet(s"$base/compacted")

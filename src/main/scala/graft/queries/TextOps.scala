@@ -469,27 +469,46 @@ object TextOps {
     * localCheckpoint materializes the (pair-graph-sized, small) edge
     * and label frames and cuts the plan at a LogicalRDD — the
     * standard iterative-graph treatment (GraphX checkpoints for the
-    * same reason); on a real cluster with executor churn, swap for
-    * reliable checkpoint(dir). persist() is NOT enough: cache
-    * substitution still carries (and re-canonicalizes) the full
-    * logical tree every iteration. */
-  private[queries] def connectedComponents(s: SparkSession,
-                                           pairs: DataFrame): (DataFrame, Int) = {
+    * same reason); `reliableDir=Some(dir)` swaps every round's
+    * materialization for a reliable checkpoint(dir) — the cluster
+    * durability mode (exercised by TextOpsSpec). persist() is NOT
+    * enough: cache substitution still carries (and re-canonicalizes)
+    * the full logical tree every iteration. */
+  private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame,
+                                           reliableDir: Option[String] = None): (DataFrame, Int) = {
     import s.implicits._
-    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
-    val edges = pairs.select(ca.as("src"), cb.as("dst"))
-      .union(pairs.select(cb.as("src"), ca.as("dst")))
-      .localCheckpoint()
-    var labels = edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
-      .select($"v", least($"v", $"mn").as("l")).localCheckpoint()
+    // Durability swap for clusters with executor churn: localCheckpoint
+    // blocks live only on executors (lost executor ⇒ recompute from a
+    // truncated lineage that no longer exists ⇒ job failure), so a real
+    // deployment passes a reliable checkpoint dir (HDFS/S3) and eats
+    // the write cost per round. Same plan either way — only the
+    // materialization sink differs.
+    reliableDir.foreach(s.sparkContext.setCheckpointDir)
     // Convergence is CHECKED, not assumed: labels only ever decrease
     // (every step is a min), so the label sum is strictly decreasing
-    // until the fixed point — sum unchanged ⇔ no label moved. One tiny
-    // agg per round over the checkpointed frame.
-    def labelSum(): Long =
-      labels.agg(coalesce(sum($"l"), lit(0L))).head.getLong(0)
+    // until the fixed point — sum unchanged ⇔ no label moved. The sum
+    // rides the SAME job that materializes the round's checkpoint
+    // (Dataset.observe piggybacks a CollectMetrics accumulator on the
+    // action), so each round costs exactly one job — a separate 1-row
+    // agg per round would double the job count for zero information.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, coalesce(sum($"l"), lit(0L)).as("lsum"))
+      val ck = if (reliableDir.isDefined) observed.checkpoint()
+               else observed.localCheckpoint()
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(300, java.util.concurrent.TimeUnit.SECONDS))
+      (ck, row.getLong(0))
+    }
+    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    val edgesPlan = pairs.select(ca.as("src"), cb.as("dst"))
+      .union(pairs.select(cb.as("src"), ca.as("dst")))
+    val edges = if (reliableDir.isDefined) edgesPlan.checkpoint()
+                else edgesPlan.localCheckpoint()
+    var (labels, curSum) = checkpointWithSum(
+      edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
+        .select($"v", least($"v", $"mn").as("l")))
     var prevSum = Long.MinValue
-    var curSum = labelSum()
     var rounds = 0
     while (curSum != prevSum && rounds < MaxClusterRounds) {
       // neighbor-min: push each vertex's label across its edges
@@ -498,15 +517,52 @@ object TextOps {
       val propagated = pushed.union(labels).groupBy($"v").agg(min($"l").as("l"))
       // pointer jump: l(v) <- min(l(v), l(l(v))) — doubles reach
       val byLabel = propagated.select($"v".as("pv"), $"l".as("pl"))
-      labels = propagated.join(byLabel, $"l" === $"pv", "left")
-        .select($"v", least($"l", coalesce($"pl", $"l")).as("l")).localCheckpoint()
+      val next = propagated.join(byLabel, $"l" === $"pv", "left")
+        .select($"v", least($"l", coalesce($"pl", $"l")).as("l"))
       prevSum = curSum
-      curSum = labelSum()
+      val (ck, sum2) = checkpointWithSum(next)
+      labels = ck
+      curSum = sum2
       rounds += 1
     }
     require(curSum == prevSum,
       s"label propagation did not converge in $MaxClusterRounds rounds")
     (labels, rounds)
+  }
+
+  /** Phase 1 of the two-phase global rank: range-partition the
+    * (distinct) id column, then rank locally inside each partition —
+    * a PARTITIONED window, never a global one. Exposed separately so
+    * PlanAuditSpec audits this exact plan (the production caller
+    * checkpoints it, which would hide the window behind a
+    * LogicalRDD). */
+  private[queries] def rankPhase1(ids: DataFrame): DataFrame =
+    ids.repartitionByRange(col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+          .orderBy(col("user_id"))))
+
+  /** Phase 2: shift each partition's local ranks by the total count
+    * of earlier partitions. The cumulative offsets are built
+    * EQUI-ONLY: each per-pid count row explodes its pid forward to
+    * every later pid (≤ P² rows, P = shuffle partitions — config
+    * cardinality, not data cardinality) and a groupBy sums the
+    * contributions; a window over counts or a non-equi self-join
+    * would re-introduce exactly the shapes the audit bans.
+    * sequence() is guarded because Spark's sequence(a, b) runs
+    * DESCENDING when a > b instead of returning empty. */
+  private[queries] def rankPhase2(s: SparkSession, local: DataFrame): DataFrame = {
+    import s.implicits._
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val counts = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts
+      .select(explode(when($"pid" < nParts - 1,
+          sequence($"pid" + 1, lit(nParts - 1))).otherwise(array(Seq.empty[Column]: _*))).as("pid"),
+        $"cnt")
+      .groupBy($"pid").agg(sum($"cnt").as("off"))
+    local.join(broadcast(offsets), Seq("pid"), "left")
+      .select($"user_id", (coalesce($"off", lit(0L)) + $"lrk" - 1).as("rk"))
   }
 
   /** The SAME component machinery in its multi-round regime: the
@@ -519,14 +575,32 @@ object TextOps {
     * pointer-jump doubling: ~6 rounds, convergence still CHECKED per
     * round against the 16-round bound. The oracle computes true
     * components via the same recursive-CTE shape as q_dedup_clusters.
-    * The global rank is one bounded window over DISTINCT user ids
-    * (key cardinality, not event rows); the loop itself is all hash
+    *
+    * The global 0-based rank over distinct user ids is TWO-PHASE —
+    * the scale-safe form of a global row_number: range-partition by
+    * user_id, rank locally per partition (partitioned window), then
+    * shift each partition's local ranks by the total count of all
+    * earlier partitions. The cumulative offsets are built from the
+    * P-row per-partition counts (P = shuffle partitions — config
+    * cardinality, not data cardinality) with an equi-only shape: each
+    * count row explodes its pid forward to every later pid (≤ P²
+    * rows) and a groupBy sums the contributions, so the whole plan
+    * stays partitioned windows + hash equi-joins — no unpartitioned
+    * Window, no nested-loop join, nothing single-reducer (asserted in
+    * PlanAuditSpec; the r8 scaffold was a global Window.orderBy). The
+    * result is identical because range partitions are disjoint and
+    * ordered and user_id is distinct. The loop itself is all hash
     * equi-joins + partial-agg mins at any scale. */
   def qGraphComponents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val users = Tables.events(s, dir).select($"user_id").distinct()
-    val ranked = users.select($"user_id",
-      (row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"user_id")) - 1).as("rk"))
+    // Phase 1 is materialized ONCE: spark_partition_id() is only
+    // meaningful relative to one concrete partitioning, and the local
+    // ranks feed two consumers — without the checkpoint each copy
+    // could re-plan the range exchange with fresh sample seeds and
+    // disagree on pids. The frame is distinct-user-sized (key
+    // cardinality).
+    val ranked = rankPhase2(s, rankPhase1(users).localCheckpoint())
     val a = ranked.select($"user_id".as("src"), $"rk".as("rka"))
     val b = ranked.select($"user_id".as("dst"), $"rk".as("rkb"))
     val chain = a.join(b, $"rkb" === $"rka" + 1)

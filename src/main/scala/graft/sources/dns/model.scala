@@ -103,12 +103,19 @@ object Ipv4 {
 
 /** The write-side row rules as ONE pure function — the single source of
   * truth: [[graft.sources.dns.write]]'s DataWriter enforces it per row
-  * (reference DnsPartitionHandler.java:69-77) and the gated audit query
-  * `q_dns_validate` classifies a mixed-validity batch through the SAME
-  * code, with a DuckDB oracle re-deriving every rule in SQL — so the
-  * Scala rules and their documented semantics can never drift apart
-  * unnoticed. Rule ids are stable output values, ordered
-  * first-violation-wins exactly like the writer's throw order. */
+  * and the gated audit query `q_dns_validate` classifies a
+  * mixed-validity batch through the SAME code, with a DuckDB oracle
+  * re-deriving every rule in SQL — so the Scala rules and their
+  * documented semantics can never drift apart unnoticed.
+  *
+  * The rule SET mirrors the reference's DnsPartitionHandler.java:69-77
+  * (this repo is deliberately stricter on whitespace-only strings —
+  * SURVEY §2.3); the FIRST-VIOLATION ORDER is this connector's writer
+  * order (action→fqdn→ip→timestamp→ttl), NOT the reference's
+  * (ip→action→timestamp→ttl→fqdn). The accept/reject set is identical
+  * either way — only which reason is reported for a multi-invalid row
+  * differs, and the gated oracle pins THIS order. Do not "fix" the
+  * order to match the reference: that would flip q_dns_validate. */
 object DnsValidation {
   def invalidReason(action: Option[String], fqdn: Option[String],
                     ip: Option[String], hasTimestamp: Boolean,

@@ -99,6 +99,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_graph_components: two-phase rank has no unpartitioned window, offsets are equi-only") {
+    // The r8 scaffold ranked users with a global Window.orderBy — a
+    // single-reducer step at 10^9 users. The replacement must keep
+    // every window PARTITIONED (phase 1, audited pre-checkpoint: the
+    // production caller's localCheckpoint would hide it behind a
+    // LogicalRDD) and build the cumulative offsets without windows or
+    // nested-loop joins (phase 2).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions.col
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+    val p1 = executed(TextOps.rankPhase1(users))
+    val windows = collectNodes(p1).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the partitioned local-rank window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+    val p2 = executed(TextOps.rankPhase2(spark, TextOps.rankPhase1(users).localCheckpoint()))
+    val nodes = collectNodes(p2)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]), "phase 2 must not use a window")
+    val s2 = p2.toString
+    assert(!s2.contains("CartesianProduct"), s2)
+    assert(!s2.contains("BroadcastNestedLoopJoin"), s2)
+  }
+
   test("q_kmeans_clusters: centroid update keeps map-side partial aggregation") {
     // The (cid, pos) sums after posexplode MUST partial-aggregate —
     // that compression (dim x n rows -> k x dim groups per task) is
