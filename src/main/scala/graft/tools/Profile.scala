@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling harness: run named SparkEntry queries against a SF
   * dir, print warm timings (min of 3) and optionally the executed
-  * plan. Usage:
-  *   runMain graft.tools.Profile <sfDir> [-explain] <query> [query...]
+  * plan or the result rows. Usage:
+  *   runMain graft.tools.Profile <sfDir> [-explain] [-show] <query> [query...]
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val explain = args.contains("-explain")
+    val show = args.contains("-show")
     val names = args.drop(1).filterNot(_.startsWith("-"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -35,6 +36,7 @@ object Profile {
       }
       println(f"PROFILE $name%-24s min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
       if (explain) println(fn(spark, sfDir).queryExecution.executedPlan.toString)
+      if (show) fn(spark, sfDir).show(200, truncate = false)
     }
     spark.stop()
   }

@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale-stress generator: writes a 10× replica of an SF dir's
+  * `documents`/`embeddings` tables so the dedup/ANN cap claims ("bits
+  * ∝ log n", "cells ∝ √n", bucket caps bound pair work under skew)
+  * can be MEASURED instead of argued (SCALE.md records the numbers).
+  *
+  * Replica r (0..9) shifts ids by r·10⁷ (divisible by 100, so the
+  * `vec_id % 100 == 0` query sets scale with the corpus). Text
+  * replicas append a replica token — replicas become NEAR-duplicates,
+  * the hard case for the minhash/LSH pipelines, not exact-hash drops.
+  * Embedding replicas add r·10⁻³ to every element — replicas stay at
+  * cosine ≈ 1, making the 10× corpus duplicate-HEAVY: worst case for
+  * bucket occupancy, exactly what the per-bucket caps exist to bound.
+  *
+  * Usage: runMain graft.tools.Scale10 <srcSfDir> <outDir>
+  */
+object Scale10 {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val reps = spark.range(10).select($"id".cast("int").as("rep"))
+
+    spark.read.parquet(s"$src/documents.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        ($"doc_id" + $"rep".cast("long") * 10000000L).as("doc_id"),
+        when($"rep" === 0, $"text")
+          .otherwise(concat($"text", lit(" rep"), $"rep")).as("text"),
+        $"lang", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        ($"vec_id" + $"rep".cast("long") * 10000000L).as("vec_id"),
+        transform($"embedding", x => x + $"rep".cast("float") * lit(0.001f))
+          .as("embedding"),
+        $"label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"SCALE10 wrote $out: documents=" +
+      spark.read.parquet(s"$out/documents.parquet").count() +
+      " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+    spark.stop()
+  }
+}
