@@ -323,10 +323,14 @@ object EmbeddingOps {
 
   /** The 2-round Lloyd machinery: returns the final-round assignment
     * (vec_id, cid, d2, q, nsq) for [[qKmeansClusters]]'s rollup and
-    * [[qSemanticDedup]]'s within-cluster prune. */
-  private def kmeansFinalAssign(s: SparkSession, dir: String): DataFrame = {
+    * [[qSemanticDedup]]'s within-cluster prune. `k` is the cell-count
+    * dial (gate queries pin k=8 to match their oracles; production
+    * sizes k ∝ n to hold cell size — and therefore SemDeDup's
+    * within-cell pair volume per row — constant; SCALE.md measures
+    * exactly that at 10×). */
+  private[graft] def kmeansFinalAssign(s: SparkSession, dir: String,
+                                       k: Int = 8): DataFrame = {
     import s.implicits._
-    val k = 8
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
     val c0 = v.filter($"vec_id" < k)
       .select($"vec_id".as("cid"), $"q".as("cq"), $"nsq".as("cnsq"))
@@ -360,7 +364,12 @@ object EmbeddingOps {
     * + kept-id sum) is the oracle surface; the oracle replays the full
     * composition — both Lloyd rounds, the pairwise cosines, the greedy
     * drop — nested verbatim over the same tables. */
-  def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+  def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedupAt(s, dir, k = 8) // k pinned to the oracle's Lloyd replay
+
+  /** [[qSemanticDedup]] with the cell-count dial exposed: the 10×
+    * stress (SCALE.md) runs k=8 vs k=80 to measure what k ∝ n buys. */
+  private[graft] def semanticDedupAt(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     // The assignment feeds THREE consumers (both self-join sides + the
     // final membership join); without materialization each one replans
@@ -369,7 +378,7 @@ object EmbeddingOps {
     // same recompute-vs-materialize call as q_dedup_clusters' loop,
     // and the frame is embedding-table-sized, so the write is bounded
     // by the input it replaces.
-    val a2 = kmeansFinalAssign(s, dir).select($"vec_id", $"cid", $"q", $"nsq")
+    val a2 = kmeansFinalAssign(s, dir, k).select($"vec_id", $"cid", $"q", $"nsq")
       .localCheckpoint()
     val pairs = a2.as("a").join(a2.as("b"),
         $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
