@@ -30,6 +30,42 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("convergence check rides the checkpoint action: ~1 action per round, not 2") {
+    // The label sum is observed on the SAME action that materializes
+    // each round's checkpoint (Dataset.observe). Before the fold the
+    // loop issued 2 query executions per round (checkpoint + separate
+    // 1-row agg: 2·rounds+3 total incl. edges/initial); folded it
+    // issues edges + initial + 1/round. Job counts are NOT the metric
+    // (AQE runs one job per shuffle stage), so count query executions.
+    val execs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val (_, rounds) = TextOps.connectedComponents(spark, pathPairs(40, 1))
+      assert(rounds >= 4, s"diameter-39 path should need many rounds, took $rounds")
+      // listener delivery is async: poll until the count is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (stable < 5 && System.nanoTime() < deadline) {
+        val now = execs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+      }
+      val total = execs.get()
+      val unfolded = 2 * rounds + 3
+      assert(total < unfolded,
+        s"expected ~${rounds + 2} executions for $rounds rounds (unfolded would be ~$unfolded), saw $total")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("reliable checkpoint(dir) mode is result-identical to localCheckpoint") {
     import spark.implicits._
     val pairs = pathPairs(60, 3)
