@@ -121,6 +121,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s2.contains("BroadcastNestedLoopJoin"), s2)
   }
 
+  test("q_semantic_dedup: within-cell pairs come from a cid equi-join") {
+    // SemDeDup's whole scale story is that the pairwise stage is
+    // bounded BY CONSTRUCTION to within-cluster pairs — the self-join
+    // must stay an equi-join on cid (vec_id< is a post-join filter).
+    // If the condition ever degraded to pure inequality the planner
+    // would emit a nested-loop over the full corpus square.
+    val s = planString(EmbeddingOps.qSemanticDedup(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_kmeans_clusters: centroid update keeps map-side partial aggregation") {
     // The (cid, pos) sums after posexplode MUST partial-aggregate —
     // that compression (dim x n rows -> k x dim groups per task) is
