@@ -38,6 +38,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("RocksDB state store provider is result-identical to the default") {
+    // At 100 TB, streaming state (open windows × keys) outgrows
+    // executor heaps; the RocksDB provider keeps state on local disk
+    // with only a working set in memory. rocksdbjni ships with the
+    // Spark distribution, so the swap is ONE conf — and it must be
+    // result-invisible, which is exactly what this proves on the same
+    // watermark-windowed aggregation the gate pins to its oracle.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = StreamingOps.qStreamingHourly(spark, dir).collect().toSeq
+    assert(default.nonEmpty)
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingOps.qStreamingHourly(spark, dir).collect().toSeq
+      assert(rocks == default)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates exactly") {
     import spark.implicits._
     // at-least-once landing zone: the same file delivered twice
