@@ -565,6 +565,24 @@ object TextOps {
       .select($"user_id", (coalesce($"off", lit(0L)) + $"lrk" - 1).as("rk"))
   }
 
+  /** The two-phase global rank as a first-class gated operator: stable
+    * CONTIGUOUS 0-based ids over a distinct key set — the primitive
+    * that assigns sample/shard indices in packing and sharding
+    * pipelines (a 100 TB corpus cannot pay a single-reducer
+    * row_number for it). Built from [[rankPhase1]]/[[rankPhase2]]:
+    * range partition → partitioned local rank → equi-only cumulative
+    * offsets; pinned row-for-row against DuckDB's global row_number,
+    * and partition-count invariant (range partitions are disjoint and
+    * ordered, so the composed rank is independent of where the
+    * boundaries fall). */
+  def qRankGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir).select($"user_id").distinct()
+    rankPhase2(s, rankPhase1(users).localCheckpoint())
+      .select($"user_id", $"rk")
+      .orderBy($"user_id")
+  }
+
   /** The SAME component machinery in its multi-round regime: the
     * near-dup graph converges in 1-2 rounds (bucket cliques, diameter
     * ≤2), so [[qDedupClusters]] never exercises the loop's interesting
@@ -706,6 +724,7 @@ object TextOps {
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
     "q_graph_components" -> qGraphComponents,
+    "q_rank_global" -> qRankGlobal,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
     "q_lang_id" -> qLangId,
@@ -794,6 +813,13 @@ object TextOps {
         |FROM lab GROUP BY l ORDER BY component_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // DuckDB states the spec directly (one global row_number); the
+    // Spark side must reproduce it from the two-phase plan.
+    "q_rank_global" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS rk
+        |FROM (SELECT DISTINCT user_id FROM events)
+        |ORDER BY user_id""".stripMargin,
     // Same deterministic ticket construction, same RE2-safe patterns
     // ('g' flag: DuckDB regexp_replace is first-match by default where
     // Spark's is global); the checksum pins the scrubbed BYTES.

@@ -30,6 +30,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_kmeans_clusters",  // floor-of-double centroid means over partial sums
     "q_semantic_dedup",   // cluster self-join + float-cosine threshold
     "q_graph_components", // iterative min-label propagation round count
+    "q_rank_global",      // two-phase rank across range boundaries
     "q_cdc_stream",       // multi-batch foreachBatch LWW merge chain
     "q_pii_scrub")        // regex scrub + xor checksum
 
