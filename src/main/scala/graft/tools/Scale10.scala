@@ -54,7 +54,23 @@ object Scale10 {
         $"label")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"SCALE10 wrote $out: documents=" +
+    // Events: 10× the USER population (ids shifted per replica), so the
+    // key-cardinality families (global rank, components, sessions,
+    // per-user windows) scale in their real dimension; timestamps pass
+    // through as raw nanos-longs (nanosAsLong is set on this session,
+    // and Tables.events converts from long either way).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$src/events.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        ($"event_id" + $"rep".cast("long") * 1000000000L).as("event_id"),
+        $"ts",
+        ($"user_id" + $"rep".cast("long") * 10000000L).as("user_id"),
+        $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"SCALE10 wrote $out: events=" +
+      spark.read.parquet(s"$out/events.parquet").count() + " documents=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
       " embeddings=" + spark.read.parquet(s"$out/embeddings.parquet").count())
     spark.stop()
