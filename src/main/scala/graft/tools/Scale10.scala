@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * cosine ≈ 1, making the 10× corpus duplicate-HEAVY: worst case for
   * bucket occupancy, exactly what the per-bucket caps exist to bound.
   *
-  * Usage: runMain graft.tools.Scale10 <srcSfDir> <outDir>
+  * Usage: runMain graft.tools.Scale10 <srcSfDir> <outDir> [idStride]
+  * `idStride` (default 10⁷) must exceed the source's max id — pass a
+  * larger stride when re-applying to an already-scaled dir (10× of 10×
+  * = 100×) so replica id ranges never collide.
   */
 object Scale10 {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
+    val stride = args.lift(2).map(_.toLong).getOrElse(10000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -39,7 +43,7 @@ object Scale10 {
     spark.read.parquet(s"$src/documents.parquet")
       .crossJoin(broadcast(reps))
       .select(
-        ($"doc_id" + $"rep".cast("long") * 10000000L).as("doc_id"),
+        ($"doc_id" + $"rep".cast("long") * stride).as("doc_id"),
         when($"rep" === 0, $"text")
           .otherwise(concat($"text", lit(" rep"), $"rep")).as("text"),
         $"lang", $"source", $"n_chars")
@@ -48,7 +52,7 @@ object Scale10 {
     spark.read.parquet(s"$src/embeddings.parquet")
       .crossJoin(broadcast(reps))
       .select(
-        ($"vec_id" + $"rep".cast("long") * 10000000L).as("vec_id"),
+        ($"vec_id" + $"rep".cast("long") * stride).as("vec_id"),
         transform($"embedding", x => x + $"rep".cast("float") * lit(0.001f))
           .as("embedding"),
         $"label")
@@ -63,9 +67,9 @@ object Scale10 {
     spark.read.parquet(s"$src/events.parquet")
       .crossJoin(broadcast(reps))
       .select(
-        ($"event_id" + $"rep".cast("long") * 1000000000L).as("event_id"),
+        ($"event_id" + $"rep".cast("long") * stride * 100L).as("event_id"),
         $"ts",
-        ($"user_id" + $"rep".cast("long") * 10000000L).as("user_id"),
+        ($"user_id" + $"rep".cast("long") * stride).as("user_id"),
         $"event_type", $"value", $"props")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
