@@ -172,6 +172,32 @@ object StreamingOps {
     s.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Oracle-gated stream-stream interval join: [[purchaseErrorJoin]]
+    * over the single-file replay. INNER stream-stream joins emit each
+    * match as soon as both sides hold the rows (no watermark wait —
+    * only outer sides and state EVICTION wait on the watermark), so
+    * the one-batch result equals the batch interval join exactly,
+    * which is what the DuckDB self-join oracle states. Both sides are
+    * watermarked AND the predicate bounds the event-time distance —
+    * the two conditions Spark needs to ever evict buffered rows, so
+    * each side's state is (rate × [watermark + interval]) and the
+    * join runs forever at any scale; the multi-batch path is
+    * exercised in StreamingOpsSpec. Timestamps surface as epoch
+    * micros so the comparison is integer-exact across engines. */
+  def qStreamingJoin(s: SparkSession, dir: String): DataFrame = {
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val joined = purchaseErrorJoin(eventsStream(s, s"$dir/events.parque[t]"))
+    val q = joined
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("e_ts")).as("e_ts_us"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_stream_join").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "interval-join stream did not terminate")
+    s.table("graft_stream_join")
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   /** Multi-batch replay where the watermark provably BITES: the events
     * table is split into four files replayed one per micro-batch
     * (maxFilesPerTrigger=1, modification times pin the order) — early
@@ -329,6 +355,7 @@ object StreamingOps {
     "q_streaming_sliding" -> qStreamingSliding,
     "q_streaming_dedup" -> qStreamingDedup,
     "q_streaming_late" -> qStreamingLate,
+    "q_streaming_join" -> qStreamingJoin,
     "q_cdc_stream" -> qCdcStream)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
@@ -371,6 +398,18 @@ object StreamingOps {
         |  FROM events)
         |SELECT user_id, ts_us, event_id, event_type, value
         |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Batch truth for the stream-stream interval join: the plain
+    // self-join over the whole table — an inner streaming join that
+    // dropped a match (over-eager eviction) or emitted one outside the
+    // interval (predicate slip) breaks the hash.
+    "q_streaming_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(e.ts) AS e_ts_us
+        |FROM events p JOIN events e
+        |  ON p.user_id = e.user_id
+        | AND p.event_type = 'purchase' AND e.event_type = 'error'
+        | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
