@@ -189,14 +189,22 @@ object Storage {
     val cols = Seq($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
     val orders = t(s, dir, "orders").select(cols: _*)
     // The oracle pins n_files_before=16, which holds only while every
-    // one of the 16 repartitioned tasks gets at least one row. Guard
-    // explicitly (footer-metadata count, no data scan) so a future tiny
-    // SF fails with THIS message instead of a confusing hash mismatch.
+    // one of the 16 fragment partitions gets at least one row. Round-
+    // robin repartition(16) cannot GUARANTEE that (each input partition
+    // starts its round-robin at a random offset), so fragment by RANGE
+    // on the unique order key instead: the range partitioner's sampled
+    // boundaries are 15 distinct keys, so each of the 16 ranges
+    // contains at least one sampled row — every fragment is non-empty
+    // given enough distinct keys. The guard below enforces that
+    // precondition loudly (count() is a cheap zero-column scan job —
+    // parquet serves it from row-group metadata, but it IS a job) so a
+    // future tiny SF fails with THIS message, not a hash mismatch.
     val nRows = orders.count()
     require(nRows >= 16 * 16,
       s"q_compaction needs >=256 orders rows for a reliable 16-file fragment, got $nRows")
     orders
-      .repartition(16).write.mode("overwrite").parquet(s"$base/fragmented")
+      .repartitionByRange(16, $"o_orderkey")
+      .write.mode("overwrite").parquet(s"$base/fragmented")
     s.read.parquet(s"$base/fragmented").coalesce(1)
       .write.mode("overwrite").parquet(s"$base/compacted")
     // input_file_name() is non-deterministic to Catalyst, so it must be

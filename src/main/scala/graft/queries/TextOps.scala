@@ -491,15 +491,37 @@ object TextOps {
     // (Dataset.observe piggybacks a CollectMetrics accumulator on the
     // action), so each round costs exactly one job — a separate 1-row
     // agg per round would double the job count for zero information.
+    //
+    // Observed metrics are a CANDIDATE signal, not ground truth: the
+    // accumulator fires once per plan EXECUTION, so reliable
+    // checkpoint() (whose write job re-runs the unpersisted RDD) and
+    // task retries/speculation can inflate it non-uniformly —
+    // enough to make sums differ at the true fixed point or
+    // coincidentally match early. Two defenses: (a) the reliable
+    // path persists the observed frame so the checkpoint-write job
+    // reads cached blocks instead of re-executing the plan; (b) every
+    // candidate convergence is CONFIRMED by exact 1-row aggs over the
+    // two checkpointed frames (see loop) — trivial scans of
+    // already-materialized data, at most twice per run.
     def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation()
       val observed = df.observe(obs, coalesce(sum($"l"), lit(0L)).as("lsum"))
-      val ck = if (reliableDir.isDefined) observed.checkpoint()
-               else observed.localCheckpoint()
+      val ck = if (reliableDir.isDefined) {
+        val cached = observed.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = cached.checkpoint()
+        cached.unpersist(blocking = false)
+        out
+      } else observed.localCheckpoint()
       val row = scala.concurrent.Await.result(obs.future,
         scala.concurrent.duration.Duration(300, java.util.concurrent.TimeUnit.SECONDS))
       (ck, row.getLong(0))
     }
+    // Exact label sum over a CHECKPOINTED frame — immune to the
+    // inflation modes above because it is its own job over
+    // materialized blocks, not a metric piggybacked on another job.
+    def exactSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"l"), lit(0L))).first().getLong(0)
     val Seq(ca, cb) = pairs.columns.toSeq.map(col)
     val edgesPlan = pairs.select(ca.as("src"), cb.as("dst"))
       .union(pairs.select(cb.as("src"), ca.as("dst")))
@@ -509,6 +531,7 @@ object TextOps {
       edges.groupBy($"src".as("v")).agg(min($"dst").as("mn"))
         .select($"v", least($"v", $"mn").as("l")))
     var prevSum = Long.MinValue
+    var prevLabels = labels
     var rounds = 0
     while (curSum != prevSum && rounds < MaxClusterRounds) {
       // neighbor-min: push each vertex's label across its edges
@@ -521,8 +544,19 @@ object TextOps {
         .select($"v", least($"l", coalesce($"pl", $"l")).as("l"))
       prevSum = curSum
       val (ck, sum2) = checkpointWithSum(next)
+      prevLabels = labels
       labels = ck
       curSum = sum2
+      if (curSum == prevSum) {
+        // Candidate convergence — confirm with exact sums before
+        // declaring the fixed point (observed metrics can match
+        // coincidentally under non-uniform accumulator inflation).
+        // Sums strictly decrease round-over-round, so this branch is
+        // taken at most twice per run — two trivial scans, not a
+        // per-round cost.
+        val (ep, ec) = (exactSum(prevLabels), exactSum(labels))
+        if (ep != ec) { prevSum = ep; curSum = ec } // inflated match: keep going
+      }
       rounds += 1
     }
     require(curSum == prevSum,
@@ -554,8 +588,14 @@ object TextOps {
     * DESCENDING when a > b instead of returning empty. */
   private[queries] def rankPhase2(s: SparkSession, local: DataFrame): DataFrame = {
     import s.implicits._
-    val nParts = s.sessionState.conf.numShufflePartitions
-    val counts = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+    val counts = local.groupBy($"pid").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // The pid upper bound comes from the DATA, not the session conf:
+    // phase-1 pids were frozen by the caller's checkpoint, so if
+    // spark.sql.shuffle.partitions changed between phases a conf-derived
+    // bound would silently omit high pids from the explode-forward
+    // offsets (ranks collapse/duplicate). max(pid) over the ≤P-row
+    // counts frame is a trivial job over the checkpointed counts.
+    val nParts = counts.agg(coalesce(max($"pid"), lit(0)) + 1).first().getInt(0)
     val offsets = counts
       .select(explode(when($"pid" < nParts - 1,
           sequence($"pid" + 1, lit(nParts - 1))).otherwise(array(Seq.empty[Column]: _*))).as("pid"),

@@ -46,4 +46,42 @@ class InvarianceSpec extends AnyFunSuite {
       assert(rows(key, 2) == rows(key, 13))
     }
   }
+
+  test("sequence(a, b) runs DESCENDING when a > b — the quirk rankPhase2 guards") {
+    // rankPhase2's explode-forward wraps sequence() in
+    // when(pid < P-1, ...) because Spark's sequence(a, b) does NOT
+    // return an empty array when a > b — it counts DOWN. If an
+    // upstream Spark release ever changes that to empty-array
+    // semantics, this pin fails and the guard can be simplified,
+    // instead of the behavior change silently altering offsets.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val r = spark.range(1).select(
+      sequence(lit(3), lit(1)).as("desc"), sequence(lit(1), lit(3)).as("asc"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(r._1 == Seq(3L, 2L, 1L), s"sequence(3,1) semantics changed: ${r._1}")
+    assert(r._2 == Seq(1L, 2L, 3L))
+  }
+
+  test("rankPhase2 survives a shuffle-partition change between phases") {
+    // Phase-1 pids are frozen by the caller's checkpoint; phase 2 must
+    // derive its pid bound from the DATA, not the live conf — a
+    // conf-derived bound silently omits high pids (ranks collapse or
+    // duplicate) when spark.sql.shuffle.partitions shrinks between
+    // phases. Run phase 1 wide (13), phase 2 narrow (2), and demand a
+    // contiguous 0..n-1 rank in key order.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+      val p1 = TextOps.rankPhase1(users).localCheckpoint()
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val got = TextOps.rankPhase2(spark, p1)
+        .orderBy(col("user_id")).select(col("rk")).as[Long].collect().toSeq
+      assert(got == got.indices.map(_.toLong),
+        s"ranks not contiguous 0..${got.size - 1} after conf change")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
