@@ -42,4 +42,33 @@ private[queries] object Banding {
           s"j -> struct(ids[i] AS $aName, ids[j] AS $bName))))")).as("p"))
       .select(col(s"p.$aName"), col(s"p.$bName"))
       .distinct()
+
+  /** Bucket-local pair VERIFY: like [[bucketPairs]], but each capped
+    * band row also carries the member's verify payload (`n` = distinct
+    * element count, `hs` = element-hash array), so the exact set
+    * intersection runs INSIDE the bucket and only passing pairs leave
+    * it. This is the shape that survives a duplicate-dense corpus:
+    * shuffled bytes are bucket rows × payload — linear in corpus ×
+    * band count — where joining payloads onto expanded candidate pairs
+    * ships pairs × payload, which under heavy duplication is quadratic
+    * in duplicate multiplicity (measured at the 100× stress: the
+    * pair-join form exceeded memory/time; this form runs, SCALE.md).
+    * `keep` is a SQL lambda over `p.inter`/`p.sz` (sz = na + nb);
+    * duplicates across buckets collapse by exact-value distinct. */
+  def verifiedPairs(cappedBands: DataFrame, idCol: String,
+                    aName: String, bName: String, keep: String): DataFrame =
+    cappedBands.groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("n"), col("hs")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        s"""filter(
+              flatten(transform(sequence(0, size(xs)-2),
+                i -> transform(sequence(i+1, size(xs)-1),
+                  j -> struct(xs[i].$idCol AS $aName, xs[j].$idCol AS $bName,
+                    CAST(size(array_intersect(xs[i].hs, xs[j].hs)) AS BIGINT) AS inter,
+                    xs[i].n + xs[j].n AS sz)))),
+              $keep)""")).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName),
+        col("p.inter").as("inter"), (col("p.sz") - col("p.inter")).as("uni"))
+      .distinct()
 }

@@ -255,38 +255,28 @@ object TextOps {
     val hs = shingles(s, dir)
 
     // ONE per-doc aggregation carries the minhash signature, the
-    // shingle count, AND the shingle-hash set as an array: bands and
-    // both verify joins consume the same doc_id-partitioned exchange,
-    // so the scan→explode→md5 pipeline and its shuffle run exactly
-    // once (ReusedExchange). The previous shape verified by joining
-    // candidate pairs against the row-per-shingle table twice — two
-    // more full shingle computations plus a pair×shingle shuffle whose
-    // volume scales with candidate count × doc length; the array form
-    // verifies a pair with one in-memory array_intersect, and its
-    // per-row state is bounded by doc length (same order as the text
-    // column itself), never by corpus size.
+    // shingle count, AND the shingle-hash set as an array, and the
+    // band rows carry that payload INTO the buckets: the verify
+    // intersection runs bucket-locally (Banding.verifiedPairs) and
+    // only passing pairs leave a bucket. No join anywhere. Shuffled
+    // bytes = band rows × payload = bands × corpus — linear. The prior
+    // shape (expand distinct candidate pairs, join payloads back on)
+    // ships pairs × payload instead, which under heavy duplication is
+    // quadratic in duplicate multiplicity: at the 100× near-dup-dense
+    // stress (~100 replicas/doc) its verify join moved pair_volume ×
+    // ~1 KB arrays and did not complete; this form runs (SCALE.md).
     val minhashCols = (0 until 8).map(j => min(substring($"hm", 1 + 4 * j, 4)).as(s"m$j"))
     val perDoc = hs
       .groupBy($"doc_id")
       .agg(minhashCols.head, (minhashCols.tail :+ collect_set(h64).as("hs")): _*)
       .withColumn("n", size($"hs").cast("long")) // distinct-shingle count, free off the set
 
-    val bands = perDoc.select($"doc_id", array(
+    val bands = perDoc.select($"doc_id", $"n", $"hs", explode(array(
       (0 until 4).map(b => concat(lit(b.toString), lit(":"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*
-    ).as("bands"))
-      .select($"doc_id", explode($"bands").as("band"))
+    )).as("band"))
 
-    val cand = bucketPairs(capBuckets(bands, MinhashBucketCap))
-
-    val sigs = perDoc.select($"doc_id", $"n", $"hs")
-    cand
-      .join(sigs.as("na"), $"na.doc_id" === $"doc_a")
-      .join(sigs.as("nb"), $"nb.doc_id" === $"doc_b")
-      .select($"doc_a", $"doc_b",
-        size(array_intersect($"na.hs", $"nb.hs")).cast("long").as("inter"),
-        ($"na.n" + $"nb.n").as("sz"))
-      .select($"doc_a", $"doc_b", $"inter", ($"sz" - $"inter").as("uni"))
-      .filter($"inter" * 2 >= $"uni") // jaccard >= 0.5
+    Banding.verifiedPairs(capBuckets(bands, MinhashBucketCap), "doc_id",
+        "doc_a", "doc_b", keep = "p -> p.inter * 2 >= p.sz - p.inter") // jaccard >= 0.5
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -381,22 +371,16 @@ object TextOps {
       .groupBy($"doc_id", $"lang", $"source")
       .agg(minhashCols.head, (minhashCols.tail :+ collect_set(h64).as("hs")): _*)
       .withColumn("n", size($"hs").cast("long"))
-    val bands = perDoc.select($"doc_id", explode(array(
+    // Band rows carry the (n, hs) verify payload into the buckets —
+    // bucket-local exact Jaccard, no pair×payload join (see
+    // qMinhashPairs for the 100× rationale).
+    val bands = perDoc.select($"doc_id", $"n", $"hs", explode(array(
       (0 until 4).map(b =>
         concat($"lang", lit("|"), $"source", lit(s"|$b:"), col(s"m$b"))): _*
     )).as("band"))
 
-    val cand = bucketPairs(capBuckets(bands, NgramBlockCap))
-
-    val sigs = perDoc.select($"doc_id", $"n", $"hs")
-    cand
-      .join(sigs.as("na"), $"na.doc_id" === $"doc_a")
-      .join(sigs.as("nb"), $"nb.doc_id" === $"doc_b")
-      .select($"doc_a", $"doc_b",
-        size(array_intersect($"na.hs", $"nb.hs")).cast("long").as("inter"),
-        ($"na.n" + $"nb.n").as("sz"))
-      .select($"doc_a", $"doc_b", $"inter", ($"sz" - $"inter").as("uni"))
-      .filter($"inter" * 10 >= $"uni" * 3) // jaccard >= 0.3
+    Banding.verifiedPairs(capBuckets(bands, NgramBlockCap), "doc_id",
+        "doc_a", "doc_b", keep = "p -> p.inter * 10 >= (p.sz - p.inter) * 3") // jaccard >= 0.3
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -141,10 +141,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
-  test("q_minhash_pairs: candidate generation is a shuffled equi-join on band keys") {
+  test("q_minhash_pairs: bucket-local verify — no join of any kind in the plan") {
+    // The verify intersection runs inside each band bucket
+    // (Banding.verifiedPairs): a plan with ANY join node would mean
+    // the pair×payload join shape crept back — the shape that shipped
+    // pair_volume × ~1 KB shingle arrays and failed the 100× stress.
     val s = planString(TextOps.qMinhashPairs(spark, dir))
+    assert(!s.contains("Join"), s)
     assert(!s.contains("CartesianProduct"), s)
-    assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
   test("q_ann_lsh: bucket join is an equi-join, not all-pairs") {
