@@ -47,7 +47,21 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
+    // Host-interference gauge: a fixed data-independent workload timed
+    // once per pass. Same plan, same cardinality, every round — so when
+    // suite totals drift between same-code runs, the calib series says
+    // whether the HOST moved (calib drifts with it) or a plan regressed
+    // (calib flat). Quantifies what previously took a same-code A/B
+    // (BASELINE.md r9) to establish.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1) AS s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calib plan like every other query
+    val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to 3).foreach { _ =>
+      calibs += calibrate()
       names.foreach { case (name, fn) =>
         if (!failed(name)) {
           try {
@@ -75,7 +89,8 @@ object Bench {
     // JSON across lines on every channel — unparseable exactly when
     // there are errors to report.
     val errJson = errors.reverse.map(Json.quote).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map has grown past what the driver's output tail
     // buffer retains (~3.5 KB at 84 queries): four rounds running the
     // full line was captured starting mid-map and failed to parse. So
@@ -86,7 +101,7 @@ object Bench {
     // "compact":true disambiguates this line from the full one above
     // for any consumer that greps by metric instead of taking the
     // absolute last line — both lines share "metric":"total".
-    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","errors":$errJson,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three
     // rounds running. Emit it on all three channels: stdout, a known

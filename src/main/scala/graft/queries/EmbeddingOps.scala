@@ -234,6 +234,60 @@ object EmbeddingOps {
       .orderBy($"band_table")
   }
 
+  /** The occupancy DIAL as a runnable code path, not prose: the same
+    * sign-LSH banding at an explicit `bits` (the gate pins
+    * [[BitsPerBand]]; production re-derives bits ∝ log₂ n to hold
+    * mean occupancy constant as the corpus grows). Returns the
+    * per-band-table audit — bucket count, occupancy mean/max, and how
+    * many candidate slots a `cap` would drop — so re-sizing claims are
+    * MEASURED at any corpus scale (`graft.tools.Dial`, SCALE.md). */
+  private[graft] def bandOccupancyAt(s: SparkSession, dir: String, bits: Int,
+                                     cap: Int = BucketCap): DataFrame = {
+    import s.implicits._
+    require(NumBands * bits <= 64,
+      s"$NumBands band tables of $bits bits need ${NumBands * bits} dims, have 64")
+    val span = 1L << bits
+    def key(b: Int): Column =
+      (0 until bits).map { i =>
+        when(expr(s"q[${b * bits + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) + lit(b * span)
+    vecs(s, dir)
+      .select($"vec_id", explode(array((0 until NumBands).map(key): _*)).as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("occ"))
+      .groupBy(expr(s"band DIV $span").as("band_table"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"occ").as("n_vectors"),
+        round(sum($"occ") / count(lit(1)), 1).as("mean_occupancy"),
+        max($"occ").as("max_occupancy"),
+        sum(greatest($"occ" - cap, lit(0L))).as("dropped"))
+      .orderBy($"band_table")
+  }
+
+  /** The IVF cell-count dial, same contract as [[bandOccupancyAt]]:
+    * assignment at an explicit `nlist` (gate pins 16), one audit row —
+    * cell count, occupancy mean/max, slots a `cap` would drop. The two
+    * production rules it lets you measure against each other:
+    * nlist ∝ √n (balances assignment dots n·nlist vs per-query probe
+    * work n/nlist — the classical IVF speed point) and nlist ∝ n/cap
+    * (holds cell size at the cap, drops ≈ 0). */
+  private[graft] def ivfOccupancyAt(s: SparkSession, dir: String, nlist: Int,
+                                    cap: Int = BucketCap): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).select($"vec_id", $"q")
+    val cents = v.filter($"vec_id" < nlist).select($"vec_id".as("ccid"), $"q".as("cq"))
+    val cells = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"cdot", -$"ccid")).as("cell"))
+    cells.groupBy($"cell").agg(count(lit(1)).as("occ"))
+      .agg(lit(nlist).as("nlist"),
+        count(lit(1)).as("n_cells"),
+        sum($"occ").as("n_vectors"),
+        round(sum($"occ") / count(lit(1)), 1).as("mean_occupancy"),
+        max($"occ").as("max_occupancy"),
+        sum(greatest($"occ" - cap, lit(0L))).as("dropped"))
+  }
+
   /** ANN quality audit: recall@k of an approximate path against the
     * brute-force ground truth, per query vector, in integer basis
     * points — the "is the approximation good enough" number that must

@@ -294,6 +294,135 @@ class WireSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("12-zone wire AXFR: one partition per zone, every record lands") {
+    // Partition-per-zone parallelism on REAL TCP at connector breadth:
+    // 12 concurrent transfer connections (the prior wire fixtures used
+    // <=4 zones, so the accept loop's thread-per-connection path and
+    // the chunked-AXFR reassembly had never run 12-wide).
+    val spark = graft.SparkTestSession.spark
+    withServer { srv =>
+      val zones = (0 until 12).map(i => s"z$i.breadth.acme.")
+      zones.zipWithIndex.foreach { case (z, i) =>
+        srv.backing.addZone(z, Seq(
+          ARecord(s"a.$z", s"10.7.$i.1"), ARecord(s"b.$z", s"10.7.$i.2")))
+      }
+      val df = spark.read.format("dns")
+        .option("server", srv.host).option("port", srv.port.toString)
+        .option("client", "wire")
+        .option("organization", "acme")
+        .option("zones", zones.map(_.dropRight(1)).mkString(","))
+        .option("xfr", "AXFR").load()
+      assert(df.rdd.getNumPartitions == 12, "expected one input partition per zone")
+      val got = df.select("fqdn", "ip").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val want = zones.zipWithIndex.flatMap { case (z, i) =>
+        Seq((s"a.$z", s"10.7.$i.1"), (s"b.$z", s"10.7.$i.2"))
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("12-zone wire IXFR: updated zones ship deltas, current zones ship nothing") {
+    val spark = graft.SparkTestSession.spark
+    withServer { srv =>
+      val zones = (0 until 12).map(i => s"x$i.breadth.acme.")
+      zones.foreach(z => srv.backing.addZone(z, Seq(ARecord(s"a.$z", "10.8.0.1"))))
+      // bump 5 of the 12 to serial 2: one add + one delete each
+      val bumped = zones.take(5)
+      bumped.foreach { z =>
+        srv.backing.update(z, Seq(ARecord(s"n.$z", "10.8.0.2")),
+          Seq(ARecord(s"a.$z", "10.8.0.1")))
+      }
+      val df = spark.read.format("dns")
+        .option("server", srv.host).option("port", srv.port.toString)
+        .option("client", "wire")
+        .option("organization", "acme")
+        .option("zones", zones.map(_.dropRight(1)).mkString(","))
+        .option("xfr", "IXFR").option("serial", "1").load()
+      assert(df.rdd.getNumPartitions == 12)
+      val rows = df.select("fqdn", "action").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // 5 bumped zones x (1 delete + 1 add); the 7 up-to-date zones
+      // answer [SOA] (RFC 1995 up-to-date) and contribute zero rows
+      assert(rows.length == 10, rows.mkString(", "))
+      assert(rows.count(_._2 == DnsAction.IxfrAdd) == 5)
+      assert(rows.count(_._2 == DnsAction.IxfrDelete) == 5)
+      assert(bumped.forall(z => rows.contains((s"n.$z", DnsAction.IxfrAdd))))
+    }
+  }
+
+  /** Multi-zone one-shot wire server where `poison` zones truncate
+    * mid-transfer (opening SOA + one record, then close — no
+    * terminating SOA): the per-zone failure matrix needs a server
+    * that is healthy for SOME zones on the SAME port. */
+  private def withPoisonServer(good: Seq[String], poison: Set[String])
+                              (f: (String, Int) => Unit): Unit = {
+    val ss = new java.net.ServerSocket(0, 50, java.net.InetAddress.getByName("127.0.0.1"))
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = ss.accept()
+        val h = new Thread(() => {
+          try {
+            val in = new java.io.DataInputStream(sock.getInputStream)
+            val out = new java.io.DataOutputStream(sock.getOutputStream)
+            val req = readFramed(in)
+            val zone = req.questions.head.name
+            def msg(rrs: Seq[Rr]) = Message(req.id,
+              responseFlags(OpcodeQuery, RcodeNoError), req.questions, rrs, Nil, Nil)
+            if (poison(zone)) {
+              writeFramed(out, msg(Seq(
+                Rr(zone, TypeSoa, ClassIn, 0, SoaData(3)),
+                Rr(s"trunc.$zone", TypeA, ClassIn, 60, AData("10.9.9.9")))))
+            } else {
+              val soa = Rr(zone, TypeSoa, ClassIn, 0, SoaData(1))
+              writeFramed(out, msg(Seq(soa,
+                Rr(s"a.$zone", TypeA, ClassIn, 60, AData("10.9.0.1")), soa)))
+            }
+          } catch { case _: Throwable => () }
+          finally sock.close() // poison zones: truncate without the closing SOA
+        })
+        h.setDaemon(true)
+        h.start()
+      } catch { case _: java.io.IOException => () } // closed
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try f("127.0.0.1", ss.getLocalPort) finally ss.close()
+  }
+
+  test("mid-transfer disconnect on ONE zone: ignore-failures matrix on the wire path") {
+    // The reference exercises its failure matrix against live Bind
+    // (DnsSourceRelationProviderTest.java:98-124,149-200); here the
+    // same matrix runs against a real TCP server that truncates one
+    // zone's transfer mid-stream. ignore-failures=true: the poisoned
+    // zone contributes 0 rows and every healthy zone still lands
+    // (per-ZONE suppression, not whole-read). Default (false): the
+    // read fails loudly — a truncated zone must never pass as empty.
+    val spark = graft.SparkTestSession.spark
+    val good = (0 until 3).map(i => s"g$i.matrix.acme.")
+    val poison = "p.matrix.acme."
+    withPoisonServer(good, Set(poison)) { (host, port) =>
+      def read(ignore: Boolean) = spark.read.format("dns")
+        .option("server", host).option("port", port.toString)
+        .option("client", "wire")
+        .option("organization", "acme")
+        .option("zones", (good :+ poison).map(_.dropRight(1)).mkString(","))
+        .option("xfr", "AXFR")
+        .option("ignore-failures", ignore.toString)
+        .load()
+
+      val lenient = read(ignore = true).select("fqdn").collect().map(_.getString(0)).toSet
+      assert(lenient == good.map(z => s"a.$z").toSet,
+        s"healthy zones only, got $lenient")
+
+      val e = intercept[org.apache.spark.SparkException](read(ignore = false).count())
+      def rootChain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(rootChain(e).exists(_.isInstanceOf[java.io.IOException]),
+        s"expected an IOException in the cause chain, got $e")
+    }
+  }
+
   test("full connector stack over the wire: read and write with client=wire") {
     val spark = graft.SparkTestSession.spark
     withServer { srv =>
