@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling harness: run named SparkEntry queries against a SF
-  * dir, print warm timings (min of 3) and optionally the executed
+  * dir, print warm timings (min of 3; SPARK_GRAFT_RUNS overrides the
+  * repeat count for multi-minute keys) and optionally the executed
   * plan or the result rows. Usage:
   *   runMain graft.tools.Profile <sfDir> [-explain] [-show] <query> [query...]
   */
@@ -12,6 +13,7 @@ object Profile {
     val sfDir = args(0)
     val explain = args.contains("-explain")
     val show = args.contains("-show")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val names = args.drop(1).filterNot(_.startsWith("-"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -28,7 +30,7 @@ object Profile {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).count() // warmup
       spark.catalog.clearCache()
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         spark.catalog.clearCache()
