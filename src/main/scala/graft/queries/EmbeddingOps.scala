@@ -288,6 +288,27 @@ object EmbeddingOps {
         sum(greatest($"occ" - cap, lit(0L))).as("dropped"))
   }
 
+  /** [[ivfOccupancyAt]] with TRAINED centroids: the same audit over
+    * the cells of [[kmeansFinalAssign]] run at k = nlist, so the
+    * "untrained first-n centroids cost X% residual drops" attribution
+    * in SCALE.md is measured, not argued — trained centroids relocate
+    * into dense regions and split them, which is what separates the
+    * IVF sizing rule (nlist ∝ n/cap) from the skew backstop (the cap).
+    * Assignment is k-means' min-d² rather than max-dot — the occupancy
+    * question (how many vectors per cell) is metric-agnostic. */
+  private[graft] def ivfOccupancyTrainedAt(s: SparkSession, dir: String, nlist: Int,
+                                           cap: Int = BucketCap): DataFrame = {
+    import s.implicits._
+    kmeansFinalAssign(s, dir, nlist)
+      .groupBy($"cid").agg(count(lit(1)).as("occ"))
+      .agg(lit(nlist).as("nlist"),
+        count(lit(1)).as("n_cells"),
+        sum($"occ").as("n_vectors"),
+        round(sum($"occ") / count(lit(1)), 1).as("mean_occupancy"),
+        max($"occ").as("max_occupancy"),
+        sum(greatest($"occ" - cap, lit(0L))).as("dropped"))
+  }
+
   /** ANN quality audit: recall@k of an approximate path against the
     * brute-force ground truth, per query vector, in integer basis
     * points — the "is the approximation good enough" number that must

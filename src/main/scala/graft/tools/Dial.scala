@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
   * 100× stress). Usage:
   *   runMain graft.tools.Dial <sfDir> band <bits> [bits...]
   *   runMain graft.tools.Dial <sfDir> ivf <nlist> [nlist...]
+  *   runMain graft.tools.Dial <sfDir> ivft <nlist> [nlist...]   (trained centroids)
   */
 object Dial {
   def main(args: Array[String]): Unit = {
@@ -31,6 +32,7 @@ object Dial {
       val df = mode match {
         case "band" => graft.queries.EmbeddingOps.bandOccupancyAt(spark, sfDir, v)
         case "ivf"  => graft.queries.EmbeddingOps.ivfOccupancyAt(spark, sfDir, v)
+        case "ivft" => graft.queries.EmbeddingOps.ivfOccupancyTrainedAt(spark, sfDir, v)
         case other  => throw new IllegalArgumentException(s"mode $other: band|ivf")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
