@@ -78,17 +78,26 @@ object EmbeddingOps {
     * the occupancy dial can never alias band tables into each other. */
   private val TableSpan = 1L << BitsPerBand
 
-  /** Band key for table b: BitsPerBand sign bits over its dim slice,
-    * offset by b·TableSpan so keys from different tables never collide. */
-  private def bandKey(b: Int): Column =
-    (0 until BitsPerBand).map { i =>
-      when(expr(s"q[${b * BitsPerBand + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _) + lit(b * TableSpan)
+  /** Band key for table b at an explicit bits-per-band: `bits` sign
+    * bits over table b's dim slice, offset by b·2^bits so keys from
+    * different tables never collide. The gate pins bits =
+    * [[BitsPerBand]]; the dial/recall tools pass re-derived values. */
+  private def bandKeyAt(b: Int, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(expr(s"q[${b * bits + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) + lit(b * (1L << bits))
 
-  /** (vec_id, band) — one row per vector per band table. */
-  private def banded(v: DataFrame): DataFrame =
+  /** (vec_id, band) — one row per vector per band table, at an
+    * explicit bits-per-band. */
+  private def bandedAt(v: DataFrame, bits: Int): DataFrame = {
+    require(NumBands * bits <= 64,
+      s"$NumBands band tables of $bits bits need ${NumBands * bits} dims, have 64")
     v.select(col("vec_id"),
-      explode(array((0 until NumBands).map(bandKey): _*)).as("band"))
+      explode(array((0 until NumBands).map(bandKeyAt(_, bits)): _*)).as("band"))
+  }
+
+  /** (vec_id, band) at the gate-pinned [[BitsPerBand]]. */
+  private def banded(v: DataFrame): DataFrame = bandedAt(v, BitsPerBand)
 
   /** Bands with the per-bucket candidate cap applied (shared banding
     * machinery — see [[Banding]]). */
@@ -134,14 +143,22 @@ object EmbeddingOps {
     * are the band-key hash join and the vec_id joins that re-attach
     * vectors to the deduped candidate pairs — candidate volume scales
     * with (buckets × cap²), never corpus². */
-  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    annLshAt(s, dir, BitsPerBand, BucketCap)
+
+  /** [[qAnnLsh]] at an explicit (bits, cap) — the same plan with the
+    * occupancy dial exposed, so recall-vs-sizing at any corpus scale is
+    * a measurement (`graft.tools.Dial recall`, SCALE.md 100×), not
+    * prose. The gate query delegates here with the pinned constants. */
+  private[graft] def annLshAt(s: SparkSession, dir: String,
+                              bits: Int, cap: Int): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
     val queries = v.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
-    val qBands = banded(v).filter($"vec_id" % 100 === 0)
+    val qBands = bandedAt(v, bits).filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"band")
-    val cand = qBands.join(cappedBands(v), Seq("band"))
+    val cand = qBands.join(Banding.capBuckets(bandedAt(v, bits), "vec_id", cap), Seq("band"))
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"))
       .distinct()
@@ -244,15 +261,8 @@ object EmbeddingOps {
   private[graft] def bandOccupancyAt(s: SparkSession, dir: String, bits: Int,
                                      cap: Int = BucketCap): DataFrame = {
     import s.implicits._
-    require(NumBands * bits <= 64,
-      s"$NumBands band tables of $bits bits need ${NumBands * bits} dims, have 64")
     val span = 1L << bits
-    def key(b: Int): Column =
-      (0 until bits).map { i =>
-        when(expr(s"q[${b * bits + i}]") >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _) + lit(b * span)
-    vecs(s, dir)
-      .select($"vec_id", explode(array((0 until NumBands).map(key): _*)).as("band"))
+    bandedAt(vecs(s, dir), bits)
       .groupBy($"band").agg(count(lit(1)).as("occ"))
       .groupBy(expr(s"band DIV $span").as("band_table"))
       .agg(count(lit(1)).as("n_buckets"),
