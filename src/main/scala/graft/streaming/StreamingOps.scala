@@ -15,23 +15,32 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** File-stream schema for events.parquet: `ts` arrives as raw
-    * TIMESTAMP(NANOS) (read as long via nanosAsLong). */
+  /** File-stream schema for events parquet files. `ts` is declared as
+    * TimestampType: Spark's parquet reader accepts both tz-adjusted µs
+    * (files we stage ourselves via [[eventsBatch]]) and naive µs /
+    * TIMESTAMP_NTZ physical columns (the driver's generated file) under
+    * that declaration, reading the raw µs value either way — naive
+    * wall-clocks are thereby interpreted as UTC, matching the batch
+    * loader's convention (`Tables.events`). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Batch-load events with `ts` normalized to TimestampType and the
+    * original column set — the staging-side twin of [[eventsSchema]],
+    * physical-type-adaptive via `Tables.events`. */
+  def eventsBatch(s: SparkSession, dir: String): DataFrame =
+    graft.queries.Tables.events(s, dir).drop("ts_ns")
+
   /** Open a directory of events parquet files as a file stream (the
     * file source tails a directory; new files become new micro-batch
     * input — the standard landing-zone ingestion pattern). */
   def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    s.readStream.schema(eventsSchema).parquet(dir)
 
   /** Hourly event counts per type with a 2h watermark: hash-shuffled on
     * (window, event_type), partial-aggregated map-side; state per open
@@ -118,8 +127,6 @@ object StreamingOps {
     * same plan to a file/Kafka sink partitioned by window, and the
     * multi-batch/late-data paths are exercised in StreamingOpsSpec. */
   def qStreamingHourly(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file-stream source wants a directory or glob (a bare file
     // path fails basePath validation); the glob pins it to events.
     val q = hourlyCounts(eventsStream(s, s"$dir/events.parque[t]"))
@@ -139,8 +146,6 @@ object StreamingOps {
     * DuckDB side expresses by unnesting each event into its two
     * hourly-aligned window starts. */
   def qStreamingSliding(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val counts = eventsStream(s, s"$dir/events.parque[t]")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -163,8 +168,6 @@ object StreamingOps {
     * first-ness) is exercised in StreamingOpsSpec. State per key is one
     * record — the O(1) property that lets this run forever. */
   def qStreamingDedup(s: SparkSession, dir: String): DataFrame = {
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val q = firstSeen(s, eventsStream(s, s"$dir/events.parque[t]")).toDF()
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_dedup").trigger(Trigger.AvailableNow()).start()
@@ -198,7 +201,6 @@ object StreamingOps {
     // session rather than mutating the caller's.
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // An INNER stream-stream join emits every match during data
     // batches; the trailing no-data micro-batch exists only to advance
     // the watermark and EVICT state — pure overhead in a
@@ -241,11 +243,9 @@ object StreamingOps {
     * type cardinality — the property that holds at any scale. */
   def qStreamingLate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val day11Ns = 1704931200L * 1000000000L // 2024-01-11T00:00Z
-    val day20Ns = 1705708800L * 1000000000L // 2024-01-20T00:00Z
-    val day26Ns = 1706227200L * 1000000000L // 2024-01-26T00:00Z
+    val day11Us = 1704931200L * 1000000L // 2024-01-11T00:00Z
+    val day20Us = 1705708800L * 1000000L // 2024-01-20T00:00Z
+    val day26Us = 1706227200L * 1000000L // 2024-01-26T00:00Z
 
     val base = graft.queries.Scratch.dir("stream_late", dir)
     val landing = new java.io.File(base, "landing")
@@ -256,7 +256,7 @@ object StreamingOps {
     if (!staged.exists()) {
       graft.queries.Scratch.deleteRecursively(new java.io.File(base))
       landing.mkdirs()
-      val raw = s.read.parquet(s"$dir/events.parquet") // ts as raw nanos long
+      val raw = eventsBatch(s, dir) // ts normalized to TimestampType
       def stage(slice: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = new java.io.File(base, s"stage_$name")
         slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -269,16 +269,16 @@ object StreamingOps {
       // Names AND mtimes are both ascending — either ordering key the
       // file source consults yields the same deterministic batch order.
       val t0 = 1700000000000L
-      stage(raw.filter($"ts" < day11Ns), "f1_early.parquet", t0)
-      stage(raw.filter($"ts" >= day20Ns && $"ts" < day26Ns), "f2_recent.parquet", t0 + 60000)
-      stage(raw.filter($"ts" >= day26Ns), "f3_recent.parquet", t0 + 120000)
-      stage(raw.filter($"ts" >= day11Ns && $"ts" < day20Ns), "f4_late.parquet", t0 + 180000)
+      val us = unix_micros($"ts")
+      stage(raw.filter(us < day11Us), "f1_early.parquet", t0)
+      stage(raw.filter(us >= day20Us && us < day26Us), "f2_recent.parquet", t0 + 60000)
+      stage(raw.filter(us >= day26Us), "f3_recent.parquet", t0 + 120000)
+      stage(raw.filter(us >= day11Us && us < day20Us), "f4_late.parquet", t0 + 180000)
       staged.createNewFile(): Unit
     }
 
     val counts = s.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -307,15 +307,13 @@ object StreamingOps {
     * last-write-wins correctly. */
   def qCdcStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = graft.queries.Scratch.dir("cdc_stream", dir)
     val landing = new java.io.File(base, "landing")
     val staged = new java.io.File(base, "_STAGED")
     if (!staged.exists()) {
       graft.queries.Scratch.deleteRecursively(new java.io.File(base))
       landing.mkdirs()
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      val raw = eventsBatch(s, dir)
       (0 to 2).foreach { i =>
         val tmp = new java.io.File(base, s"stage_$i")
         raw.filter($"event_id" % 3 === i).coalesce(1)
@@ -334,7 +332,7 @@ object StreamingOps {
 
     val q = s.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
-      .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_id",
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         $"event_type", $"value")
       .writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
         val compacted = batch

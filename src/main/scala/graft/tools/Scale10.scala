@@ -60,10 +60,9 @@ object Scale10 {
 
     // Events: 10× the USER population (ids shifted per replica), so the
     // key-cardinality families (global rank, components, sessions,
-    // per-user windows) scale in their real dimension; timestamps pass
-    // through as raw nanos-longs (nanosAsLong is set on this session,
-    // and Tables.events converts from long either way).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // per-user windows) scale in their real dimension; `ts` passes
+    // through with whatever physical type the source has — the
+    // schema-adaptive Tables.events normalizes any flavor on read.
     spark.read.parquet(s"$src/events.parquet")
       .crossJoin(broadcast(reps))
       .select(

@@ -91,8 +91,8 @@ class StreamingOpsSpec extends AnyFunSuite {
     // and the final state size can be checked against the
     // rate × (watermark + interval) bound instead of "everything".
     val d = java.nio.file.Files.createTempDirectory("events-ssjoin-rocks")
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts as raw nanos
-    val splitNs = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+    val raw = StreamingOps.eventsBatch(spark, dir) // ts as TimestampType
+    val splitUs = 1705708800L * 1000000L // 2024-01-20T00:00Z
     def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("ssjoin-half")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -102,8 +102,8 @@ class StreamingOpsSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part.toPath, dest)
       dest.toFile.setLastModified(mtime): Unit
     }
-    stage(raw.filter($"ts" < splitNs), "f1_early.parquet", 1700000000000L)
-    stage(raw.filter($"ts" >= splitNs), "f2_late.parquet", 1700000060000L)
+    stage(raw.filter(unix_micros($"ts") < splitUs), "f1_early.parquet", 1700000000000L)
+    stage(raw.filter(unix_micros($"ts") >= splitUs), "f2_late.parquet", 1700000060000L)
 
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
@@ -112,8 +112,7 @@ class StreamingOpsSpec extends AnyFunSuite {
     try {
       val q = StreamingOps.purchaseErrorJoin(
           spark.readStream.schema(StreamingOps.eventsSchema)
-            .option("maxFilesPerTrigger", 1).parquet(d.toString)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+            .option("maxFilesPerTrigger", 1).parquet(d.toString))
         .writeStream.format("memory").queryName("ssjoin_rocks")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       assert(q.awaitTermination(120000), "stream did not terminate within 120s")
