@@ -42,8 +42,10 @@ object EmbeddingOps {
     * per table; re-derive bits from log2(n) per deployment. */
   private val NumBands = 4
   private val BitsPerBand = 8
-  /** Max candidate ids kept per (table, bucket), smallest-vec_id-first. */
-  private val BucketCap = 128
+  /** Max candidate ids kept per (table, bucket), smallest-vec_id-first.
+    * private[graft]: the Dial tool uses it as the default cap when only
+    * bits is being swept. */
+  private[graft] val BucketCap = 128
 
   /** Quantized integer vector. */
   private val qvec: Column =
@@ -90,6 +92,7 @@ object EmbeddingOps {
   /** (vec_id, band) — one row per vector per band table, at an
     * explicit bits-per-band. */
   private def bandedAt(v: DataFrame, bits: Int): DataFrame = {
+    require(bits >= 1, s"bits-per-band must be >= 1, got $bits")
     require(NumBands * bits <= 64,
       s"$NumBands band tables of $bits bits need ${NumBands * bits} dims, have 64")
     v.select(col("vec_id"),
@@ -340,6 +343,20 @@ object EmbeddingOps {
       .select($"qid", $"n_truth", $"n_hits",
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy($"qid")
+  }
+
+  /** Corpus-level recall@5 of the sign-LSH path at an explicit
+    * (bits, cap): [[recallAudit]] over [[annLshAt]], collapsed to one
+    * summary row so `graft.tools.Dial recall` can print
+    * recall-vs-sizing next to the occupancy audits at any corpus
+    * scale — the measured counterpart of "bits ∝ log₂ n". */
+  private[graft] def annRecallSummaryAt(s: SparkSession, dir: String,
+                                        bits: Int, cap: Int): DataFrame = {
+    import s.implicits._
+    recallAudit(s, dir, truthK = 5, approx = annLshAt(s, dir, bits, cap))
+      .agg(count(lit(1)).as("n_queries"),
+        avg($"recall_bp").cast("long").as("mean_recall_bp"),
+        min($"recall_bp").as("min_recall_bp"))
   }
 
   /** Recall@5 of the sign-LSH path. */

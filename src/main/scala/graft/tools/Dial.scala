@@ -11,12 +11,19 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dial <sfDir> band <bits> [bits...]
   *   runMain graft.tools.Dial <sfDir> ivf <nlist> [nlist...]
   *   runMain graft.tools.Dial <sfDir> ivft <nlist> [nlist...]   (trained centroids)
+  *   runMain graft.tools.Dial <sfDir> recall <bits[:cap]> [bits[:cap]...]
+  *
+  * `recall` closes the loop on the sizing dials: it runs the sign-LSH
+  * ANN at the explicit (bits, cap) and prints corpus recall@5 against
+  * the brute-force truth — occupancy says what a setting COSTS, recall
+  * says what it BUYS. cap defaults to the gate-pinned BucketCap.
   */
 object Dial {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val mode = args(1)
-    val vals = args.drop(2).map(_.toInt)
+    // parsed lazily: recall settings are bits[:cap], not plain ints
+    lazy val vals = args.drop(2).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
@@ -28,12 +35,23 @@ object Dial {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    vals.foreach { v =>
+    if (mode == "recall") {
+      // settings are bits[:cap]; cap defaults to the gate-pinned BucketCap
+      args.drop(2).foreach { setting =>
+        val (bits, cap) = setting.split(':') match {
+          case Array(b)    => (b.toInt, graft.queries.EmbeddingOps.BucketCap)
+          case Array(b, c) => (b.toInt, c.toInt)
+          case _ => throw new IllegalArgumentException(s"recall setting $setting: bits[:cap]")
+        }
+        graft.queries.EmbeddingOps.annRecallSummaryAt(spark, sfDir, bits, cap)
+          .collect().foreach(r => println(s"DIAL recall bits=$bits cap=$cap $r"))
+      }
+    } else vals.foreach { v =>
       val df = mode match {
         case "band" => graft.queries.EmbeddingOps.bandOccupancyAt(spark, sfDir, v)
         case "ivf"  => graft.queries.EmbeddingOps.ivfOccupancyAt(spark, sfDir, v)
         case "ivft" => graft.queries.EmbeddingOps.ivfOccupancyTrainedAt(spark, sfDir, v)
-        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf")
+        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|recall")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
     }

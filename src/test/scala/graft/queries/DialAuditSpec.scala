@@ -25,6 +25,22 @@ class DialAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("annRecallSummaryAt: recall_bp bounded, degenerate bits rejected") {
+    // the Dial recall backend: one summary row, basis points in range
+    val r = EmbeddingOps.annRecallSummaryAt(spark, dir,
+      bits = 4, cap = EmbeddingOps.BucketCap).collect().head
+    assert(r.getAs[Long]("n_queries") > 0L)
+    val mean = r.getAs[Long]("mean_recall_bp")
+    val min = r.getAs[Long]("min_recall_bp")
+    assert(min >= 0L && min <= mean && mean <= 10000L)
+    // bits = 0 must fail loudly at the dial, not deep in an expression
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingOps.annRecallSummaryAt(spark, dir, bits = 0,
+        cap = EmbeddingOps.BucketCap).collect()
+    }
+    assert(e.getMessage.contains("bits-per-band"))
+  }
+
   test("ivfOccupancyAt and ivfOccupancyTrainedAt: totals match the corpus, cells <= nlist") {
     for (df <- Seq(EmbeddingOps.ivfOccupancyAt(spark, dir, nlist = 4),
                    EmbeddingOps.ivfOccupancyTrainedAt(spark, dir, nlist = 4))) {
