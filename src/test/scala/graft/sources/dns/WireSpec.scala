@@ -282,6 +282,62 @@ class WireSpec extends AnyFunSuite {
     }
   }
 
+  test("wire failure matrix: disconnect/timeout-0/unreachable × ignore-failures") {
+    // The reference's failure-policy matrix (ref
+    // DnsSourceRelationProviderTest.java:98-124,149-200) on the REAL
+    // TCP path: each transfer failure mode must (a) fail the read
+    // loudly with ignore-failures=false — a truncated zone must never
+    // pass as complete — and (b) collapse to an empty zone with
+    // ignore-failures=true, exactly like the in-memory client.
+    val spark = graft.SparkTestSession.spark
+    def read(port: Int, ignore: Boolean, timeout: Int) =
+      spark.read.format("dns")
+        .option("server", "127.0.0.1").option("port", port.toString)
+        .option("client", "wire")
+        .option("organization", "acme").option("zones", "m.acme")
+        .option("ignore-failures", ignore.toString)
+        .option("timeout", timeout.toString)
+        .load()
+    def assertBothModes(port: Int, timeout: Int): Unit = {
+      intercept[org.apache.spark.SparkException](read(port, ignore = false, timeout).count())
+      assert(read(port, ignore = true, timeout).count() == 0)
+    }
+
+    // Mode 1: connection dropped mid-transfer — the server answers the
+    // request with the opening SOA + one record, then closes without
+    // the terminating SOA, for every connection it accepts (the
+    // failing and suppressed reads each open their own).
+    val trunc = new java.net.ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try while (true) {
+        val sock = trunc.accept()
+        try {
+          val in = new java.io.DataInputStream(sock.getInputStream)
+          val out = new java.io.DataOutputStream(sock.getOutputStream)
+          val req = readFramed(in)
+          writeFramed(out, Message(req.id, responseFlags(OpcodeQuery, RcodeNoError),
+            req.questions, Seq(
+              Rr("m.acme.", TypeSoa, ClassIn, 0, SoaData(3)),
+              Rr("a.m.acme.", TypeA, ClassIn, 60, AData("10.0.0.1"))), Nil, Nil))
+        } finally sock.close() // truncate
+      } catch { case _: Throwable => () } // ServerSocket closed: loop ends
+    })
+    t.setDaemon(true)
+    t.start()
+    try assertBothModes(trunc.getLocalPort, timeout = 5)
+    finally trunc.close()
+
+    // Mode 2: timeout=0 — fails fast by contract even against a LIVE
+    // server holding the zone (the failure is the policy, not the peer).
+    withServer { srv =>
+      srv.backing.addZone("m.acme.", Seq(ARecord("a.m.acme.", "10.0.0.1")))
+      assertBothModes(srv.port, timeout = 0)
+    }
+
+    // Mode 3: unreachable endpoint (nothing listens on port 1).
+    assertBothModes(port = 1, timeout = 1)
+  }
+
   test("ignore-failures suppresses a dead wire endpoint (0 rows, no throw)") {
     val spark = graft.SparkTestSession.spark
     val df = spark.read.format("dns")
