@@ -18,6 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Host-interference gauge, same fixed workload as Bench.calibrate:
+    // when a verify run is anomalously slow (or a query times out on
+    // the driver), the bracketing calib pair says whether the HOST was
+    // loaded or the PLAN regressed. Warm once, then time.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1) AS s").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate()
+    val calibIn = calibrate()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -31,6 +42,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.quote(k)}: ${Json.quote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val calibOut = calibrate()
+    System.err.println(f"[verify] calib=[$calibIn%.3f,$calibOut%.3f]")
     spark.stop()
   }
 }
