@@ -277,7 +277,22 @@ object StreamingOps {
       staged.createNewFile(): Unit
     }
 
-    val counts = s.readStream.schema(eventsSchema)
+    // Same state-store sizing rule as [[qStreamingJoin]]: the windowed
+    // agg's state is (open windows × type cardinality) — thousands of
+    // entries, not millions — so 32 shuffle partitions just pay 32
+    // store instances' per-batch commit fixed costs × 5 batches.
+    // Size partitions to the state volume on a CLONED session (the
+    // conf freezes into the query's checkpoint). The trailing no-data
+    // micro-batch only advances the watermark past data already seen;
+    // here the last data batch carries only LATE rows (below the
+    // standing watermark), so the final watermark — and append-mode's
+    // emitted window set — is identical with or without it (the gate
+    // pins exactly that window set; eviction-under-advancement is
+    // covered by the four data batches themselves).
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val counts = s2.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -287,7 +302,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_late").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "late-data stream did not terminate")
-    s.table("graft_stream_late").orderBy(col("hour_ts"), col("event_type"))
+    s2.table("graft_stream_late").orderBy(col("hour_ts"), col("event_type"))
   }
 
   /** The foreachBatch CDC merge under the oracle gate: the events
@@ -330,7 +345,13 @@ object StreamingOps {
     val stateBase = graft.queries.Scratch.fresh("cdc_stream_state", dir)
     @volatile var statePath: Option[String] = None
 
-    val q = s.readStream.schema(eventsSchema)
+    // The per-batch merge joins at KEY cardinality (users — tens of
+    // thousands at sf0.1), so 32-partition shuffles × 3 batches pay
+    // scheduling/commit fixed costs far above the data volume; size to
+    // the merge volume on a cloned session, like the other replays.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = s2.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
         $"event_type", $"value")
