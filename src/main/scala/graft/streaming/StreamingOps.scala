@@ -320,7 +320,11 @@ object StreamingOps {
     * LWW compaction over the whole log: batch-boundary placement must
     * be invisible, which only holds if every per-batch merge applied
     * last-write-wins correctly. */
-  def qCdcStream(s: SparkSession, dir: String): DataFrame = {
+  /** The 3-slice CDC landing zone (events split by event_id mod 3 —
+    * deliberately NOT time-ordered), staged once per JVM; shared by
+    * [[qCdcStream]] and [[qTwsProfile]] so both replays exercise the
+    * same out-of-order batch boundaries. */
+  private def cdcLanding(s: SparkSession, dir: String): java.io.File = {
     import s.implicits._
     val base = graft.queries.Scratch.dir("cdc_stream", dir)
     val landing = new java.io.File(base, "landing")
@@ -340,6 +344,12 @@ object StreamingOps {
       }
       staged.createNewFile(): Unit
     }
+    landing
+  }
+
+  def qCdcStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val landing = cdcLanding(s, dir)
     // State versions are per-call scratch: the merge chain must start
     // empty every run.
     val stateBase = graft.queries.Scratch.fresh("cdc_stream_state", dir)
@@ -390,13 +400,106 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** Typed input/state/output rows for [[qTwsProfile]]'s processor. */
+  final case class TwsEvent(user_id: Long, event_id: Long, event_type: String,
+                            value: Double, ts_us: Long)
+  final case class TwsProfile(n: Long, cents: Long, last_ts_us: Long,
+                              last_eid: Long, last_type: String, upds: Long)
+  final case class TwsRow(user_id: Long, upd_seq: Long, n_events: Long,
+                          total_cents: Long, last_event_id: Long,
+                          last_event_type: String)
+
+  /** Arbitrary-stateful-v2 processor (Spark 4's `transformWithState`):
+    * one ValueState record per user holding a running profile —
+    * event count, exact value total in cents, and the LWW-latest
+    * event by (ts, event_id). Emits the updated profile once per
+    * (key, batch) stamped with a per-key update sequence number, so a
+    * downstream consumer (or the gate) can pick each key's FINAL
+    * profile regardless of how the changelog was batched. State is one
+    * fixed-size record per key — the O(1)-per-key property that lets
+    * the profile table run forever; TTL is available on the same
+    * ValueState for deployments that want idle keys to age out. */
+  private[streaming] final class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsProfile] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsProfile]("profile",
+        org.apache.spark.sql.Encoders.product[TwsProfile], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsRow] = {
+      var p =
+        if (st.exists()) st.get()
+        else TwsProfile(0L, 0L, Long.MinValue, Long.MinValue, null, 0L)
+      rows.foreach { e =>
+        // exact cents: value carries 2 decimals, ×100 rounds away FP dust
+        val newer = e.ts_us > p.last_ts_us ||
+          (e.ts_us == p.last_ts_us && e.event_id > p.last_eid)
+        p = TwsProfile(p.n + 1L, p.cents + math.round(e.value * 100d),
+          if (newer) e.ts_us else p.last_ts_us,
+          if (newer) e.event_id else p.last_eid,
+          if (newer) e.event_type else p.last_type,
+          p.upds)
+      }
+      p = p.copy(upds = p.upds + 1L)
+      st.update(p)
+      Iterator.single(TwsRow(key, p.upds, p.n, p.cents, p.last_eid, p.last_type))
+    }
+  }
+
+  /** The Spark-4-native arbitrary-state operator (`transformWithState`,
+    * the successor to flatMapGroupsWithState) under the oracle gate: a
+    * per-user running profile maintained across the same 3-batch
+    * out-of-order CDC replay as [[qCdcStream]]. Each batch emits each
+    * touched key's updated profile with an update sequence number; the
+    * gate reduces to the final emission per key (max_by upd_seq), which
+    * must equal the one-shot batch aggregation over the whole log —
+    * batch-boundary placement must be invisible to the accumulated
+    * state. Requires the RocksDB state store (the only provider with
+    * the multi-column-family support the v2 state API needs) — which is
+    * also the provider a 100 TB deployment runs, state living on local
+    * disk with a memory working set. */
+  def qTwsProfile(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val landing = cdcLanding(s2, dir)
+    val typed = s2.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[TwsEvent]
+    val out = typed.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_profile").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "transformWithState stream did not terminate")
+    s2.table("graft_tws_profile")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"n_events", $"total_cents", $"last_event_id",
+        $"last_event_type"), $"upd_seq").as("f"))
+      .select($"user_id", $"f.n_events".as("n_events"),
+        $"f.total_cents".as("total_cents"),
+        $"f.last_event_id".as("last_event_id"),
+        $"f.last_event_type".as("last_event_type"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_hourly" -> qStreamingHourly,
     "q_streaming_sliding" -> qStreamingSliding,
     "q_streaming_dedup" -> qStreamingDedup,
     "q_streaming_late" -> qStreamingLate,
     "q_streaming_join" -> qStreamingJoin,
-    "q_cdc_stream" -> qCdcStream)
+    "q_cdc_stream" -> qCdcStream,
+    "q_tws_profile" -> qTwsProfile)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -450,6 +553,24 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
+    // Batch truth for the transformWithState profile: the final
+    // emission per key must equal the one-shot aggregation over the
+    // whole changelog — running count, exact cents total, and the
+    // (ts, event_id)-latest event. round(value*100) is computed on the
+    // same IEEE double in both engines, so the cents are identical.
+    "q_tws_profile" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id
+        |ORDER BY a.user_id""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,

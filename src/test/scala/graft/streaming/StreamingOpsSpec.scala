@@ -266,6 +266,71 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(state.toMap == expected)
   }
 
+  test("transformWithState profile: per-batch emissions accumulate, final equals batch truth") {
+    import spark.implicits._
+    // Two-batch replay split by event_id parity — every user appears in
+    // both batches at this SF, so state continuity across batches (not
+    // the single-batch iterator) carries the profile. Collect ALL
+    // emissions, not just the final pick: upd_seq must count the
+    // batches a key appeared in, counts must be strictly increasing,
+    // and the last emission must equal the one-shot batch aggregation.
+    val d = java.nio.file.Files.createTempDirectory("events-tws")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // NB: encoders come from the outer spark.implicits._ import — a
+    // second implicits._ import here would make $ ambiguous.
+    val typed = s2.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.TwsEvent]
+    val q = typed.groupByKey(_.user_id)
+      .transformWithState(new StreamingOps.ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_spec").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+
+    val emissions = s2.table("tws_spec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upd_seq"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("total_cents")))
+      .groupBy(_._1)
+    val batchTruth = raw.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(emissions.keySet == batchTruth.keySet)
+    emissions.foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._2)
+      // one emission per batch the key appeared in, sequenced 1..k
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq, s"user $user seqs")
+      assert(ordered.length == 2, s"user $user should appear in both batches")
+      // running count strictly increases; the final emission is the truth
+      assert(ordered.map(_._3).toSeq == ordered.map(_._3).sorted.toSeq)
+      val (n, cents) = batchTruth(user)
+      assert(ordered.last._3 == n && ordered.last._4 == cents, s"user $user final")
+    }
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
