@@ -450,6 +450,89 @@ object StreamingOps {
     }
   }
 
+  /** Rows for [[SessionTimerProcessor]]. */
+  final case class SessEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(start_us: Long, last_us: Long, n: Long,
+                             timer_ms: Long)
+  final case class SessOut(user_id: Long, start_us: Long, last_us: Long,
+                           n: Long, by_timer: Boolean)
+
+  /** Event-time-timer sessionization on the arbitrary-state v2 API —
+    * the timer half of `transformWithState` ([[ProfileProcessor]] is
+    * the ValueState half). Each user's open session lives in one
+    * ValueState record with ONE registered event-time timer at
+    * (last event + gap): a session closes EITHER inline, when a later
+    * event for the same user arrives beyond the gap (no watermark
+    * involvement), OR by timer, when the event-time watermark passes
+    * the gap after the user's last event — the "user went quiet"
+    * half that pure input-driven operators cannot express. The timer
+    * is re-registered (old one deleted) every time the session
+    * extends, so each key holds at most one live timer and one state
+    * record — O(1) per key, the scale property. Emission set after a
+    * replay is deterministic: every non-final session inline, plus
+    * each user's final session iff the final watermark passed its
+    * gap — exactly what StreamingOpsSpec asserts against the batch
+    * sessionization. */
+  private[streaming] final class SessionTimerProcessor(gapMin: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessEvent, SessOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    private val gapUs = gapMin * 60L * 1000000L
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("session",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    private def timerFor(lastUs: Long): Long = lastUs / 1000L + gapMin * 60L * 1000L
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timers: TimerValues): Iterator[SessOut] = {
+      // Batches deliver a key's rows unordered; sessionization is
+      // order-sensitive, so sort the (bounded: one key, one batch)
+      // slice by event time.
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.event_id))
+      var out = List.empty[SessOut]
+      var s = if (st.exists()) Option(st.get()) else None
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000
+        s match {
+          case Some(cur) if us - cur.last_us <= gapUs =>
+            s = Some(cur.copy(last_us = math.max(cur.last_us, us), n = cur.n + 1))
+          case Some(cur) => // beyond the gap: close inline, open fresh
+            out ::= SessOut(key, cur.start_us, cur.last_us, cur.n, by_timer = false)
+            // the closed session's timer is now STALE — left registered
+            // it would later fire against whatever session is then open
+            // and emit it prematurely (observed: final sessions leaking
+            // past the watermark via a predecessor's timer)
+            if (cur.timer_ms != 0L) getHandle.deleteTimer(cur.timer_ms)
+            s = Some(SessState(us, us, 1L, 0L))
+          case None =>
+            s = Some(SessState(us, us, 1L, 0L))
+        }
+      }
+      s.foreach { cur =>
+        if (cur.timer_ms != 0L) getHandle.deleteTimer(cur.timer_ms)
+        val t = timerFor(cur.last_us)
+        getHandle.registerTimer(t)
+        st.update(cur.copy(timer_ms = t))
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessOut] = {
+      // Watermark passed last+gap with no newer event: the session is
+      // final. State clears — a later event (possible: the user was
+      // quiet longer than gap+watermark mid-stream) starts a new one.
+      if (st.exists()) {
+        val cur = st.get()
+        st.clear()
+        Iterator.single(SessOut(key, cur.start_us, cur.last_us, cur.n, by_timer = true))
+      } else Iterator.empty
+    }
+  }
+
   /** The Spark-4-native arbitrary-state operator (`transformWithState`,
     * the successor to flatMapGroupsWithState) under the oracle gate: a
     * per-user running profile maintained across the same 3-batch

@@ -331,6 +331,86 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers close quiet sessions exactly once") {
+    import spark.implicits._
+    val gapMin = 30L
+    val gapUs = gapMin * 60L * 1000000L
+    // Two time-ordered slices so the watermark ADVANCES between
+    // batches: sessions that went quiet in slice 1 must be closed by
+    // their event-time TIMER during batch 2 (or the trailing no-data
+    // batch), while sessions superseded by a later event close inline —
+    // both paths must fire, and no session may emit twice.
+    val d = java.nio.file.Files.createTempDirectory("events-tws-sess")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    val splitUs = 1705276800L * 1000000L // 2024-01-15T00:00Z
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-sess-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter(unix_micros($"ts") < splitUs), "f0.parquet", 1700000000000L)
+    stage(raw.filter(unix_micros($"ts") >= splitUs), "f1.parquet", 1700000060000L)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = s2.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select($"user_id", $"event_id", $"ts")
+      .withWatermark("ts", "2 hours")
+      .as[StreamingOps.SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new StreamingOps.SessionTimerProcessor(gapMin),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_sessions").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+
+    val emitted = s2.table("tws_sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("last_us"), r.getAs[Long]("n"), r.getAs[Boolean]("by_timer")))
+    // no session emitted twice
+    assert(emitted.map(t => (t._1, t._2)).distinct.length == emitted.length)
+    // both close paths exercised
+    assert(emitted.exists(_._5) && emitted.exists(!_._5),
+      "expected both timer-closed and inline-closed sessions")
+
+    // Batch truth: gap-sessionize the whole table, then keep every
+    // non-final session plus each user's final session iff the FINAL
+    // watermark (global max − 2h) passed its gap.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us", $"event_id")
+    val sess = raw.select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"us" - $"prev" > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum($"new_sess").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), max($"us").as("last_us"),
+        count(lit(1)).as("n"), max($"sid").as("s"))
+    val maxUs = raw.agg(max(unix_micros($"ts"))).first().getLong(0)
+    val wmMs = maxUs / 1000L - 2L * 3600L * 1000L
+    val lastSid = sess.groupBy($"user_id").agg(max($"sid").as("last_sid"))
+    val expected = sess.join(lastSid, Seq("user_id"))
+      .filter($"sid" < $"last_sid" ||
+        ($"last_us" / 1000L + gapMin * 60L * 1000L) <= wmMs)
+      .select($"user_id", $"start_us", $"last_us", $"n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val emittedSet = emitted.map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(emittedSet == expected,
+      s"sizes emitted=${emittedSet.size} expected=${expected.size} " +
+        s"missing=${(expected -- emittedSet).take(3)} extra=${(emittedSet -- expected).take(3)}")
+  }
+
   test("flatMapGroupsWithState first-seen dedup matches batch window dedup") {
     import spark.implicits._
     val q = StreamingOps.firstSeen(spark, StreamingOps.eventsStream(spark, streamDir))
