@@ -20,4 +20,28 @@ class EntrySmokeSpec extends AnyFunSuite {
   test("oracleSql covers every query key") {
     assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
   }
+
+  test("module query maps never collide (++ would silently overwrite one)") {
+    // SparkEntry unions the per-module maps with ++ — a key defined in
+    // two modules would drop one implementation without any error, and
+    // the gate would green-light whichever survived. Fail here instead.
+    val modules: Seq[(String, Set[String])] = Seq(
+      "Relational" -> graft.queries.Relational.queries.keySet,
+      "Connector" -> graft.queries.Connector.queries.keySet,
+      "TextOps" -> graft.queries.TextOps.queries.keySet,
+      "EmbeddingOps" -> graft.queries.EmbeddingOps.queries.keySet,
+      "PipelineOps" -> graft.queries.PipelineOps.queries.keySet,
+      "Multimodal" -> graft.functions.Multimodal.queries.keySet,
+      "Storage" -> graft.queries.Storage.queries.keySet,
+      "StreamingOps" -> graft.streaming.StreamingOps.queries.keySet)
+    for {
+      (na, a) <- modules
+      (nb, b) <- modules if na < nb
+    } {
+      val overlap = a intersect b
+      assert(overlap.isEmpty, s"$na and $nb both define: $overlap")
+    }
+    // and the union really is the sum — nothing was shadowed
+    assert(SparkEntry.queries.size == modules.map(_._2.size).sum)
+  }
 }
