@@ -42,6 +42,25 @@ object StreamingOps {
   def eventsStream(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(eventsSchema).parquet(dir)
 
+  /** Cloned session for a replay query, with state-store shuffle
+    * partitions sized to the replay's STATE VOLUME (thousands of
+    * entries at any tested SF) instead of the CPU count — undersized
+    * state per store instance buys nothing and pays per-instance
+    * commit/snapshot fixed costs every micro-batch (measured on the
+    * join replay: 6.9 → 2.9 s; same rule at cluster scale). The conf
+    * freezes into the query's checkpoint at start, so it must ride a
+    * clone rather than mutate the caller's session. `newSession()`
+    * starts from builder-level confs only, so the caller's RUNTIME
+    * state-store provider choice (e.g. the RocksDB swap the specs
+    * exercise) is propagated explicitly. */
+  private def replaySession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .foreach(s2.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    s2
+  }
+
   /** Hourly event counts per type with a 2h watermark: hash-shuffled on
     * (window, event_type), partial-aggregated map-side; state per open
     * window only — the canonical streaming aggregation. */
@@ -127,15 +146,21 @@ object StreamingOps {
     * same plan to a file/Kafka sink partitioned by window, and the
     * multi-batch/late-data paths are exercised in StreamingOpsSpec. */
   def qStreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    // State-volume-sized clone ([[replaySession]]); the trailing
+    // no-data batch is also skipped — in complete mode it would only
+    // re-emit the identical snapshot (no eviction in complete mode),
+    // paying one more full output + store-commit round for nothing.
+    val s2 = replaySession(s)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // The file-stream source wants a directory or glob (a bare file
     // path fails basePath validation); the glob pins it to events.
-    val q = hourlyCounts(eventsStream(s, s"$dir/events.parque[t]"))
+    val q = hourlyCounts(eventsStream(s2, s"$dir/events.parque[t]"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("total_value"))
       .writeStream.outputMode(OutputMode.Complete()).format("memory")
       .queryName("graft_stream_hourly").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("graft_stream_hourly").orderBy(col("hour_ts"), col("event_type"))
+    s2.table("graft_stream_hourly").orderBy(col("hour_ts"), col("event_type"))
   }
 
   /** Sliding 2h-window / 1h-slide event counts: each event lands in
@@ -146,7 +171,9 @@ object StreamingOps {
     * DuckDB side expresses by unnesting each event into its two
     * hourly-aligned window starts. */
   def qStreamingSliding(s: SparkSession, dir: String): DataFrame = {
-    val counts = eventsStream(s, s"$dir/events.parque[t]")
+    val s2 = replaySession(s)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val counts = eventsStream(s2, s"$dir/events.parque[t]")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -155,7 +182,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Complete()).format("memory")
       .queryName("graft_stream_sliding").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("graft_stream_sliding").orderBy(col("win_start"), col("event_type"))
+    s2.table("graft_stream_sliding").orderBy(col("win_start"), col("event_type"))
   }
 
   /** Oracle-gated keyed streaming dedup: [[firstSeen]]'s
@@ -168,11 +195,15 @@ object StreamingOps {
     * first-ness) is exercised in StreamingOpsSpec. State per key is one
     * record — the O(1) property that lets this run forever. */
   def qStreamingDedup(s: SparkSession, dir: String): DataFrame = {
-    val q = firstSeen(s, eventsStream(s, s"$dir/events.parque[t]")).toDF()
+    // NoTimeout keyed state: the trailing no-data batch can never emit
+    // (nothing expires), so it is pure store-commit overhead here too.
+    val s2 = replaySession(s)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = firstSeen(s2, eventsStream(s2, s"$dir/events.parque[t]")).toDF()
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_dedup").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
+    s2.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
   }
 
   /** Oracle-gated stream-stream interval join: [[purchaseErrorJoin]]
@@ -194,13 +225,8 @@ object StreamingOps {
     // the STATE VOLUME (~40k buffered rows here), not the CPU count:
     // 32 partitions = 128 store instances whose commit overhead
     // dominated the batch (measured: 6.9 s → 2.9 s with the two
-    // changes below, identical rows). Same rule at cluster scale —
-    // undersized state per store instance buys nothing and pays
-    // commit/snapshot fixed costs per instance. The conf is frozen
-    // into the query's checkpoint at start, so it rides a CLONED
-    // session rather than mutating the caller's.
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // changes below, identical rows). See [[replaySession]].
+    val s2 = replaySession(s)
     // An INNER stream-stream join emits every match during data
     // batches; the trailing no-data micro-batch exists only to advance
     // the watermark and EVICT state — pure overhead in a
@@ -289,8 +315,7 @@ object StreamingOps {
     // emitted window set — is identical with or without it (the gate
     // pins exactly that window set; eviction-under-advancement is
     // covered by the four data batches themselves).
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = replaySession(s)
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val counts = s2.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
@@ -358,9 +383,8 @@ object StreamingOps {
     // The per-batch merge joins at KEY cardinality (users — tens of
     // thousands at sf0.1), so 32-partition shuffles × 3 batches pay
     // scheduling/commit fixed costs far above the data volume; size to
-    // the merge volume on a cloned session, like the other replays.
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // the merge volume ([[replaySession]]).
+    val s2 = replaySession(s)
     val q = s2.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
@@ -546,8 +570,9 @@ object StreamingOps {
     * also the provider a 100 TB deployment runs, state living on local
     * disk with a memory working set. */
   def qTwsProfile(s: SparkSession, dir: String): DataFrame = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = replaySession(s)
+    // v2 state API: RocksDB is required (multi-column-family support),
+    // so it overrides whatever provider the caller runs.
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s2.implicits._
