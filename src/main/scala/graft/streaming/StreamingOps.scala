@@ -575,6 +575,9 @@ object StreamingOps {
     // so it overrides whatever provider the caller runs.
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TimeMode.None registers no timers, so the trailing no-data batch
+    // could only ever commit unchanged stores — skip it.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import s2.implicits._
     val landing = cdcLanding(s2, dir)
     val typed = s2.readStream.schema(eventsSchema)
