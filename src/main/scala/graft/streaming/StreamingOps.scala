@@ -38,9 +38,22 @@ object StreamingOps {
 
   /** Open a directory of events parquet files as a file stream (the
     * file source tails a directory; new files become new micro-batch
-    * input — the standard landing-zone ingestion pattern). */
+    * input — the standard landing-zone ingestion pattern). Like the
+    * batch loader, the declared schema adapts to the OBSERVED footer
+    * flavor (`Tables.tsFlavor`): an ns-since-epoch INT64 generation is
+    * read under a declared LongType and normalized post-read, so a
+    * testdata regeneration back to the legacy nanos layout hits the
+    * same one-place seam as the batch path instead of scattering
+    * conversion errors across every streaming key. */
   def eventsStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(eventsSchema).parquet(dir)
+    graft.queries.Tables.tsFlavor(s, dir) match {
+      case org.apache.spark.sql.types.LongType =>
+        val nsSchema = StructType(eventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = LongType) else f))
+        s.readStream.schema(nsSchema).parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => s.readStream.schema(eventsSchema).parquet(dir)
+    }
 
   /** Cloned session for a replay query, with state-store shuffle
     * partitions sized to the replay's STATE VOLUME (thousands of
@@ -51,13 +64,16 @@ object StreamingOps {
     * freezes into the query's checkpoint at start, so it must ride a
     * clone rather than mutate the caller's session. `newSession()`
     * starts from builder-level confs only, so the caller's RUNTIME
-    * state-store provider choice (e.g. the RocksDB swap the specs
-    * exercise) is propagated explicitly. */
+    * streaming confs (state-store provider — e.g. the RocksDB swap the
+    * specs exercise — RocksDB tuning, changelog checkpointing, …) are
+    * propagated as a prefix copy: a replay must run under the caller's
+    * state-store settings, not silently under the defaults. */
   private def replaySession(s: SparkSession): SparkSession = {
     val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.sql.streaming.")) s2.conf.set(k, v)
+    }
     s2.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      .foreach(s2.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     s2
   }
 
@@ -424,6 +440,17 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** Exact cents from a 2-decimal double: the product is the SAME IEEE
+    * double both engines compute (`value * 100` / DuckDB
+    * `round(value*100)` / Spark `round(value*100)`), then rounded half
+    * AWAY FROM ZERO — which is what both DuckDB's round() and Spark's
+    * round() do for either sign. (Bare `math.round` is floor(x+0.5) —
+    * half-up toward +∞ — which diverges on negative exact halves.) */
+  private[streaming] def centsOf(value: Double): Long = {
+    val x = value * 100d
+    if (x >= 0) math.round(x) else -math.round(-x)
+  }
+
   /** Typed input/state/output rows for [[qTwsProfile]]'s processor. */
   final case class TwsEvent(user_id: Long, event_id: Long, event_type: String,
                             value: Double, ts_us: Long)
@@ -462,7 +489,7 @@ object StreamingOps {
         // exact cents: value carries 2 decimals, ×100 rounds away FP dust
         val newer = e.ts_us > p.last_ts_us ||
           (e.ts_us == p.last_ts_us && e.event_id > p.last_eid)
-        p = TwsProfile(p.n + 1L, p.cents + math.round(e.value * 100d),
+        p = TwsProfile(p.n + 1L, p.cents + centsOf(e.value),
           if (newer) e.ts_us else p.last_ts_us,
           if (newer) e.event_id else p.last_eid,
           if (newer) e.event_type else p.last_type,

@@ -76,8 +76,10 @@ class SchemaContractSpec extends AnyFunSuite {
       "label" -> exact(IntegerType)))
 
   test("every testdata table loads with a schema the query layer supports") {
-    // nanosAsLong is session-wide in tests; raw read mirrors what the
-    // query layer sees before Tables.events normalization.
+    // nanosAsLong is set at builder level in tests so the raw
+    // inference read here can see a legacy-nanos file at all; the
+    // query layer itself reads events under explicit footer-derived
+    // schemas (Tables.tsFlavor) and needs no session conf.
     contract.foreach { case (table, cols) =>
       val loaded = spark.read.parquet(s"$dir/$table.parquet").schema
       assert(loaded.fields.length == cols.length,
@@ -140,5 +142,44 @@ class SchemaContractSpec extends AnyFunSuite {
     perFlavor.foreach { case (name, rows) =>
       assert(rows == ref, s"q_hourly_events under flavor $name diverges")
     }
+
+    // And through the STREAMING file source: eventsStream declares its
+    // schema from the same footer inspection, so each flavor must
+    // replay to the identical (event_id, µs) set — this is the cell
+    // that catches a testdata regeneration breaking the streaming keys
+    // while the batch seam silently adapts (r11 advice).
+    val streamed = flavors.keys.map { name =>
+      val d = root.resolve(name).resolve("events.parquet").toString
+      val q = graft.streaming.StreamingOps.eventsStream(spark, d)
+        .select($"event_id", unix_micros($"ts").as("us"))
+        .writeStream.format("memory").queryName(s"flavor_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), s"flavor $name stream did not terminate")
+      name -> spark.table(s"flavor_$name").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    }.toMap
+    val streamRef = streamed("ltz")
+    assert(streamRef.nonEmpty &&
+      streamRef == ltz.map(r => (r._1, r._2)), "streamed ltz diverges from batch canon")
+    streamed.foreach { case (name, rows) =>
+      assert(rows == streamRef, s"eventsStream under flavor $name diverges")
+    }
+  }
+
+  test("Tables.events output is independent of the session time zone") {
+    // The loader reads every flavor under an explicit schema that takes
+    // the raw µs/ns value as a UTC instant — a driver-owned session in
+    // a non-UTC zone must see the SAME instants (no silent wall-clock
+    // shift against the oracle), and the loader must not mutate any
+    // session conf to achieve it.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val before = s2.conf.getAll
+    import s2.implicits._
+    val shifted = Tables.events(s2, dir)
+      .select($"event_id", unix_micros($"ts").as("us"), $"ts_ns")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(s2.conf.getAll == before, "Tables.events mutated the caller's session conf")
+    val utc = canon(dir).map(r => (r._1, r._2, r._3))
+    assert(shifted == utc, "event instants shift with the session time zone")
   }
 }
