@@ -367,21 +367,32 @@ object StreamingOps {
     * same out-of-order batch boundaries. */
   private def cdcLanding(s: SparkSession, dir: String): java.io.File = {
     import s.implicits._
-    val base = graft.queries.Scratch.dir("cdc_stream", dir)
+    stagedLanding(s, dir, "cdc_stream")(raw =>
+      (0 to 2).map(i => raw.filter($"event_id" % 3 === i)))
+  }
+
+  /** Slice-per-micro-batch landing zone, staged once per JVM
+    * (marker-gated so bench warmup + timed passes replay the same
+    * files): each slice of the events table lands as one file with
+    * ascending names AND mtimes — either ordering key the file source
+    * consults yields the same deterministic batch order. */
+  private def stagedLanding(s: SparkSession, dir: String, name: String)
+      (slices: DataFrame => Seq[DataFrame]): java.io.File = {
+    val base = graft.queries.Scratch.dir(name, dir)
     val landing = new java.io.File(base, "landing")
     val staged = new java.io.File(base, "_STAGED")
     if (!staged.exists()) {
       graft.queries.Scratch.deleteRecursively(new java.io.File(base))
       landing.mkdirs()
-      val raw = eventsBatch(s, dir)
-      (0 to 2).foreach { i =>
+      slices(eventsBatch(s, dir)).zipWithIndex.foreach { case (df, i) =>
         val tmp = new java.io.File(base, s"stage_$i")
-        raw.filter($"event_id" % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(landing, s"f$i.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no part file staged for $name slice $i"))
+        val dest = new java.io.File(landing, f"f$i%02d.parquet")
         java.nio.file.Files.copy(part.toPath, dest.toPath)
-        dest.setLastModified(1700000000000L + i * 60000): Unit
+        dest.setLastModified(1700000000000L + i * 60000L): Unit
       }
       staged.createNewFile(): Unit
     }
@@ -630,6 +641,57 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** The timer half of `transformWithState` under the oracle gate:
+    * [[SessionTimerProcessor]]'s event-time-timer sessionization over a
+    * 3-slice TIME-ORDERED replay (slices partition the time range, so
+    * no event ever arrives below the standing watermark — every event
+    * reaches the processor and the emitted session set is a pure
+    * function of the data). maxFilesPerTrigger=1 makes the watermark
+    * ADVANCE between batches, so both close paths fire: sessions
+    * superseded by a later out-of-gap event close inline, sessions
+    * whose user went quiet close when the event-time watermark passes
+    * last+gap — including the final no-data micro-batch, which this key
+    * deliberately KEEPS enabled (unlike the input-driven replays, the
+    * trailing batch does real work here: it advances the watermark over
+    * the last slice and fires the final timer closes). The oracle is
+    * the batch gap-sessionization (q_sessionize's shape) restricted to
+    * the sessions the final watermark closed: every non-final session,
+    * plus each user's final session iff watermark(max(ts) − 2h) passed
+    * its last+gap — by_timer/inline attribution is asserted spec-side
+    * (StreamingOpsSpec), not gated, since the oracle cannot see arrival
+    * order. One state record + at most one live timer per key — O(1),
+    * the property that holds at 100 TB. */
+  def qTwsSessions(s: SparkSession, dir: String): DataFrame = {
+    val s2 = replaySession(s)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    import s2.implicits._
+    val day11Us = 1704931200L * 1000000L // 2024-01-11T00:00Z
+    val day21Us = 1705795200L * 1000000L // 2024-01-21T00:00Z
+    val landing = stagedLanding(s2, dir, "tws_sessions") { raw =>
+      val us = unix_micros($"ts")
+      Seq(raw.filter(us < day11Us),
+        raw.filter(us >= day11Us && us < day21Us),
+        raw.filter(us >= day21Us))
+    }
+    val out = s2.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", $"event_id", $"ts")
+      .withWatermark("ts", "2 hours")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(30L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_sessions").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "tws-sessions stream did not terminate")
+    s2.table("graft_tws_sessions")
+      .select($"user_id", $"start_us", $"last_us", $"n")
+      .orderBy($"user_id", $"start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_streaming_hourly" -> qStreamingHourly,
     "q_streaming_sliding" -> qStreamingSliding,
@@ -637,7 +699,8 @@ object StreamingOps {
     "q_streaming_late" -> qStreamingLate,
     "q_streaming_join" -> qStreamingJoin,
     "q_cdc_stream" -> qCdcStream,
-    "q_tws_profile" -> qTwsProfile)
+    "q_tws_profile" -> qTwsProfile,
+    "q_tws_sessions" -> qTwsSessions)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -709,6 +772,35 @@ object StreamingOps {
         |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
         |FROM agg a JOIN last l ON a.user_id = l.user_id
         |ORDER BY a.user_id""".stripMargin,
+    // Batch truth for the event-time-timer sessionization: gap
+    // sessionization over the whole table (q_sessionize's CTE shape),
+    // keeping every non-final session plus each user's final session
+    // iff the final watermark (max(ts) − 2h, in the ms resolution Spark
+    // tracks event time at) passed its last+gap timer. A timer that
+    // fired early (session split), fired late (missing final session),
+    // or double-fired (stale timer against a successor session)
+    // breaks rows or hash.
+    "q_tws_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id, event_id, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |n AS (SELECT user_id, event_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM l),
+        |c AS (SELECT user_id, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM n),
+        |s AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS last_us,
+        |    count(*) AS n FROM c GROUP BY 1, 2),
+        |wm AS (SELECT max(us) // 1000 - 7200000 AS wm_ms FROM e),
+        |f AS (SELECT user_id, max(sid) AS last_sid FROM s GROUP BY 1)
+        |SELECT s.user_id, s.start_us, s.last_us, s.n
+        |FROM s JOIN f USING (user_id)
+        |WHERE s.sid < f.last_sid
+        |   OR s.last_us // 1000 + 1800000 <= (SELECT wm_ms FROM wm)
+        |ORDER BY s.user_id, s.start_us""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
