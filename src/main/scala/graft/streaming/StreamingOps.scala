@@ -512,6 +512,88 @@ object StreamingOps {
     }
   }
 
+  /** Output rows for [[LastKProcessor]] / [[TypeCountsProcessor]]. */
+  final case class TwsLastK(user_id: Long, upd_seq: Long,
+                            ids: Seq[Long], tss: Seq[Long])
+  final case class TypeAgg(n: Long, cents: Long, upds: Long)
+  final case class TwsCounts(user_id: Long, event_type: String,
+                             upd_seq: Long, n: Long, cents: Long)
+
+  /** ListState half of the v2 state API: each user's K most recent
+    * events by (ts, event_id), the list ITSELF the state — read, merge
+    * with the batch slice, keep top-K, put back. State is exactly K
+    * entries per key (bounded by construction, never by TTL), plus one
+    * ValueState batch counter — the multi-state-variable shape the v2
+    * handle exists for. Top-K-by-ordering is a lattice merge: the final
+    * list is the top-K of the whole log regardless of how batches
+    * sliced it, which is what lets the gate compare against a batch
+    * window oracle. */
+  private[streaming] final class LastKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsLastK] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ListState[TwsEvent] = _
+    @transient private var upds: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      st = getHandle.getListState[TwsEvent]("lastk",
+        org.apache.spark.sql.Encoders.product[TwsEvent], TTLConfig.NONE)
+      upds = getHandle.getValueState[Long]("upds",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsLastK] = {
+      val merged = (st.get().toArray ++ rows)
+        .sortBy(e => (e.ts_us, e.event_id))(Ordering.Tuple2[Long, Long].reverse)
+        .take(k)
+      st.put(merged)
+      val u = (if (upds.exists()) upds.get() else 0L) + 1L
+      upds.update(u)
+      Iterator.single(TwsLastK(key, u,
+        merged.map(_.event_id).toSeq, merged.map(_.ts_us).toSeq))
+    }
+  }
+
+  /** MapState half of the v2 state API: per-user per-event-type running
+    * (count, exact cents) — the map key is the event type, so state per
+    * user is bounded by type cardinality, read and written only for the
+    * types a batch touches (point lookups, not a full-map scan — the
+    * access pattern MapState exists for, and what RocksDB turns into
+    * per-entry gets/puts instead of one fat value blob). Each touched
+    * entry carries its own update counter; the final emission per
+    * (user, type) is the whole-log truth, batching-invariant because
+    * counts and sums are associative. */
+  private[streaming] final class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsCounts] {
+    import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+    @transient private var st: MapState[String, TypeAgg] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, TypeAgg]("perType",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[TypeAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsCounts] = {
+      val touched = scala.collection.mutable.Map.empty[String, TypeAgg]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (st.containsKey(e.event_type)) st.getValue(e.event_type)
+          else TypeAgg(0L, 0L, 0L))
+        touched(e.event_type) = cur.copy(
+          n = cur.n + 1L, cents = cur.cents + centsOf(e.value))
+      }
+      val out = touched.toList.map { case (t, agg) =>
+        val bumped = agg.copy(upds = agg.upds + 1L)
+        st.updateValue(t, bumped)
+        TwsCounts(key, t, bumped.upds, agg.n, agg.cents)
+      }
+      out.iterator
+    }
+  }
+
   /** Rows for [[SessionTimerProcessor]]. */
   final case class SessEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessState(start_us: Long, last_us: Long, n: Long,
@@ -607,23 +689,38 @@ object StreamingOps {
     * the multi-column-family support the v2 state API needs) — which is
     * also the provider a 100 TB deployment runs, state living on local
     * disk with a memory working set. */
-  def qTwsProfile(s: SparkSession, dir: String): DataFrame = {
+  /** Clone for the TimeMode.None v2-state replays: RocksDB provider
+    * (required by the v2 API's multi-column-family layout — and the
+    * provider a 100 TB deployment runs, state on local disk with a
+    * memory working set) over [[replaySession]]'s state-volume sizing;
+    * with no timers registered, the trailing no-data batch could only
+    * ever commit unchanged stores — skip it. */
+  private def rocksReplaySession(s: SparkSession): SparkSession = {
     val s2 = replaySession(s)
-    // v2 state API: RocksDB is required (multi-column-family support),
-    // so it overrides whatever provider the caller runs.
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // TimeMode.None registers no timers, so the trailing no-data batch
-    // could only ever commit unchanged stores — skip it.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2
+  }
+
+  /** The 3-batch out-of-order CDC replay ([[cdcLanding]]) as a typed
+    * TwsEvent stream — the shared source of the v2-state keys, so
+    * ValueState/ListState/MapState all face the same adversarial batch
+    * boundaries. */
+  private def twsSource(s2: SparkSession, dir: String): Dataset[TwsEvent] = {
     import s2.implicits._
     val landing = cdcLanding(s2, dir)
-    val typed = s2.readStream.schema(eventsSchema)
+    s2.readStream.schema(eventsSchema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
       .select($"user_id", $"event_id", $"event_type", $"value",
         unix_micros($"ts").as("ts_us"))
       .as[TwsEvent]
-    val out = typed.groupByKey(_.user_id)
+  }
+
+  def qTwsProfile(s: SparkSession, dir: String): DataFrame = {
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    val out = twsSource(s2, dir).groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
     val q = out.toDF()
@@ -639,6 +736,52 @@ object StreamingOps {
         $"f.last_event_id".as("last_event_id"),
         $"f.last_event_type".as("last_event_type"))
       .orderBy($"user_id")
+  }
+
+  /** [[LastKProcessor]] under the oracle gate: each user's K=3 most
+    * recent events maintained in ListState across the out-of-order CDC
+    * replay. The gate reduces each key to its final emission (max_by
+    * upd_seq), unzips the list back to (rank, event_id, ts_us) rows,
+    * and compares against the batch top-K window — which only matches
+    * if every per-batch list merge kept exactly the global top-K. */
+  def qTwsLastK(s: SparkSession, dir: String): DataFrame = {
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    val out = twsSource(s2, dir).groupByKey(_.user_id)
+      .transformWithState(new LastKProcessor(3),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_lastk").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "tws-lastk stream did not terminate")
+    s2.table("graft_tws_lastk")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"ids", $"tss"), $"upd_seq").as("f"))
+      .select($"user_id", posexplode(arrays_zip($"f.ids", $"f.tss")))
+      .select($"user_id", ($"pos" + 1L).cast("long").as("rk"),
+        $"col.ids".as("event_id"), $"col.tss".as("ts_us"))
+      .orderBy($"user_id", $"rk")
+  }
+
+  /** [[TypeCountsProcessor]] under the oracle gate: per-user per-type
+    * running (count, exact cents) in MapState across the out-of-order
+    * CDC replay; final emission per (user, type) must equal the
+    * one-shot batch group-by over the whole log. */
+  def qTwsCounts(s: SparkSession, dir: String): DataFrame = {
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    val out = twsSource(s2, dir).groupByKey(_.user_id)
+      .transformWithState(new TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_counts").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "tws-counts stream did not terminate")
+    s2.table("graft_tws_counts")
+      .groupBy($"user_id", $"event_type")
+      .agg(max_by(struct($"n", $"cents"), $"upd_seq").as("f"))
+      .select($"user_id", $"event_type", $"f.n".as("n"), $"f.cents".as("cents"))
+      .orderBy($"user_id", $"event_type")
   }
 
   /** The timer half of `transformWithState` under the oracle gate:
@@ -700,7 +843,9 @@ object StreamingOps {
     "q_streaming_join" -> qStreamingJoin,
     "q_cdc_stream" -> qCdcStream,
     "q_tws_profile" -> qTwsProfile,
-    "q_tws_sessions" -> qTwsSessions)
+    "q_tws_sessions" -> qTwsSessions,
+    "q_tws_lastk" -> qTwsLastK,
+    "q_tws_counts" -> qTwsCounts)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -772,6 +917,23 @@ object StreamingOps {
         |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
         |FROM agg a JOIN last l ON a.user_id = l.user_id
         |ORDER BY a.user_id""".stripMargin,
+    // Batch truth for the ListState last-K: the top-3 window per user.
+    // A list merge that dropped a cross-batch survivor or mis-ordered a
+    // (ts, event_id) tie breaks rows or hash.
+    "q_tws_lastk" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rk, event_id, epoch_us(ts) AS ts_us
+        |FROM (SELECT user_id, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rk""".stripMargin,
+    // Batch truth for the MapState per-type counts: the one-shot
+    // (user, type) group-by. round(value*100) is the same IEEE double
+    // in both engines; the processor rounds half away from zero to
+    // match either engine's round() for either sign.
+    "q_tws_counts" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Batch truth for the event-time-timer sessionization: gap
     // sessionization over the whole table (q_sessionize's CTE shape),
     // keeping every non-final session plus each user's final session

@@ -331,6 +331,98 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ListState last-K and MapState counts accumulate across batches to batch truth") {
+    import spark.implicits._
+    // Same 2-batch parity split as the profile test: every user appears
+    // in both batches, so the cross-batch LIST merge / MAP update — not
+    // the single-batch iterator — must carry the result.
+    val d = java.nio.file.Files.createTempDirectory("events-tws-lm")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-lm-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val typed = s2.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.TwsEvent]
+    val q = typed.groupByKey(_.user_id)
+      .transformWithState(new StreamingOps.LastKProcessor(3),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_lastk_spec").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "lastk stream did not terminate")
+
+    val perUser = s2.table("tws_lastk_spec").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upd_seq"),
+        r.getAs[scala.collection.Seq[Long]]("ids").toList))
+      .groupBy(_._1)
+    val top3 = raw
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy(unix_micros($"ts").desc, $"event_id".desc)))
+      .filter($"rn" <= 3)
+      .orderBy($"rn")
+      .groupBy($"user_id").agg(collect_list($"event_id").as("ids"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[scala.collection.Seq[Long]]("ids").toList).toMap
+    assert(perUser.keySet == top3.keySet)
+    perUser.foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.length == 2, s"user $user should emit in both batches")
+      assert(ordered.last._3 == top3(user), s"user $user final list != batch top-3")
+    }
+    // The merge was load-bearing: with an even/odd split some user's
+    // batch-1 list must differ from the final (an odd id in the top-3).
+    assert(perUser.exists { case (_, rows) =>
+      val o = rows.sortBy(_._2); o.head._3 != o.last._3
+    }, "parity split never changed a list — merge untested")
+
+    // MapState: same staging, per-(user, type) counts.
+    val q2 = typed.groupByKey(_.user_id)
+      .transformWithState(new StreamingOps.TypeCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_counts_spec").trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000), "counts stream did not terminate")
+    val emissions = s2.table("tws_counts_spec").collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type")),
+        (r.getAs[Long]("upd_seq"), r.getAs[Long]("n"), r.getAs[Long]("cents"))))
+      .groupBy(_._1)
+    val truth = raw.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), sum(round($"value" * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(emissions.keySet == truth.keySet)
+    emissions.foreach { case (k, rows) =>
+      val ordered = rows.map(_._2).sortBy(_._1).toList
+      // upd_seq per map ENTRY counts the batches that touched it; n is
+      // strictly increasing across them; the final value is the truth
+      assert(ordered.map(_._1) == (1L to ordered.length).toList, s"$k seqs")
+      assert(ordered.map(_._2) == ordered.map(_._2).sorted, s"$k counts not increasing")
+      assert((ordered.last._2, ordered.last._3) == truth(k), s"$k final")
+    }
+  }
+
   test("transformWithState event-time timers close quiet sessions exactly once") {
     import spark.implicits._
     val gapMin = 30L
