@@ -275,7 +275,7 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
           val clientSerial = req.authority.collectFirst {
             case Rr(_, TypeSoa, _, _, SoaData(s)) => s
           }.getOrElse(0L)
-          Seq(ixfrResponse(req, q.name, clientSerial))
+          ixfrResponse(req, q.name, clientSerial)
         case other => throw new IOException(s"unsupported qtype $other")
       }
     case OpcodeUpdate =>
@@ -293,48 +293,48 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
     case other => throw new IOException(s"unsupported opcode $other")
   }
 
-  /** How many RRs per AXFR response message. Real servers stream large
-    * zones across many messages (RFC 5936 §2.2 explicitly allows any
-    * split); a small chunk makes EVERY multi-record transfer in the
-    * suite exercise the client's multi-message termination loop, not
-    * just a golden vector. */
-  private val AxfrChunk = 5
+  /** How many RRs per transfer response message. Real servers stream
+    * large zones across many messages (RFC 5936 §2.2 for AXFR; RFC
+    * 1995 §2 allows the same for IXFR); a small chunk makes EVERY
+    * multi-record transfer in the suite — including the gated wire
+    * keys — exercise the client's multi-message reassembly, not just a
+    * golden vector. */
+  private val XfrChunk = 5
 
-  /** RFC 5936: SOA, all records, closing SOA — streamed across
-    * multiple framed messages of at most [[AxfrChunk]] RRs. Only
-    * explicit-AXFR responses chunk: an IXFR request may legally get an
-    * AXFR-STYLE answer (journal gap), but this client reads IXFR
-    * responses single-message (documented in
-    * [[WireTransferClient.transfer]]), so those stay whole. */
-  private def axfrResponse(req: Message, zone: String): Seq[Message] = {
-    val result = backing.axfr(zone)
-    val soa = soaRr(zone, result.serial)
-    val rrs = (soa +: result.records.map(aRr(_))) :+ soa
-    rrs.grouped(AxfrChunk).map { chunk =>
+  private def chunked(req: Message, rrs: Seq[Rr]): Seq[Message] =
+    rrs.grouped(XfrChunk).map { chunk =>
       Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
         chunk, Nil, Nil)
     }.toSeq
-  }
+
+  /** RFC 5936: SOA, all records, closing SOA — streamed across
+    * multiple framed messages of at most [[XfrChunk]] RRs. */
+  private def axfrResponse(req: Message, zone: String): Seq[Message] =
+    chunked(req, {
+      val result = backing.axfr(zone)
+      val soa = soaRr(zone, result.serial)
+      (soa +: result.records.map(aRr(_))) :+ soa
+    })
 
   /** RFC 1995: up-to-date → single SOA; journal hit → SOA(new) then per
     * delta SOA(old) deletes SOA(new) adds, closing SOA(new); journal
-    * gap → AXFR-style response. */
-  private def ixfrResponse(req: Message, zone: String, clientSerial: Long): Message =
+    * gap → AXFR-style response. Delta and AXFR-style bodies chunk like
+    * AXFR; up-to-date stays one single-SOA message (the shape clients
+    * terminate on). */
+  private def ixfrResponse(req: Message, zone: String, clientSerial: Long): Seq[Message] =
     backing.ixfr(zone, clientSerial) match {
       case AxfrResult(serial, records) =>
         val soa = soaRr(zone, serial)
-        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
-          (soa +: records.map(aRr(_))) :+ soa, Nil, Nil)
+        chunked(req, (soa +: records.map(aRr(_))) :+ soa)
       case IxfrResult(serial, deltas) if deltas.isEmpty =>
-        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
-          Seq(soaRr(zone, serial)), Nil, Nil)
+        Seq(Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
+          Seq(soaRr(zone, serial)), Nil, Nil))
       case IxfrResult(serial, deltas) =>
         val body = deltas.flatMap { d =>
           (soaRr(zone, d.startSerial) +: d.deletes.map(aRr(_))) ++
             (soaRr(zone, d.endSerial) +: d.adds.map(aRr(_)))
         }
-        Message(req.id, responseFlags(OpcodeQuery, RcodeNoError), req.questions,
-          (soaRr(zone, serial) +: body) :+ soaRr(zone, serial), Nil, Nil)
+        chunked(req, (soaRr(zone, serial) +: body) :+ soaRr(zone, serial))
     }
 }
 
@@ -404,13 +404,56 @@ final class WireTransferClient(host: String, port: Int) extends ZoneTransferClie
       readInto()
       // AXFR record streams may span messages (RFC 5936 §2.2) and
       // contain SOAs only as first/last RR, so "ends with a SOA after
-      // the first RR" is the exact termination test. IXFR delta streams
-      // interleave SOA section-headers, making cross-message
-      // termination stateful — they are accepted single-message (which
-      // is how WireDnsServer responds; deltas are small by nature).
-      if (useAxfr) while (!(rrs.size > 1 && rrs.last.rtype == TypeSoa)) readInto()
+      // the first RR" is the exact termination test there. IXFR
+      // responses may span messages too (RFC 1995 §2), but their delta
+      // streams interleave SOA section-headers, so termination is
+      // STATEFUL: walk the delta grammar and stop only at a SOA bearing
+      // the new serial at a delta-START boundary ([[ixfrComplete]]).
+      // A first message holding exactly one SOA is up-to-date, the
+      // standard client reading (dnsjava does the same) of RFC 1995's
+      // single-SOA response.
+      if (useAxfr)
+        while (!(rrs.size > 1 && rrs.last.rtype == TypeSoa)) readInto()
+      else if (rrs.size == 1 && rrs.head.rtype == TypeSoa) ()
+      else if (rrs(1).rtype != TypeSoa) // AXFR-style answer to IXFR (journal gap)
+        while (!(rrs.size > 1 && rrs.last.rtype == TypeSoa)) readInto()
+      else
+        while (!ixfrComplete(rrs)) readInto()
       parseTransfer(zone, rrs.toSeq, useAxfr)
     }
+
+  /** Is the accumulated RR stream a COMPLETE IXFR delta sequence?
+    * Grammar (RFC 1995 §4): SOA(n) then deltas, each delta =
+    * SOA(start) deletes SOA(end) adds, closed by SOA(n). Serials
+    * strictly increase within the journal, so the only SOA carrying
+    * serial n at a delta-start position is the closing one (the last
+    * delta's ADD-section header also carries n, but sits at an
+    * add-header position, never a delta start). Called per received
+    * message with an incrementally longer prefix. */
+  private def ixfrComplete(rrs: scala.collection.Seq[Rr]): Boolean = {
+    val n = rrs.head.rdata match {
+      case SoaData(s) => s
+      case _ => throw new IOException("transfer does not start with SOA")
+    }
+    var i = 1
+    while (i < rrs.size) {
+      val atDeltaStart = rrs(i).rdata match {
+        case SoaData(s) => s
+        case _ => throw new IOException("malformed IXFR delta (expected SOA)")
+      }
+      if (atDeltaStart == n) {
+        if (i != rrs.size - 1)
+          throw new IOException("trailing records after closing IXFR SOA")
+        return true
+      }
+      val delEnd = rrs.indexWhere(_.rtype == TypeSoa, i + 1) // add-section header
+      if (delEnd < 0) return false
+      val addEnd = rrs.indexWhere(_.rtype == TypeSoa, delEnd + 1) // next delta / closing
+      if (addEnd < 0) return false
+      i = addEnd
+    }
+    false
+  }
 
   /** Classify the RR stream per RFC 1995 §4: single SOA = up to date
     * (IXFR only); second RR not SOA = AXFR-style; [SOA, SOA] = an

@@ -170,6 +170,58 @@ class WireSpec extends AnyFunSuite {
       ARecord("a.z.acme.", "10.0.0.1"), ARecord("b.z.acme.", "10.0.0.2"))))
   }
 
+  test("IXFR client reassembles a delta stream split across messages (RFC 1995 §2)") {
+    // hand-rolled one-shot server splitting a 2-delta stream at the
+    // three adversarial boundaries: mid-delete-section, exactly after
+    // the FINAL delta's add-header SOA(new) — the RR where a naive
+    // "saw SOA(new) again" termination would stop early and drop the
+    // adds — and the closing SOA alone in the last message.
+    val ss = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+    val soa = (s: Long) => Rr("z.acme.", TypeSoa, ClassIn, 0, SoaData(s))
+    val a = (n: String, ip: String) => Rr(n, TypeA, ClassIn, 60, AData(ip))
+    val t = new Thread(() => {
+      val sock = ss.accept()
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val req = readFramed(in)
+      def msg(rrs: Seq[Rr]) = Message(req.id,
+        responseFlags(OpcodeQuery, RcodeNoError), req.questions, rrs, Nil, Nil)
+      // SOA(3) | SOA(1) del-a SOA(2) add-b | SOA(2) del-b SOA(3) add-c1 add-c2 | SOA(3)
+      writeFramed(out, msg(Seq(soa(3), soa(1), a("a.z.acme.", "10.0.0.1"))))
+      writeFramed(out, msg(Seq(soa(2), a("b.z.acme.", "10.0.0.2"),
+        soa(2), a("b.z.acme.", "10.0.0.2"), soa(3))))
+      writeFramed(out, msg(Seq(a("c1.z.acme.", "10.0.0.3"), a("c2.z.acme.", "10.0.0.4"))))
+      writeFramed(out, msg(Seq(soa(3))))
+      sock.close()
+    })
+    t.setDaemon(true)
+    t.start()
+    val c = new WireTransferClient("127.0.0.1", ss.getLocalPort)
+    val r = c.transfer("z.acme.", 1, XfrType.IXFR, 5)
+    ss.close()
+    assert(r == IxfrResult(3, Seq(
+      IxfrDelta(1, 2, adds = Seq(ARecord("b.z.acme.", "10.0.0.2")),
+        deletes = Seq(ARecord("a.z.acme.", "10.0.0.1"))),
+      IxfrDelta(2, 3,
+        adds = Seq(ARecord("c1.z.acme.", "10.0.0.3"), ARecord("c2.z.acme.", "10.0.0.4")),
+        deletes = Seq(ARecord("b.z.acme.", "10.0.0.2"))))))
+  }
+
+  test("IXFR delta larger than the server chunk reassembles end-to-end") {
+    withServer { srv =>
+      // one update of 7 adds ⇒ delta stream of 11 RRs ⇒ 3 framed
+      // messages at XfrChunk=5 through the REAL server path
+      srv.backing.addZone("big.acme.", Seq(ARecord("seed.big.acme.", "10.1.0.0")))
+      srv.backing.update("big.acme.",
+        (1 to 7).map(i => ARecord(s"h$i.big.acme.", s"10.1.0.$i")), Nil)
+      val c = new WireTransferClient(srv.host, srv.port)
+      val r = c.transfer("big.acme.", 1, XfrType.IXFR, 5)
+      assert(r == IxfrResult(2, Seq(IxfrDelta(1, 2,
+        adds = (1 to 7).map(i => ARecord(s"h$i.big.acme.", s"10.1.0.$i")),
+        deletes = Nil))))
+    }
+  }
+
   test("IXFR response of [SOA, SOA] is an empty SNAPSHOT, not up-to-date") {
     // the journal-gap fallback for an emptied zone: a streaming reader
     // that mistook this for "no change" would keep deleted records
