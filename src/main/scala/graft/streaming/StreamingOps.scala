@@ -77,6 +77,13 @@ object StreamingOps {
     s2
   }
 
+  /** Instrumentation for the scale-measurement tools (never read by
+    * gates): progress events of the last replay this JVM ran, giving
+    * per-batch durations and state-operator rows/bytes (including the
+    * RocksDB custom metrics when that provider runs). */
+  @volatile private[graft] var lastReplayProgress:
+      Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+
   /** Hourly event counts per type with a 2h watermark: hash-shuffled on
     * (window, event_type), partial-aggregated map-side; state per open
     * window only — the canonical streaming aggregation. */
@@ -176,6 +183,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Complete()).format("memory")
       .queryName("graft_stream_hourly").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_stream_hourly").orderBy(col("hour_ts"), col("event_type"))
   }
 
@@ -198,6 +206,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Complete()).format("memory")
       .queryName("graft_stream_sliding").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_stream_sliding").orderBy(col("win_start"), col("event_type"))
   }
 
@@ -219,6 +228,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_dedup").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_stream_dedup").orderBy(col("user_id"), col("event_type"))
   }
 
@@ -259,6 +269,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_join").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "interval-join stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_stream_join")
       .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
   }
@@ -343,6 +354,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_stream_late").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "late-data stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_stream_late").orderBy(col("hour_ts"), col("event_type"))
   }
 
@@ -445,6 +457,7 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "cdc stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
 
     s.read.parquet(statePath.getOrElse(
         throw new IllegalStateException("cdc stream produced no state version")))
@@ -727,6 +740,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_tws_profile").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "transformWithState stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_tws_profile")
       .groupBy($"user_id")
       .agg(max_by(struct($"n_events", $"total_cents", $"last_event_id",
@@ -754,6 +768,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_tws_lastk").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "tws-lastk stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_tws_lastk")
       .groupBy($"user_id")
       .agg(max_by(struct($"ids", $"tss"), $"upd_seq").as("f"))
@@ -777,6 +792,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_tws_counts").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "tws-counts stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_tws_counts")
       .groupBy($"user_id", $"event_type")
       .agg(max_by(struct($"n", $"cents"), $"upd_seq").as("f"))
@@ -830,6 +846,7 @@ object StreamingOps {
       .writeStream.outputMode(OutputMode.Append()).format("memory")
       .queryName("graft_tws_sessions").trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(180000), "tws-sessions stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
     s2.table("graft_tws_sessions")
       .select($"user_id", $"start_us", $"last_us", $"n")
       .orderBy($"user_id", $"start_us")
