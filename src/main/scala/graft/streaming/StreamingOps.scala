@@ -484,28 +484,25 @@ object StreamingOps {
                           total_cents: Long, last_event_id: Long,
                           last_event_type: String)
 
-  /** Arbitrary-stateful-v2 processor (Spark 4's `transformWithState`):
-    * one ValueState record per user holding a running profile —
-    * event count, exact value total in cents, and the LWW-latest
-    * event by (ts, event_id). Emits the updated profile once per
-    * (key, batch) stamped with a per-key update sequence number, so a
-    * downstream consumer (or the gate) can pick each key's FINAL
-    * profile regardless of how the changelog was batched. State is one
-    * fixed-size record per key — the O(1)-per-key property that lets
-    * the profile table run forever; TTL is available on the same
-    * ValueState for deployments that want idle keys to age out. */
-  private[streaming] final class ProfileProcessor
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
-    @transient private var st: ValueState[TwsProfile] = _
+  /** Shared per-key profile fold of [[ProfileProcessor]] and
+    * [[ProfileProcessorWithInit]]: one ValueState record per user —
+    * event count, exact value total in cents, the LWW-latest event by
+    * (ts, event_id) — updated per batch and emitted with a per-key
+    * update sequence number, so a downstream consumer (or the gate)
+    * picks each key's FINAL profile regardless of how the changelog was
+    * batched. State is one fixed-size record per key — the O(1)-per-key
+    * property that lets the profile table run forever; TTL is available
+    * on the same ValueState for deployments that age out idle keys. */
+  private[streaming] sealed trait ProfileLogic {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow] =>
+    import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
+    @transient protected var st: ValueState[TwsProfile] = _
 
-    override def init(outputMode: OutputMode,
-                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    protected def initProfileState(): Unit =
       st = getHandle.getValueState[TwsProfile]("profile",
         org.apache.spark.sql.Encoders.product[TwsProfile], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
-                                 timers: TimerValues): Iterator[TwsRow] = {
+    protected def foldRows(key: Long, rows: Iterator[TwsEvent]): Iterator[TwsRow] = {
       var p =
         if (st.exists()) st.get()
         else TwsProfile(0L, 0L, Long.MinValue, Long.MinValue, null, 0L)
@@ -523,6 +520,46 @@ object StreamingOps {
       st.update(p)
       Iterator.single(TwsRow(key, p.upds, p.n, p.cents, p.last_eid, p.last_type))
     }
+  }
+
+  /** The plain ValueState half of `transformWithState` ([[qTwsProfile]]). */
+  private[streaming] final class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow]
+      with ProfileLogic {
+    import org.apache.spark.sql.streaming.TimerValues
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initProfileState()
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsRow] =
+      foldRows(key, rows)
+  }
+
+  /** The INITIAL-STATE variant ([[qTwsInitial]]): identical fold, but
+    * state is bootstrapped from a batch-computed profile table before
+    * the first micro-batch — the warm-start path a deployment takes
+    * when a streaming profile job is stood up over years of history
+    * (batch-aggregate the archive once, stream from the cutover point)
+    * instead of replaying the full log through micro-batches. */
+  private[streaming] final class ProfileProcessorWithInit
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, TwsEvent, TwsRow, TwsProfile]
+      with ProfileLogic {
+    import org.apache.spark.sql.streaming.TimerValues
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initProfileState()
+
+    override def handleInitialState(key: Long, initialState: TwsProfile,
+                                    timers: TimerValues): Unit =
+      st.update(initialState)
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsRow] =
+      foldRows(key, rows)
   }
 
   /** Output rows for [[LastKProcessor]] / [[TypeCountsProcessor]]. */
@@ -752,6 +789,66 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** Initial-state bootstrap under the oracle gate: the profile state
+    * is seeded from a BATCH aggregation over the first third of the
+    * changelog (event_id % 3 == 0 — the same slice the CDC landing
+    * would replay first), then only the remaining two thirds stream
+    * through [[ProfileProcessorWithInit]]. The gate full-outer-merges
+    * the stream's final emissions with the bootstrap table (a key all
+    * of whose events sit in the archive slice never emits — its
+    * bootstrap row IS its final profile, exactly as in a deployment's
+    * bootstrap-table + streamed-updates view) and must equal the
+    * one-shot aggregation over the WHOLE log: seeding is provably
+    * equivalent to having replayed the archive. */
+  def qTwsInitial(s: SparkSession, dir: String): DataFrame = {
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    val boot = eventsBatch(s2, dir).filter($"event_id" % 3 === 0)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        // same cents arithmetic as centsOf: the IEEE product rounded
+        // half away from zero (Spark round = BigDecimal HALF_UP)
+        sum(round($"value" * 100).cast("long")).as("cents"),
+        max_by(struct($"ts_us", $"event_id", $"event_type"),
+          struct($"ts_us", $"event_id")).as("last"))
+    val initState = boot.select($"user_id",
+        struct($"n", $"cents", $"last.ts_us".as("last_ts_us"),
+          $"last.event_id".as("last_eid"), $"last.event_type".as("last_type"),
+          lit(0L).as("upds")).as("p"))
+      .as[(Long, TwsProfile)]
+      .groupByKey(_._1).mapValues(_._2)
+    val landing = stagedLanding(s2, dir, "tws_initial") { raw =>
+      Seq(raw.filter($"event_id" % 3 === 1), raw.filter($"event_id" % 3 === 2))
+    }
+    val typed = s2.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[TwsEvent]
+    val out = typed.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessorWithInit,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append(),
+        initState)
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_initial").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "tws-initial stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
+    val finals = s2.table("graft_tws_initial")
+      .groupBy($"user_id")
+      .agg(max_by(struct($"n_events", $"total_cents", $"last_event_id",
+        $"last_event_type"), $"upd_seq").as("f"))
+    finals.join(boot, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"f.n_events", $"n").as("n_events"),
+        coalesce($"f.total_cents", $"cents").as("total_cents"),
+        coalesce($"f.last_event_id", $"last.event_id").as("last_event_id"),
+        coalesce($"f.last_event_type", $"last.event_type").as("last_event_type"))
+      .orderBy($"user_id")
+  }
+
   /** [[LastKProcessor]] under the oracle gate: each user's K=3 most
     * recent events maintained in ListState across the out-of-order CDC
     * replay. The gate reduces each key to its final emission (max_by
@@ -862,7 +959,8 @@ object StreamingOps {
     "q_tws_profile" -> qTwsProfile,
     "q_tws_sessions" -> qTwsSessions,
     "q_tws_lastk" -> qTwsLastK,
-    "q_tws_counts" -> qTwsCounts)
+    "q_tws_counts" -> qTwsCounts,
+    "q_tws_initial" -> qTwsInitial)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -922,6 +1020,22 @@ object StreamingOps {
     // (ts, event_id)-latest event. round(value*100) is computed on the
     // same IEEE double in both engines, so the cents are identical.
     "q_tws_profile" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id
+        |ORDER BY a.user_id""".stripMargin,
+    // Batch truth for the initial-state bootstrap: identical to the
+    // full-replay profile oracle — seeding state from the archive
+    // aggregation must be indistinguishable from having replayed it.
+    "q_tws_initial" ->
       """WITH agg AS (
         |  SELECT user_id, count(*) AS n_events,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -331,6 +331,73 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state survives a checkpointed query restart") {
+    import spark.implicits._
+    // The restart path a deployment lives on: query 1 processes the
+    // first half of the log into RocksDB state under a checkpoint and
+    // STOPS; a brand-new query over the SAME checkpoint processes the
+    // second half. If state restore worked, run 2's emissions continue
+    // each key's upd_seq (2, not 1) and fold ON TOP of run 1's counts;
+    // a fresh-state bug would emit seq 1 with second-half-only counts.
+    val landing = java.nio.file.Files.createTempDirectory("events-tws-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-restart-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("tws-restart-out")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-restart-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = landing.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def runOnce(): Unit = {
+      val q = s2.readStream.schema(StreamingOps.eventsSchema).parquet(landing.toString)
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          unix_micros($"ts").as("ts_us"))
+        .as[StreamingOps.TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamingOps.ProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "restart-stream run did not terminate")
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    runOnce()
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+    runOnce()
+
+    val emissions = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upd_seq"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("total_cents")))
+      .groupBy(_._1)
+    val truth = raw.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(emissions.keySet == truth.keySet)
+    emissions.foreach { case (user, rows) =>
+      val ordered = rows.sortBy(_._2).toList
+      assert(ordered.map(_._2) == List(1L, 2L),
+        s"user $user seqs ${ordered.map(_._2)} — state did not survive the restart")
+      val (n, cents) = truth(user)
+      assert(ordered.last._3 == n && ordered.last._4 == cents, s"user $user final")
+      assert(ordered.head._3 < n, s"user $user run-1 emission should be partial")
+    }
+  }
+
   test("ListState last-K and MapState counts accumulate across batches to batch truth") {
     import spark.implicits._
     // Same 2-batch parity split as the profile test: every user appears
