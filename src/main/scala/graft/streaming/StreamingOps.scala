@@ -498,9 +498,9 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{TTLConfig, ValueState}
     @transient protected var st: ValueState[TwsProfile] = _
 
-    protected def initProfileState(): Unit =
+    protected def initProfileState(ttl: TTLConfig = TTLConfig.NONE): Unit =
       st = getHandle.getValueState[TwsProfile]("profile",
-        org.apache.spark.sql.Encoders.product[TwsProfile], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[TwsProfile], ttl)
 
     protected def foldRows(key: Long, rows: Iterator[TwsEvent]): Iterator[TwsRow] = {
       var p =
@@ -531,6 +531,26 @@ object StreamingOps {
     override def init(outputMode: OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       initProfileState()
+
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsRow] =
+      foldRows(key, rows)
+  }
+
+  /** [[ProfileProcessor]] with a processing-time TTL on its ValueState:
+    * state untouched for longer than `ttlMs` is expired by the store —
+    * the age-out knob that keeps deployment state ∝ ACTIVE keys rather
+    * than all keys ever seen. TTL is processing-time by definition
+    * (TimeMode.ProcessingTime required), so it is specced across a
+    * restart gap (deterministic), never oracle-gated. */
+  private[streaming] final class TtlProfileProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsRow]
+      with ProfileLogic {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initProfileState(TTLConfig(java.time.Duration.ofMillis(ttlMs)))
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
                                  timers: TimerValues): Iterator[TwsRow] =

@@ -398,6 +398,78 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL expires idle state across a restart gap") {
+    import spark.implicits._
+    // The inverse of the restart test: same two-run checkpointed
+    // replay, but the processor declares a 1 ms TTL on its ValueState.
+    // Run 2 starts seconds of processing time later, so every key's
+    // state has EXPIRED — upd_seq restarts at 1 and counts cover only
+    // the second half. This is the age-out knob deployments use to keep
+    // state ∝ ACTIVE keys instead of all keys ever seen; TTL is
+    // processing-time by definition, so it is specced (deterministic
+    // across a restart gap), never oracle-gated.
+    val landing = java.nio.file.Files.createTempDirectory("events-tws-ttl")
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-ttl-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("tws-ttl-out")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-ttl-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = landing.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // a 1 ms TTL leaves something expirable after every batch; the
+    // trailing no-data batch would keep finding cleanup work and the
+    // AvailableNow run would never drain — skip it (no timers here)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    def runOnce(): Unit = {
+      val q = s2.readStream.schema(StreamingOps.eventsSchema).parquet(landing.toString)
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          unix_micros($"ts").as("ts_us"))
+        .as[StreamingOps.TwsEvent]
+        .groupByKey(_.user_id)
+        .transformWithState(new StreamingOps.TtlProfileProcessor(ttlMs = 1L),
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "ttl-stream run did not terminate")
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    runOnce()
+    Thread.sleep(300) // >> 1 ms TTL: every key's state is now stale
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+    runOnce()
+
+    val emissions = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upd_seq"),
+        r.getAs[Long]("n_events")))
+      .groupBy(_._1)
+    val halves = Seq(0, 1).map(par => raw.filter($"event_id" % 2 === par)
+      .groupBy($"user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap)
+    assert(emissions.keySet == (halves(0).keySet ++ halves(1).keySet))
+    emissions.foreach { case (user, rows) =>
+      // every run emits seq 1: run 2 saw NO surviving state
+      assert(rows.forall(_._2 == 1L),
+        s"user $user seqs ${rows.map(_._2).toList} — TTL did not expire state")
+      // and each run's count covers exactly its own half
+      val counts = rows.map(_._3).sorted.toList
+      val expected = Seq(halves(0).get(user), halves(1).get(user)).flatten.sorted.toList
+      assert(counts == expected, s"user $user counts $counts != $expected")
+    }
+  }
+
   test("ListState last-K and MapState counts accumulate across batches to batch truth") {
     import spark.implicits._
     // Same 2-batch parity split as the profile test: every user appears
