@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, MathUtils}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native integer dot product of two BIGINT arrays.
@@ -29,12 +30,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * registered by [[GraftExtensions]] — not through private expression
   * wrapping.
   *
-  * Semantics: null if either array is null; elements are assumed
-  * non-null (the quantization step produces them); arrays of unequal
-  * length dot over the common prefix.
+  * Semantics are EXACTLY the composed form's — that equivalence is
+  * what licenses [[graft.plans.QuantizedDotRule]] substituting this
+  * expression for the built-in pattern in the optimizer:
+  *
+  *  - null if either array is null; null if the lengths differ
+  *    (`zip_with` pads the shorter side with nulls and a null product
+  *    nulls the whole `aggregate` fold); null if any element is null.
+  *  - `failOnError` mirrors the arithmetic mode of the tree it stands
+  *    in for. `true` = ANSI (Spark 4's default): every non-null
+  *    product of the common prefix is computed with Spark's
+  *    overflow-checked `MathUtils.multiplyExact` — even products PAST
+  *    a null element or in a ragged-length pair, because `zip_with`
+  *    materializes the whole product array before the fold ever sees
+  *    a null — and the running sum uses `addExact` exactly until the
+  *    fold's accumulator would have gone null. `false` = LEGACY:
+  *    wrapping long arithmetic, where a null or ragged input can
+  *    return null immediately since un-thrown multiplies are
+  *    unobservable. The function-registry route picks the session's
+  *    ANSI setting at analysis time, matching what `*` / `+` would do
+  *    in the same query.
   */
-case class QuantizedDot(left: Expression, right: Expression)
+case class QuantizedDot(left: Expression, right: Expression,
+                        failOnError: Boolean = SQLConf.get.ansiEnabled)
   extends BinaryExpression {
+
+  // Can return null even for non-null inputs (ragged lengths / null
+  // elements), and the nullable codegen path is what makes the
+  // conditional `isNull = true` assignments in doGenCode legal.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -54,26 +78,89 @@ case class QuantizedDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
-    s
+    val na = x.numElements()
+    val nb = y.numElements()
+    if (failOnError) {
+      // ANSI: overflow must surface from every product the composed
+      // form would have materialized, so no early exit on nulls.
+      val n = math.min(na, nb)
+      var nullSeen = false
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) nullSeen = true
+        else {
+          val p = MathUtils.multiplyExact(x.getLong(i), y.getLong(i))
+          if (!nullSeen) s = MathUtils.addExact(s, p)
+        }
+        i += 1
+      }
+      if (nullSeen || na != nb) null else s
+    } else {
+      if (na != nb) return null
+      var s = 0L
+      var i = 0
+      while (i < na) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      s
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
       val s = ctx.freshName("s")
-      s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
+      if (failOnError) {
+        val n = ctx.freshName("n")
+        val nullSeen = ctx.freshName("nullSeen")
+        val p = ctx.freshName("p")
+        // MathUtils is a Scala object; its compiled class carries
+        // static forwarders the generated Java calls directly
+        val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+        s"""
+           |final int $na = $a.numElements();
+           |final int $nb = $b.numElements();
+           |final int $n = java.lang.Math.min($na, $nb);
+           |boolean $nullSeen = false;
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    $nullSeen = true;
+           |  } else {
+           |    final long $p = $mu.multiplyExact($a.getLong($i), $b.getLong($i));
+           |    if (!$nullSeen) {
+           |      $s = $mu.addExact($s, $p);
+           |    }
+           |  }
+           |}
+           |if ($nullSeen || $na != $nb) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $s;
+           |}
+         """.stripMargin
+      } else {
+        s"""
+           |final int $na = $a.numElements();
+           |if ($na != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $na; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $s;
+           |  }
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -83,7 +170,10 @@ case class QuantizedDot(left: Expression, right: Expression)
 
 /** Engine extensions: registers graft's native functions so they are
   * callable from SQL (`SELECT quantized_dot(a, b)`) and through
-  * [[GraftFunctions]]. Enable per session with
+  * [[GraftFunctions]], and injects the optimizer rule that fuses the
+  * equivalent composed built-in pattern ([[graft.plans
+  * .QuantizedDotRule]]) so plans written against stock Spark get the
+  * native loop too. Enable per session with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * globally with `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -93,8 +183,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "quantized_dot expects exactly 2 arguments")
-        QuantizedDot(children.head, children(1))
+        // analysis-time conf read: the function's arithmetic mode
+        // matches what `*` / `+` would compile to in the same query
+        QuantizedDot(children.head, children(1), SQLConf.get.ansiEnabled)
       }))
+    ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
 

@@ -56,11 +56,12 @@ object EmbeddingOps {
     * native codegen'd `quantized_dot` expression — one fused multiply-
     * accumulate loop, no HOF lambda dispatch, no zipped-array
     * materialization. On a foreign session it falls back to composed
-    * built-ins. The paths agree on every input this file produces
-    * (equal-length non-null arrays — all vectors are dim 64); they
-    * diverge ONLY on ragged inputs, where the native form dots the
-    * common prefix and zip_with's null-padding yields NULL — don't
-    * feed ragged arrays through here without normalizing lengths. */
+    * built-ins — which, under the extensions' injected
+    * [[graft.plans.QuantizedDotRule]], the optimizer fuses into the
+    * same native expression anyway. The two paths agree on EVERY
+    * input (null array / ragged lengths / null element all yield
+    * null on both — QuantizedDotRuleSpec holds the equivalence),
+    * which is precisely what licenses that rewrite. */
   private def dot(s: SparkSession, a: String, b: String): Column =
     if (graft.functions.GraftFunctions.isRegistered(s))
       graft.functions.GraftFunctions.quantizedDot(col(a), col(b))

@@ -23,15 +23,24 @@ class QuantizedDotSpec extends AnyFunSuite {
     assert(r.getLong(0) == 4L + 10L - 18L)
   }
 
-  test("Column route, nulls, and unequal lengths (common-prefix dot)") {
+  test("Column route, nulls, ragged lengths, null elements (= composed form)") {
     import spark.implicits._
+    // Null semantics must be EXACTLY the composed HOF form's (that is
+    // what licenses QuantizedDotRule): null array -> null, ragged
+    // lengths -> null (zip_with null-padding), null element -> null.
     val df = Seq(
-      (Seq(1L, 2L), Seq(3L, 4L)),
-      (null, Seq(1L)),
-      (Seq(5L, 7L, 9L), Seq(2L))).toDF("a", "b")
-    val got = df.select(GraftFunctions.quantizedDot($"a", $"b").as("d"))
-      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
-    assert(got == Seq(Some(11L), None, Some(10L)))
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (null, Seq[java.lang.Long](1L)),
+      (Seq[java.lang.Long](5L, 7L, 9L), Seq[java.lang.Long](2L)),
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](2L, 3L))).toDF("a", "b")
+    def vals(c: org.apache.spark.sql.Column): Seq[Option[Long]] =
+      df.select(c.as("d")).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val expected = Seq(Some(11L), None, None, None)
+    assert(vals(GraftFunctions.quantizedDot($"a", $"b")) == expected)
+    // The genuine (un-rewritten) composed form is compared against the
+    // same inputs in QuantizedDotRuleSpec — here `composed` would be
+    // rewritten to the native expression by the injected rule.
   }
 
   test("type mismatch is an analysis error, not a runtime misread") {
