@@ -8,14 +8,28 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" overlays builder confs — how the
+    // verification matrix runs mode cells (spark.sql.ansi.enabled=false,
+    // a non-UTC session zone, a different state-store provider) against
+    // the same gate without code edits. Applied last, so it can
+    // override the defaults below.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    if (extraConf.nonEmpty)
+      System.err.println(s"[verify] extra conf: ${extraConf.map(kv => kv._1 + "=" + kv._2).mkString(";")}")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Host-interference gauge, same fixed workload as Bench.calibrate:

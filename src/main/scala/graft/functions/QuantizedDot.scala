@@ -187,6 +187,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // matches what `*` / `+` would compile to in the same query
         QuantizedDot(children.head, children(1), SQLConf.get.ansiEnabled)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_dot expects exactly 2 arguments")
+        VectorDot(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -198,6 +205,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   def quantizedDot(a: Column, b: Column): Column =
     call_function("quantized_dot", a, b)
+
+  def vectorDot(a: Column, b: Column): Column =
+    call_function("vector_dot", a, b)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

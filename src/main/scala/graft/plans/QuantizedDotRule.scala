@@ -3,15 +3,18 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EvalMode, ZipWith, Expression, LambdaFunction, Literal, Multiply, NamedExpression, NamedLambdaVariable, NumericEvalContext}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
-import graft.functions.QuantizedDot
+import graft.functions.{QuantizedDot, VectorDot}
 
 /** Optimizer rule: fuse the composed higher-order-function dot product
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) }}}
   *
-  * into the native codegen'd [[graft.functions.QuantizedDot]]. The
+  * into the native codegen'd [[graft.functions.QuantizedDot]] (BIGINT
+  * arrays; a DOUBLE-array form with `0.0D` zero fuses to
+  * [[graft.functions.VectorDot]] under the same bare-pattern guards —
+  * the shape a user writes for cosine over un-quantized embeddings). The
   * composed form is what a user writes with nothing but built-ins (and
   * what [[graft.queries.EmbeddingOps]] falls back to on a session
   * without graft's extensions); it is semantically exact but executes
@@ -31,8 +34,11 @@ import graft.functions.QuantizedDot
   *  - [[QuantizedDot]] reproduces the composed form's null semantics
   *    bit-for-bit: null array, ragged lengths (zip_with null-padding),
   *    or any null element all yield null.
-  *  - Only ARRAY<BIGINT> inputs match, so the long arithmetic is the
-  *    same on both paths.
+  *  - Only ARRAY<BIGINT> / ARRAY<DOUBLE> element types match, so the
+  *    arithmetic is the same on both paths (the double fold is
+  *    sequential left-to-right in both, so results are bit-identical
+  *    including NaN/Infinity and signed zero; a `-0.0` zero literal
+  *    declines — see [[plusZeroD]]).
   *  - The arithmetic mode carries over: ANSI-mode Multiply/Add
   *    (Spark 4's default) rewrite to `failOnError = true`, where the
   *    native loop raises the same ARITHMETIC_OVERFLOW the built-ins
@@ -75,6 +81,20 @@ object QuantizedDotRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** 0.0 as a double literal, minus-zero excluded: the fold's first
+    * step is `zero + p0`, and +0.0 + p ≡ p ≡ [[VectorDot]]'s running
+    * sum while -0.0 + (-0.0) differs in sign. */
+  private def plusZeroD(e: Expression): Boolean = e match {
+    case Literal(d: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(d) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -88,5 +108,20 @@ object QuantizedDotRule extends Rule[LogicalPlan] {
             isBareBinary(al, ar, acc, v) &&
             sameVar(fin, facc) =>
         QuantizedDot(a, b, failOnError = modeOf(mctx, actx).get)
+
+      // DOUBLE twin: IEEE multiply/add behave identically under ANSI
+      // and LEGACY (no overflow error), so only TRY is declined —
+      // for symmetry with the BIGINT case, not necessity.
+      case ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(Multiply(ml, mr, mctx), Seq(x, y), _)),
+            zero,
+            LambdaFunction(Add(al, ar, actx), Seq(acc, v), _),
+            LambdaFunction(fin, Seq(facc), _))
+          if doubleArray(a) && doubleArray(b) && plusZeroD(zero) &&
+            modeOf(mctx, actx).isDefined &&
+            isBareBinary(ml, mr, x, y) &&
+            isBareBinary(al, ar, acc, v) &&
+            sameVar(fin, facc) =>
+        VectorDot(a, b)
     }
 }

@@ -42,45 +42,65 @@ object DotProf {
     import spark.implicits._
 
     val qvec = expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val dvec = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select($"vec_id", qvec.as("q")).cache()
-    val queries = corpus.orderBy($"vec_id").limit(nq).select($"q".as("p"))
+      .select($"vec_id", qvec.as("q"), dvec.as("dq")).cache()
+    val queries = corpus.orderBy($"vec_id").limit(nq).select($"q".as("p"), $"dq".as("dp"))
     val pairs = corpus.crossJoin(broadcast(queries)).cache()
     println(s"DOTPROF corpus=${corpus.count()} queries=$nq dims=" +
       corpus.select(size($"q")).head().getInt(0))
     pairs.count() // materialize the cache so only the dot differs
 
+    def excluded[A](body: => A): A = {
+      val key = "spark.sql.optimizer.excludedRules"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "graft.plans.QuantizedDotRule")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    def bench(tag: String, modes: Seq[(String, () => Long)]): Unit = {
+      val sums = modes.map { case (name, f) =>
+        f() // warm
+        val ts = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val s = f()
+          ((System.nanoTime() - t0) / 1e9, s)
+        }
+        println(f"DOTPROF $tag%-6s $name%-8s min=${ts.map(_._1).min}%7.3f s " +
+          f"runs=${ts.map(t => f"${t._1}%.3f").mkString(",")} checksum=${ts.head._2}")
+        (name, ts.head._2)
+      }
+      require(sums.map(_._2).distinct.size == 1,
+        s"checksums diverge across $tag modes: $sums")
+    }
+
     val composedSql =
       "aggregate(zip_with(q, p, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     def checksum(d: DataFrame): Long = d.agg(sum("d")).head().getLong(0)
-    val modes: Seq[(String, () => Long)] = Seq(
+    bench("bigint", Seq(
       "native" -> (() =>
         checksum(pairs.select(graft.functions.GraftFunctions.quantizedDot($"q", $"p").as("d")))),
       "fused" -> (() => checksum(pairs.select(expr(composedSql).as("d")))),
-      "genuine" -> (() => {
-        val key = "spark.sql.optimizer.excludedRules"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "graft.plans.QuantizedDotRule")
-        try checksum(pairs.select(expr(composedSql).as("d")))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-      }))
+      "genuine" -> (() => excluded(checksum(pairs.select(expr(composedSql).as("d")))))))
 
-    val sums = modes.map { case (name, f) =>
-      f() // warm
-      val ts = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val s = f()
-        ((System.nanoTime() - t0) / 1e9, s)
-      }
-      println(f"DOTPROF $name%-8s min=${ts.map(_._1).min}%7.3f s " +
-        f"runs=${ts.map(t => f"${t._1}%.3f").mkString(",")} checksum=${ts.head._2}")
-      (name, ts.head._2)
-    }
-    require(sums.map(_._2).distinct.size == 1,
-      s"checksums diverge across modes: $sums")
+    // double twin: same workload un-quantized. A double SUM's bits vary
+    // with partial-agg association order, so the checksum rounds each
+    // PER-DOT value to a fixed-point long first (deterministic per row)
+    // and sums those — order-independent, still sensitive to any
+    // cross-mode value drift
+    val composedDblSql =
+      "aggregate(zip_with(dq, dp, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    def dChecksum(d: DataFrame): Long =
+      d.agg(sum(expr("CAST(round(d * 4096d) AS BIGINT)"))).head().getLong(0)
+    bench("double", Seq(
+      "native" -> (() =>
+        dChecksum(pairs.select(graft.functions.GraftFunctions.vectorDot($"dq", $"dp").as("d")))),
+      "fused" -> (() => dChecksum(pairs.select(expr(composedDblSql).as("d")))),
+      "genuine" -> (() => excluded(dChecksum(pairs.select(expr(composedDblSql).as("d")))))))
     spark.stop()
   }
 }

@@ -158,13 +158,58 @@ class QuantizedDotRuleSpec extends AnyFunSuite {
     }
   }
 
-  test("declines: non-bigint arrays, extra arithmetic, non-zero seed") {
+  private val ComposedDoubleSql =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private def vecDotted(df: DataFrame): Boolean = {
+    var found = false
+    df.queryExecution.optimizedPlan.foreach(_.expressions.foreach(_.foreach {
+      case _: graft.functions.VectorDot => found = true
+      case _ =>
+    }))
+    found
+  }
+
+  test("DOUBLE twin: fuses to VectorDot, bit-identical to the genuine fold") {
     import spark.implicits._
-    val doubles = spark.range(4)
-      .select(array($"id".cast("double")).as("a"), array($"id".cast("double")).as("b"))
+    val doubleDf = spark.range(64).select(
+      array($"id".cast("double") * 0.25, -$"id".cast("double"), lit(0.1)).as("a"),
+      array($"id".cast("double"), lit(3.5), $"id".cast("double") * 0.5).as("b"))
+    assert(vecDotted(doubleDf.select(expr(ComposedDoubleSql).as("d"))),
+      "double pattern must fuse to VectorDot")
+
+    // special values: NaN, infinities, signed zeros, ragged, null elem —
+    // fold order is sequential in both paths, so bits must agree exactly
+    val edges = Seq(
+      (Seq[java.lang.Double](1.5, 2.25), Seq[java.lang.Double](4.0, -0.5)),
+      (Seq[java.lang.Double](Double.NaN, 1.0), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](Double.PositiveInfinity), Seq[java.lang.Double](Double.NegativeInfinity)),
+      (Seq[java.lang.Double](-0.0, 0.0), Seq[java.lang.Double](5.0, -0.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0)), // ragged
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 3.0))) // null elem
+      .toDF("a", "b")
+    def bits(d: DataFrame): Seq[Option[Long]] = d.select(expr(ComposedDoubleSql).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None
+        else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0)))).toSeq
+    val fused = bits(edges)
+    val genuine = withExcluded(bits(edges))
+    assert(fused == genuine, s"fused $fused vs genuine $genuine")
+    assert(fused(4).isEmpty && fused(5).isEmpty, "ragged/null-elem must be null")
+
+    // a -0.0 seed is NOT the fold identity; the rule must decline
+    val negZero = doubleDf.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), CAST('-0.0' AS DOUBLE), (acc, v) -> acc + v)").as("d"))
+    assert(!vecDotted(negZero), "must not fire on a -0.0 seed")
+  }
+
+  test("declines: mixed element types, extra arithmetic, non-zero seed") {
+    import spark.implicits._
+    val mixed = spark.range(4)
+      .select(array($"id".cast("double")).as("a"), array($"id").as("b"))
       .select(expr(
-        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("d"))
-    assert(!rewritten(doubles), "must not fire on ARRAY<DOUBLE>")
+        "aggregate(zip_with(a, b, (x, y) -> x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("d"))
+    assert(!rewritten(mixed) && !vecDotted(mixed),
+      "must not fire when the zip lambda carries a cast")
 
     val extra = rangeDf.select(expr(
       "aggregate(zip_with(a, b, (x, y) -> x * y + 1L), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("d"))
