@@ -869,6 +869,41 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
+  /** State INTROSPECTION under the oracle gate: the same
+    * [[ProfileProcessor]] replay as [[qTwsProfile]], checkpointed to a
+    * persistent location, then the checkpoint's state store itself is
+    * read back as a batch DataFrame with Spark's state data source
+    * (`spark.read.format("statestore")`, `stateVarName` selecting the
+    * ValueState variable) and compared against the whole-log batch
+    * truth. Where q_tws_profile verifies the EMISSIONS, this key
+    * verifies the STORE: every key's persisted record — not what the
+    * processor said, but what RocksDB holds — must equal the one-shot
+    * aggregation. Operationally this is the surface that matters at
+    * deployment scale: auditing or migrating tens of GB of state
+    * per executor without replaying the stream, reading it with
+    * ordinary batch SQL instead. */
+  def qTwsState(s: SparkSession, dir: String): DataFrame = {
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    val ck = graft.queries.Scratch.fresh("tws_state_ck", dir)
+    val out = twsSource(s2, dir).groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+    val q = out.toDF()
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_tws_state").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "tws-state stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
+    s2.read.format("statestore")
+      .option("path", ck).option("stateVarName", "profile").load()
+      .select($"key.value".as("user_id"),
+        $"value.n".as("n_events"), $"value.cents".as("total_cents"),
+        $"value.last_eid".as("last_event_id"),
+        $"value.last_type".as("last_event_type"))
+      .orderBy($"user_id")
+  }
+
   /** [[LastKProcessor]] under the oracle gate: each user's K=3 most
     * recent events maintained in ListState across the out-of-order CDC
     * replay. The gate reduces each key to its final emission (max_by
@@ -980,7 +1015,8 @@ object StreamingOps {
     "q_tws_sessions" -> qTwsSessions,
     "q_tws_lastk" -> qTwsLastK,
     "q_tws_counts" -> qTwsCounts,
-    "q_tws_initial" -> qTwsInitial)
+    "q_tws_initial" -> qTwsInitial,
+    "q_tws_state" -> qTwsState)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -1040,6 +1076,23 @@ object StreamingOps {
     // (ts, event_id)-latest event. round(value*100) is computed on the
     // same IEEE double in both engines, so the cents are identical.
     "q_tws_profile" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id
+        |ORDER BY a.user_id""".stripMargin,
+    // Batch truth for the state-store READ-BACK: identical to the
+    // profile oracle — what RocksDB persists for every key must equal
+    // the one-shot whole-log aggregation, verified through the state
+    // data source rather than the processor's emissions.
+    "q_tws_state" ->
       """WITH agg AS (
         |  SELECT user_id, count(*) AS n_events,
         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -663,4 +663,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
   }
+
+  test("state data source: store read-back equals emissions, metadata names the variable") {
+    import spark.implicits._
+    // qTwsState reads RocksDB back through format("statestore"); every
+    // persisted record must equal the final EMISSION qTwsProfile
+    // derives for the same key — store and output are the same truth.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, String)] =
+      df.select($"user_id", $"n_events", $"total_cents", $"last_event_id",
+        $"last_event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    val store = rows(StreamingOps.qTwsState(spark, dir))
+    val emitted = rows(StreamingOps.qTwsProfile(spark, dir))
+    assert(store.nonEmpty && store == emitted,
+      s"store diverges from emissions: ${(store diff emitted).take(3)} / ${(emitted diff store).take(3)}")
+
+    // the state-metadata source documents the operator and its state
+    // variable — the discovery half of the introspection surface
+    val ck = graft.queries.Scratch.dir("tws_state_ck", dir)
+    val meta = spark.read.format("state-metadata").option("path", ck).load().collect()
+    assert(meta.exists(r =>
+      r.getAs[String]("operatorName") == "transformWithStateExec" &&
+        r.getAs[String]("operatorProperties").contains("\"stateName\":\"profile\"") &&
+        r.getAs[String]("operatorProperties").contains("\"stateVariableType\":\"ValueState\"")),
+      meta.map(_.toString).mkString("\n"))
+  }
 }
