@@ -689,4 +689,75 @@ class StreamingOpsSpec extends AnyFunSuite {
         r.getAs[String]("operatorProperties").contains("\"stateVariableType\":\"ValueState\"")),
       meta.map(_.toString).mkString("\n"))
   }
+
+  test("state change feed under changelog checkpointing replays to the final store") {
+    import spark.implicits._
+    // Changelog checkpointing ships per-batch deltas instead of full
+    // RocksDB snapshots — the commit-latency mode a deployment runs —
+    // and is what makes the state source's CHANGE FEED readable: every
+    // per-key update between two batches, as a batch DataFrame. The
+    // feed's last update per key must reconstruct the store exactly.
+    val d = java.nio.file.Files.createTempDirectory("events-tws-cf")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-cf-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val ck = java.nio.file.Files.createTempDirectory("tws-cf-ckpt").toString
+    val typed = s2.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.TwsEvent]
+    val q = typed.groupByKey(_.user_id)
+      .transformWithState(new StreamingOps.ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_cf_spec").option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+
+    def reader = s2.read.format("statestore")
+      .option("path", ck).option("stateVarName", "profile")
+    val store = reader.load()
+      .select($"key.value".as("u"), $"value.n".as("n"), $"value.cents".as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cf = reader
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0").load()
+    assert(Set("batch_id", "change_type").subsetOf(cf.schema.fieldNames.toSet),
+      cf.schema.treeString)
+    val changes = cf
+      .select($"batch_id", $"change_type",
+        $"key.value".as("u"), $"value.n".as("n"), $"value.cents".as("c"))
+      .collect()
+    // every change in this workload is an update (nothing deletes state)
+    assert(changes.nonEmpty && changes.forall(_.getAs[String]("change_type") == "update"),
+      changes.take(3).mkString("\n"))
+    // each key was written in both batches — the feed carries the
+    // intermediate version too, not just the final image
+    val byKey = changes.groupBy(_.getAs[Long]("u"))
+    assert(byKey.values.forall(_.map(_.getAs[Long]("batch_id")).toSet == Set(0L, 1L)),
+      "expected one change per key per batch")
+    val replayed = byKey.map { case (u, rows) =>
+      val last = rows.maxBy(_.getAs[Long]("batch_id"))
+      u -> (last.getAs[Long]("n"), last.getAs[Long]("c"))
+    }
+    assert(replayed == store, "change-feed replay diverges from the store image")
+  }
 }
