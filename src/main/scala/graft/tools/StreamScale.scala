@@ -21,13 +21,23 @@ object StreamScale {
     val keys = args.drop(1).toSeq
     require(keys.nonEmpty, "usage: StreamScale <sfDir> <key> [key...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same SPARK_GRAFT_CONF overlay as Verify: lets a measurement force
+    // e.g. the RocksDB provider onto replays that default to HDFS
+    // (replaySession copies spark.sql.streaming.* confs from here)
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
