@@ -760,4 +760,89 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
     assert(replayed == store, "change-feed replay diverges from the store image")
   }
+
+  test("state source reads ListState and MapState variables back") {
+    import spark.implicits._
+    // Introspection symmetry: the read-back surface must cover every
+    // state primitive the engine gates, not just ValueState. ListState
+    // flattens to one row per element; MapState to one row per entry
+    // with the user map key alongside the grouping key.
+    val d = java.nio.file.Files.createTempDirectory("events-tws-lmstate")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("tws-lmstate-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+    stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def typed = s2.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+      .as[StreamingOps.TwsEvent]
+    def run(name: String, ck: String,
+            f: org.apache.spark.sql.KeyValueGroupedDataset[Long, StreamingOps.TwsEvent] =>
+              org.apache.spark.sql.DataFrame): Unit = {
+      val q = f(typed.groupByKey(_.user_id))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), s"$name did not terminate")
+    }
+    val ckL = java.nio.file.Files.createTempDirectory("tws-lstate-ckpt").toString
+    val ckM = java.nio.file.Files.createTempDirectory("tws-mstate-ckpt").toString
+    run("lm_lastk", ckL, _.transformWithState(new StreamingOps.LastKProcessor(3),
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Append()).toDF())
+    run("lm_counts", ckM, _.transformWithState(new StreamingOps.TypeCountsProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Append()).toDF())
+
+    // ListState: element rows must reassemble each key's final top-K set
+    val listDf = s2.read.format("statestore")
+      .option("path", ckL).option("stateVarName", "lastk").load()
+    val elemCol = listDf.schema.fieldNames
+      .find(n => n != "key" && n != "partition_id")
+      .getOrElse(fail(listDf.schema.treeString))
+    val listBack = listDf
+      .select($"key.value".as("u"), col(s"$elemCol.event_id").as("eid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val listTruth = s2.table("lm_lastk")
+      .groupBy($"user_id").agg(max_by($"ids", $"upd_seq").as("ids"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Seq[Long]]("ids").toSet).toMap
+    assert(listBack.nonEmpty && listBack == listTruth,
+      s"ListState read-back diverges; schema was ${listDf.schema.treeString}")
+
+    // MapState: entry rows must equal each (user, type)'s final counts
+    val mapDf = s2.read.format("statestore")
+      .option("path", ckM).option("stateVarName", "perType").load()
+    assert(mapDf.schema.fieldNames.contains("user_map_key"), mapDf.schema.treeString)
+    val mapBack = mapDf
+      .select($"key.value".as("u"), $"user_map_key.value".as("t"),
+        $"user_map_value.n".as("n"), $"user_map_value.cents".as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val mapTruth = s2.table("lm_counts")
+      .groupBy($"user_id", $"event_type")
+      .agg(max_by(struct($"n", $"cents"), $"upd_seq").as("f"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[org.apache.spark.sql.Row]("f").getAs[Long]("n"),
+          r.getAs[org.apache.spark.sql.Row]("f").getAs[Long]("cents")))
+      .toMap
+    assert(mapBack.nonEmpty && mapBack == mapTruth,
+      s"MapState read-back diverges; schema was ${mapDf.schema.treeString}")
+  }
 }
