@@ -759,6 +759,16 @@ class StreamingOpsSpec extends AnyFunSuite {
       u -> (last.getAs[Long]("n"), last.getAs[Long]("c"))
     }
     assert(replayed == store, "change-feed replay diverges from the store image")
+
+    // time travel: batchId=0 reads the store AS OF the first batch —
+    // each key's profile must count only the even-id half staged there
+    val asOf0 = reader.option("batchId", "0").load()
+      .select($"key.value".as("u"), $"value.n".as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val firstHalf = raw.filter($"event_id" % 2 === 0).groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    assert(asOf0 == firstHalf, "batchId=0 snapshot diverges from first-batch truth")
   }
 
   test("state source reads ListState and MapState variables back") {
