@@ -202,6 +202,44 @@ class QuantizedDotRuleSpec extends AnyFunSuite {
     assert(!vecDotted(negZero), "must not fire on a -0.0 seed")
   }
 
+  test("ANSI codegen path: nulls, ragged, overflow behave like the genuine fold") {
+    import spark.implicits._
+    // range-backed input exercises the GENERATED Java for the
+    // failOnError loop (a local Seq folds through interpreted eval
+    // instead); nulls and ragged lengths injected with when()
+    def base = spark.range(100).select(
+      array($"id",
+        when($"id" % 7 === 0, lit(null).cast("long")).otherwise($"id" * 3)).as("a"),
+      array($"id" + 1, $"id" + 2).as("b"))
+    withAnsi(true) {
+      val fused = base.select(expr(ComposedSql).as("d"))
+      assert(rewritten(fused))
+      def vals(d: DataFrame): Seq[Option[Long]] = d.collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+      val got = vals(fused)
+      assert(got == withExcluded(vals(base.select(expr(ComposedSql).as("d")))))
+      assert(got.count(_.isEmpty) == 100 / 7 + 1, "null-element rows must be null")
+
+      // ragged: b has 3 elements for even ids via a data-dependent slice
+      val ragged = spark.range(20).select(
+        array($"id").as("a"),
+        when($"id" % 2 === 0, array($"id", $"id")).otherwise(array($"id")).as("b"))
+        .select(expr(ComposedSql).as("d"))
+      assert(vals(ragged) == (0L until 20L).map(i =>
+        if (i % 2 == 0) None else Some(i * i)))
+
+      // overflow in generated code raises the same error class
+      val overflow = spark.range(4).select(
+        array(lit(Long.MaxValue)).as("a"), array($"id" + 2).as("b"))
+        .select(expr(ComposedSql).as("d"))
+      val e = intercept[Exception](overflow.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains("ARITHMETIC_OVERFLOW")),
+        msgs(e).mkString(" | "))
+    }
+  }
+
   test("declines: mixed element types, extra arithmetic, non-zero seed") {
     import spark.implicits._
     val mixed = spark.range(4)
