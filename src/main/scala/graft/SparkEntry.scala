@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Connector.queries ++
       graft.queries.TextOps.queries ++ graft.queries.EmbeddingOps.queries ++
       graft.queries.PipelineOps.queries ++ graft.functions.Multimodal.queries ++
-      graft.queries.Storage.queries ++ graft.streaming.StreamingOps.queries
+      graft.queries.Storage.queries ++ graft.streaming.StreamingOps.queries ++
+      graft.queries.PqOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.Connector.oracles ++
       graft.queries.TextOps.oracles ++ graft.queries.EmbeddingOps.oracles ++
       graft.queries.PipelineOps.oracles ++ graft.functions.Multimodal.oracles ++
-      graft.queries.Storage.oracles ++ graft.streaming.StreamingOps.oracles
+      graft.queries.Storage.oracles ++ graft.streaming.StreamingOps.oracles ++
+      graft.queries.PqOps.oracles
 }

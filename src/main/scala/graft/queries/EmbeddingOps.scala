@@ -62,7 +62,7 @@ object EmbeddingOps {
     * input (null array / ragged lengths / null element all yield
     * null on both — QuantizedDotRuleSpec holds the equivalence),
     * which is precisely what licenses that rewrite. */
-  private def dot(s: SparkSession, a: String, b: String): Column =
+  private[queries] def dot(s: SparkSession, a: String, b: String): Column =
     if (graft.functions.GraftFunctions.isRegistered(s))
       graft.functions.GraftFunctions.quantizedDot(col(a), col(b))
     else
@@ -70,7 +70,7 @@ object EmbeddingOps {
 
   /** vec_id, quantized vector `q`, exact squared norm `nsq` (the dot
     * of the vector with itself, same fast path). */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "embeddings")
       .select($"vec_id", $"label", qvec.as("q"), size($"embedding").cast("long").as("dim"))
@@ -513,7 +513,7 @@ object EmbeddingOps {
     "q_ivf_recall" -> qIvfRecall,
   )
 
-  private val qvecSql =
+  private[queries] val qvecSql =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** DuckDB 1-based: band-b bit i ⟷ q[8b+i+1]. */

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import EmbeddingOps.{dot, qvecSql, vecs}
+
+/** Product quantization (PQ) — the memory half of the ANN scale story.
+  *
+  * The IVF/LSH families bound how many candidates a query SCORES; PQ
+  * bounds what scoring a candidate COSTS and what the index STORES. The
+  * 64-dim vector splits into [[M]] subvectors of [[SubDim]] dims; each
+  * subspace trains its own [[Ks]]-centroid codebook (one exact Lloyd
+  * round here, same init/tie/floor-mean discipline as
+  * [[EmbeddingOps.kmeansFinalAssign]]); a vector is then M code ids —
+  * at Ks=16, 8 codes of 4 bits = 4 BYTES against 256 bytes of float32,
+  * a 64× compression. That is what turns a 100 TB embedding corpus
+  * into a ~1.6 TB scan that fits a modest cluster's page cache.
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * query stays full-precision, a per-query lookup table of
+  * M × Ks partial dots is built against the codebooks (tiny — it costs
+  * one dot per codebook entry), and every candidate's approximate dot
+  * is M table lookups instead of a 64-dim multiply-accumulate. The
+  * corpus-side scan never touches a vector — only codes.
+  *
+  * Determinism across engines (the oracle replays the FULL composition
+  * — training, encoding, LUT, ADC, ranking): all arithmetic is exact
+  * integers over the [[EmbeddingOps]] quantized vectors; assignment
+  * ties break to the smallest centroid id; centroid means are
+  * floor(sum/count) in IEEE double (sums ≤ 2^53 → exact); an empty
+  * cluster keeps its previous centroid (the textbook Lloyd rule — and
+  * what keeps every codebook at exactly Ks entries, which the ADC
+  * gather indexes by). Init centroids are the subvectors of
+  * vec_id < Ks — the same contract as IVF's vec_id < 16 and k-means'
+  * vec_id < 8 (corpus ids are contiguous from 0; production uses
+  * k-means|| sampling per subspace offline).
+  *
+  * Scale shape: training/encoding is the k-means plan per subspace —
+  * broadcast codebook joins, partial-agg means, M × Ks groups
+  * regardless of corpus size. The ADC scan is one broadcast of the
+  * (query, LUT) rows against the codes table — linear in corpus ×
+  * queries with O(M) work per pair, no shuffle until the top-k window
+  * on qid. At production scale PQ composes with IVF (scan only the
+  * probed cell's codes); here it scans the full code table so the
+  * recall audit isolates PQ's own quantization loss. */
+object PqOps {
+
+  /** Subspace count × dims per subspace = 64 (the embedding dim). */
+  private val M = 8
+  private val SubDim = 8
+  /** Codebook entries per subspace: 4-bit codes. Production sizing is
+    * Ks=256 (byte codes) with bigger training samples; Ks=16 keeps the
+    * demo corpus (≥500 vectors) ~31 training vectors per centroid. */
+  private val Ks = 16
+
+  /** One row per (vector, subspace): the quantized subvector and its
+    * exact squared norm (reused across every assignment join). */
+  private def subRows(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    v.select(col("vec_id"), explode(array((0 until M).map(m =>
+        struct(lit(m.toLong).as("m"),
+          expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("sub"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+      .withColumn("snsq", dot(s, "sub", "sub"))
+  }
+
+  /** Nearest-codebook-entry assignment: d² = ‖sub‖² − 2·sub·cq + ‖cq‖²
+    * on the fused integer dot, ties to the smallest cid; the subvector
+    * rides through min_by so the update step needs no second join.
+    * Returns (vec_id, m, code, d2, sub). */
+  private def assign(s: SparkSession, sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sub"), col("cid"),
+        (col("snsq") - lit(2L) * dot(s, "sub", "cq") + col("cnsq")).as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("cid"), col("d2"), col("sub")),
+        struct(col("d2"), col("cid"))).as("a"))
+      .select(col("vec_id"), col("m"), col("a.cid").as("code"),
+        col("a.d2").as("d2"), col("a.sub").as("sub"))
+
+  /** The trained codebooks (m, cid, cq, cnsq) and the final encoding
+    * (vec_id, m, code, d2): init from vec_id < Ks, one exact Lloyd
+    * update (assign → floor-mean → re-assign), empty clusters keep
+    * their previous centroid. */
+  private def trainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sub = subRows(s, dir)
+    val c0 = sub.filter(col("vec_id") < Ks)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("cq"))
+      .withColumn("cnsq", dot(s, "cq", "cq"))
+    val a1 = assign(s, sub, c0)
+    val means = a1.select(col("m"), col("code").as("cid"),
+        posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("cid"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+      .groupBy(col("m"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        _.getField("mv")).as("ncq"))
+    val c1 = c0.join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("ncq"), col("cq")).as("cq"))
+      .withColumn("cnsq", dot(s, "cq", "cq"))
+    (c1, assign(s, sub, c1).select(col("vec_id"), col("m"), col("code"), col("d2")))
+  }
+
+  /** Quantization-loss audit, the PQ twin of q_lsh_bucket_audit's "no
+    * silent caps": per subspace, how many codebook entries the corpus
+    * actually uses and the exact total/max residual d² the codes carry
+    * — the number that must ship with any PQ index (compression is
+    * only as honest as its measured distortion). */
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val (_, codes) = trainEncode(s, dir)
+    codes.groupBy(col("m").as("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("code")).as("n_codes_used"),
+        sum(col("d2")).as("total_d2"),
+        max(col("d2")).as("max_d2"))
+      .orderBy(col("subspace"))
+  }
+
+  /** PQ-ADC top-5 by approximate inner product: per query, a LUT of
+    * M × Ks partial dots folds to an array-of-arrays (row m sorted by
+    * cid — dense 0..Ks−1, so code+1 indexes it); the corpus scan is
+    * codes ⨯ broadcast(query LUTs) with an M-lookup gather per pair.
+    * Self-matches excluded; ties break to the smaller cid. */
+  def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val (c1, enc) = trainEncode(s, dir)
+    val codes = enc.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        _.getField("code")).as("code"))
+    val lut = subRows(s, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(c1), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"), dot(s, "qsub", "cq").as("pdot"))
+      .groupBy(col("qid"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("pdot")))),
+        _.getField("pdot")).as("lrow"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lrow")))),
+        _.getField("lrow")).as("lut"))
+    val scored = codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
+      .withColumn("adc", expr(
+        "aggregate(zip_with(lut, code, (l, c) -> element_at(l, CAST(c + 1 AS INT))), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("cid"), col("adc"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Recall@5 of PQ-ADC against the EXACT max-inner-product truth
+    * (ADC approximates the dot, so the truth ranks by dot — the
+    * cosine-truth audits live with the LSH/IVF paths). Same
+    * recompute-and-join audit shape as [[EmbeddingOps.qAnnRecall]]. */
+  def qPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "q").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    val truth = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
+    truth
+      .join(qPqAnn(s, dir).select(col("qid").as("aqid"), col("cid").as("acid")),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"), count(col("acid")).as("n_hits"))
+      .select(col("qid"), col("n_truth"), col("n_hits"),
+        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_distortion" -> qPqDistortion,
+    "q_pq_ann" -> qPqAnn,
+    "q_pq_recall" -> qPqRecall)
+
+  /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
+    * `a2` = codes) — nested verbatim by all three oracles so they can
+    * never disagree about what a codebook is. Same replay discipline
+    * as [[EmbeddingOps]]'s kmeansA2Cte. */
+  private lazy val pqCte: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |sub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
+       |        FROM v, range($M) r(m)),
+       |c0 AS (SELECT m, vec_id AS cid, sub AS cq FROM sub WHERE vec_id < $Ks),
+       |t1 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+       |       FROM sub s JOIN c0 c ON c.m = s.m),
+       |d1 AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM t1 GROUP BY 1,2,3),
+       |a1 AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |u1 AS (SELECT a1.m, a1.cid, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS val
+       |       FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.m = a1.m),
+       |m1 AS (SELECT m, cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+       |       FROM u1 GROUP BY 1,2,3),
+       |c1 AS (SELECT c0.m, c0.cid, coalesce(n.cq, c0.cq) AS cq
+       |       FROM c0 LEFT JOIN (SELECT m, cid, list(mv ORDER BY pos) AS cq FROM m1 GROUP BY 1,2) n
+       |       ON n.m = c0.m AND n.cid = c0.cid),
+       |t2 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+       |       FROM sub s JOIN c1 c ON c.m = s.m),
+       |d2r AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM t2 GROUP BY 1,2,3),
+       |a2 AS (SELECT vec_id, m, cid AS code, d2 FROM (
+       |    SELECT vec_id, m, cid, d2, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+       |    FROM d2r) WHERE rn = 1)""".stripMargin
+
+  private lazy val annSql: String =
+    s"""WITH $pqCte,
+       |lt AS (SELECT s.vec_id AS qid, s.m AS m, c.cid AS cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+       |       FROM sub s JOIN c1 c ON c.m = s.m WHERE s.vec_id % 100 = 0),
+       |lut AS (SELECT qid, m, cid, CAST(sum(a*b) AS BIGINT) AS pdot FROM lt GROUP BY 1,2,3),
+       |adcs AS (SELECT l.qid, a2.vec_id AS cid, CAST(sum(l.pdot) AS BIGINT) AS adc
+       |  FROM a2 JOIN lut l ON l.m = a2.m AND l.cid = a2.code AND a2.vec_id <> l.qid
+       |  GROUP BY 1,2),
+       |ranked AS (SELECT qid, cid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rnk
+       |  FROM adcs)
+       |SELECT qid, rnk, cid, adc FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** Exact max-inner-product top-5 — the ground truth ADC approximates. */
+  private lazy val dotTruthSql: String =
+    s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |terms AS (SELECT qv.vec_id AS qid, cv.vec_id AS cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+       |          FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id WHERE qv.vec_id % 100 = 0),
+       |dots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS dot FROM terms GROUP BY 1,2),
+       |ranked AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+       |  FROM dots)
+       |SELECT qid, cid FROM ranked WHERE rnk <= 5""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pq_distortion" ->
+      s"""WITH $pqCte
+         |SELECT m AS subspace, count(*) AS n_vectors, count(DISTINCT code) AS n_codes_used,
+         |  CAST(sum(d2) AS BIGINT) AS total_d2, CAST(max(d2) AS BIGINT) AS max_d2
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pq_ann" -> annSql,
+    "q_pq_recall" ->
+      s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+         |FROM ($dotTruthSql) t
+         |LEFT JOIN ($annSql) a ON a.qid = t.qid AND a.cid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
+}

@@ -33,7 +33,8 @@ class EntrySmokeSpec extends AnyFunSuite {
       "PipelineOps" -> graft.queries.PipelineOps.queries.keySet,
       "Multimodal" -> graft.functions.Multimodal.queries.keySet,
       "Storage" -> graft.queries.Storage.queries.keySet,
-      "StreamingOps" -> graft.streaming.StreamingOps.queries.keySet)
+      "StreamingOps" -> graft.streaming.StreamingOps.queries.keySet,
+      "PqOps" -> graft.queries.PqOps.queries.keySet)
     for {
       (na, a) <- modules
       (nb, b) <- modules if na < nb
