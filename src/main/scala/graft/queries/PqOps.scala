@@ -122,7 +122,11 @@ object PqOps {
     * cid — dense 0..Ks−1, so code+1 indexes it); the corpus scan is
     * codes ⨯ broadcast(query LUTs) with an M-lookup gather per pair.
     * Self-matches excluded; ties break to the smaller cid. */
-  def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+  def qPqAnn(s: SparkSession, dir: String): DataFrame = adcTopK(s, dir, 5)
+
+  /** The ADC scan at an explicit k — the gate pins k=5; the re-rank
+    * path widens to a k=20 shortlist. */
+  private def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     val (c1, enc) = trainEncode(s, dir)
     val codes = enc.groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
@@ -143,9 +147,34 @@ object PqOps {
           "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("vec_id").as("cid"), col("adc"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Shortlist-then-re-rank — how production actually deploys PQ: the
+    * compressed scan nominates a k=20 shortlist per query (cheap — M
+    * lookups per candidate over a 64×-smaller table), then ONLY the
+    * shortlist pays for full-precision vectors and exact dots. Final
+    * ranking is the exact integer dot, so any truth vector the
+    * shortlist contains lands in its exact position — the recall gap
+    * between this and q_pq_ann is pure shortlist-miss, the number that
+    * sizes k. Scale shape: the re-rank joins are shortlist-sized
+    * (queries × 20), never corpus-sized. */
+  def qPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val short = adcTopK(s, dir, 20).select(col("qid"), col("cid"))
+    val exact = short
+      .join(broadcast(queries), Seq("qid"))
+      .join(v, col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), dot(s, "qv", "q").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"), col("dot"))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -175,6 +204,7 @@ object PqOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_distortion" -> qPqDistortion,
     "q_pq_ann" -> qPqAnn,
+    "q_pq_rerank" -> qPqRerank,
     "q_pq_recall" -> qPqRecall)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
@@ -206,7 +236,7 @@ object PqOps {
        |    SELECT vec_id, m, cid, d2, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
        |    FROM d2r) WHERE rn = 1)""".stripMargin
 
-  private lazy val annSql: String =
+  private def annSqlAt(k: Int): String =
     s"""WITH $pqCte,
        |lt AS (SELECT s.vec_id AS qid, s.m AS m, c.cid AS cid, unnest(s.sub) AS a, unnest(c.cq) AS b
        |       FROM sub s JOIN c1 c ON c.m = s.m WHERE s.vec_id % 100 = 0),
@@ -217,7 +247,9 @@ object PqOps {
        |ranked AS (SELECT qid, cid, adc,
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rnk
        |  FROM adcs)
-       |SELECT qid, rnk, cid, adc FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+       |SELECT qid, rnk, cid, adc FROM ranked WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  private lazy val annSql: String = annSqlAt(5)
 
   /** Exact max-inner-product top-5 — the ground truth ADC approximates. */
   private lazy val dotTruthSql: String =
@@ -237,6 +269,19 @@ object PqOps {
          |  CAST(sum(d2) AS BIGINT) AS total_d2, CAST(max(d2) AS BIGINT) AS max_d2
          |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pq_ann" -> annSql,
+    // The k=20 ADC shortlist nested verbatim, then exact integer dots
+    // re-rank it — the oracle replays the full two-stage deployment.
+    "q_pq_rerank" ->
+      s"""WITH short AS (SELECT qid, cid FROM (${annSqlAt(20)})),
+         |v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |terms AS (SELECT short.qid, short.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+         |          FROM short JOIN v qv ON qv.vec_id = short.qid
+         |                     JOIN v cv ON cv.vec_id = short.cid),
+         |dots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS dot FROM terms GROUP BY 1,2),
+         |ranked AS (SELECT qid, cid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+         |  FROM dots)
+         |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q_pq_recall" ->
       s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
          |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp

@@ -72,6 +72,39 @@ class PqOpsSpec extends AnyFunSuite {
       s"adc $adc implausibly far from exact dot $recomputed")
   }
 
+  test("re-rank recall dominates ADC-only recall per query (shortlist superset)") {
+    // ADC-top5 ⊆ the k=20 shortlist, and re-rank orders by the same
+    // exact dot (same tie-break) the truth uses — so any truth vector
+    // ADC found, re-rank keeps, and usually finds more. Recompute the
+    // exact max-inner-product truth INDEPENDENTLY (raw SQL over the
+    // parquet, not PqOps code) and compare per-qid hit counts.
+    import s.implicits._
+    s.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("pq_rr_emb")
+    val truth = s.sql(
+      """WITH v AS (SELECT vec_id,
+        |  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM pq_rr_emb),
+        |p AS (SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+        |    aggregate(zip_with(qv.q, cv.q, (x, y) -> x * y),
+        |      CAST(0 AS BIGINT), (acc, v2) -> acc + v2) AS dot
+        |  FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id
+        |  WHERE qv.vec_id % 100 = 0)
+        |SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+        |  FROM p) WHERE rnk <= 5""".stripMargin)
+    def hits(approx: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      truth.join(approx.select($"qid".as("aqid"), $"cid".as("acid")),
+          $"qid" === $"aqid" && $"cid" === $"acid", "left")
+        .groupBy($"qid").agg(count($"acid").as("h"))
+        .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("h")).toMap
+    val adcHits = hits(PqOps.qPqAnn(s, dir))
+    val rrHits = hits(PqOps.qPqRerank(s, dir))
+    assert(adcHits.keySet == rrHits.keySet)
+    adcHits.foreach { case (qid, h) =>
+      assert(rrHits(qid) >= h, s"qid $qid: rerank hits ${rrHits(qid)} < adc hits $h")
+    }
+  }
+
   test("compression arithmetic: codes store 8 of 4-bit vs 64 float32 — 64x") {
     // The operator's reason to exist, stated as checked arithmetic so
     // a constant edit that silently degrades compression fails a test.
