@@ -214,12 +214,7 @@ object EmbeddingOps {
   def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
-    val cents = v.filter($"vec_id" < 16).select($"vec_id".as("ccid"), $"q".as("cq"))
-    // cell assignment: max dot, ties to the smallest centroid id
-    val cells = v.crossJoin(broadcast(cents))
-      .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))
-      .groupBy($"vec_id")
-      .agg(max_by($"ccid", struct($"cdot", -$"ccid")).as("cell"))
+    val cells = ivfCells(s, dir)
     val capped = Banding.capBuckets(cells, "vec_id", BucketCap, bucketCol = "cell")
     val queries = v.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"))
@@ -238,6 +233,21 @@ object EmbeddingOps {
       .filter($"rnk" <= 3)
       .select($"qid", $"rnk".cast("long").as("rnk"), $"cid", $"dot")
       .orderBy($"qid", $"rnk")
+  }
+
+  /** The untrained-centroid IVF cell assignment (vec_id, cell): max
+    * dot against the 16 vec_id < 16 centroids, ties to the smallest
+    * centroid id — one broadcast pass, linear in the corpus. Shared by
+    * [[qIvfAnn]] and the IVF×PQ composition ([[PqOps.qIvfPqAnn]]) so
+    * the two paths can never disagree about what a cell is. */
+  private[queries] def ivfCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).select($"vec_id", $"q")
+    val cents = v.filter($"vec_id" < 16).select($"vec_id".as("ccid"), $"q".as("cq"))
+    v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))
+      .groupBy($"vec_id")
+      .agg(max_by($"ccid", struct($"cdot", -$"ccid")).as("cell"))
   }
 
   /** Cap audit: per band table, bucket count, occupancy extremes, and

@@ -124,14 +124,18 @@ object PqOps {
     * Self-matches excluded; ties break to the smaller cid. */
   def qPqAnn(s: SparkSession, dir: String): DataFrame = adcTopK(s, dir, 5)
 
-  /** The ADC scan at an explicit k — the gate pins k=5; the re-rank
-    * path widens to a k=20 shortlist. */
-  private def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val (c1, enc) = trainEncode(s, dir)
-    val codes = enc.groupBy(col("vec_id"))
+  /** (vec_id, code) — the encoding folded to one M-long code array per
+    * vector, ordered by subspace. */
+  private def codesOf(enc: DataFrame): DataFrame =
+    enc.groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         _.getField("code")).as("code"))
-    val lut = subRows(s, dir).filter(col("vec_id") % 100 === 0)
+
+  /** Per-query ADC lookup tables: (qid, lut) where lut[m][cid+1] is the
+    * exact dot of the query's m-th subvector with codebook entry cid —
+    * M × Ks dots per query, the whole table a few hundred integers. */
+  private def lutFor(s: SparkSession, dir: String, c1: DataFrame): DataFrame =
+    subRows(s, dir).filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
       .join(broadcast(c1), Seq("m"))
       .select(col("qid"), col("m"), col("cid"), dot(s, "qsub", "cq").as("pdot"))
@@ -141,10 +145,19 @@ object PqOps {
       .groupBy(col("qid"))
       .agg(transform(array_sort(collect_list(struct(col("m"), col("lrow")))),
         _.getField("lrow")).as("lut"))
-    val scored = codes.join(broadcast(lut), col("vec_id") =!= col("qid"))
-      .withColumn("adc", expr(
-        "aggregate(zip_with(lut, code, (l, c) -> element_at(l, CAST(c + 1 AS INT))), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+
+  /** The M-lookup ADC gather over a (code, lut) pair. */
+  private val adcGather =
+    expr("aggregate(zip_with(lut, code, (l, c) -> element_at(l, CAST(c + 1 AS INT))), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** The ADC scan at an explicit k — the gate pins k=5; the re-rank
+    * path widens to a k=20 shortlist. */
+  private def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (c1, enc) = trainEncode(s, dir)
+    val scored = codesOf(enc).join(broadcast(lutFor(s, dir, c1)),
+        col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcGather)
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -178,6 +191,49 @@ object PqOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** IVF×PQ — the composition that survives 100 TB: the cell index
+    * bounds how many candidates a query SCORES (its own capped cell,
+    * ≤ 128 here), PQ bounds what each candidate COSTS (M lookups over
+    * 4-bit codes), and the exact re-rank restores precision on the
+    * shortlist. Per-query work is O(cap · M) + O(shortlist · dim) —
+    * independent of corpus size — while flat ADC (q_pq_ann) is
+    * O(corpus · M) per query; this is the FAISS-style IVFADC layout,
+    * minus residual encoding (codes quantize raw vectors, not
+    * cell-relative residuals — a documented simplification; the
+    * index/scan/re-rank plan is identical). Cells come from
+    * [[EmbeddingOps.ivfCells]] verbatim, so q_ivf_ann and this key can
+    * never disagree about the coarse index. Output mirrors q_ivf_ann's
+    * top-3, ranked by exact re-ranked dot. */
+  def qIvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val cells = EmbeddingOps.ivfCells(s, dir)
+    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
+    val (c1, enc) = trainEncode(s, dir)
+    val qCells = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = qCells.join(capped, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val scored = cand
+      .join(codesOf(enc).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(lutFor(s, dir, c1)), Seq("qid"))
+      .withColumn("adc", adcGather)
+    val ws = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val short = scored.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 10).select(col("qid"), col("cid"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val exact = short
+      .join(broadcast(queries), Seq("qid"))
+      .join(v, col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), dot(s, "qv", "q").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"), col("dot"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Recall@5 of PQ-ADC against the EXACT max-inner-product truth
     * (ADC approximates the dot, so the truth ranks by dot — the
     * cosine-truth audits live with the LSH/IVF paths). Same
@@ -205,6 +261,7 @@ object PqOps {
     "q_pq_distortion" -> qPqDistortion,
     "q_pq_ann" -> qPqAnn,
     "q_pq_rerank" -> qPqRerank,
+    "q_ivfpq_ann" -> qIvfPqAnn,
     "q_pq_recall" -> qPqRecall)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
@@ -282,6 +339,41 @@ object PqOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
          |  FROM dots)
          |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // The full IVF×PQ composition: coarse cells (the q_ivf_ann
+    // assignment verbatim), within-cell ADC via the (m, code) join
+    // form, top-10 shortlist, exact re-rank to top-3.
+    "q_ivfpq_ann" ->
+      s"""WITH $pqCte,
+         |cents AS (SELECT vec_id AS ccid, q AS ccq FROM v WHERE vec_id < 16),
+         |ct AS (SELECT v.vec_id, c.ccid, unnest(v.q) AS a, unnest(c.ccq) AS b FROM v, cents c),
+         |cdots AS (SELECT vec_id, ccid, sum(a*b) AS cdot FROM ct GROUP BY 1,2),
+         |cells AS (SELECT vec_id, ccid AS cell FROM (
+         |  SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, ccid) AS rn
+         |  FROM cdots) WHERE rn = 1),
+         |cappedc AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |  FROM cells) WHERE rn <= 128),
+         |qs AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id % 100 = 0),
+         |cand AS (SELECT qs.qid, c2.vec_id AS cid
+         |         FROM qs JOIN cappedc c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),
+         |lt AS (SELECT s.vec_id AS qid, s.m AS m, c.cid AS cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+         |       FROM sub s JOIN c1 c ON c.m = s.m WHERE s.vec_id % 100 = 0),
+         |lut AS (SELECT qid, m, cid, CAST(sum(a*b) AS BIGINT) AS pdot FROM lt GROUP BY 1,2,3),
+         |adcs AS (SELECT cand.qid, cand.cid, CAST(sum(l.pdot) AS BIGINT) AS adc
+         |  FROM cand JOIN a2 ON a2.vec_id = cand.cid
+         |            JOIN lut l ON l.qid = cand.qid AND l.m = a2.m AND l.cid = a2.code
+         |  GROUP BY 1,2),
+         |short AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+         |  FROM adcs) WHERE rn <= 10),
+         |rterms AS (SELECT short.qid, short.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+         |  FROM short JOIN v qv ON qv.vec_id = short.qid
+         |             JOIN v cv ON cv.vec_id = short.cid),
+         |rdots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS dot FROM rterms GROUP BY 1,2),
+         |ranked AS (SELECT qid, cid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+         |  FROM rdots)
+         |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q_pq_recall" ->
       s"""SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
          |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp

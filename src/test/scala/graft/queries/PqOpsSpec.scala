@@ -105,6 +105,22 @@ class PqOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFxPQ: every result comes from the query's own coarse cell") {
+    // The composition's whole point is that a query never scores
+    // outside its cell — a result from a foreign cell means the
+    // candidate join leaked and per-query work is no longer O(cap).
+    import s.implicits._
+    val cells = EmbeddingOps.ivfCells(s, dir)
+    val res = PqOps.qIvfPqAnn(s, dir)
+    val leaked = res
+      .join(cells.select($"vec_id".as("qid"), $"cell".as("qcell")), Seq("qid"))
+      .join(cells.select($"vec_id".as("cid"), $"cell".as("ccell")), Seq("cid"))
+      .filter($"qcell" =!= $"ccell")
+    assert(leaked.count() == 0L, "IVFxPQ returned a candidate outside the query's cell")
+    val counts = res.groupBy($"qid").count().collect()
+    counts.foreach(r => assert(r.getAs[Long]("count") <= 3L))
+  }
+
   test("compression arithmetic: codes store 8 of 4-bit vs 64 float32 — 64x") {
     // The operator's reason to exist, stated as checked arithmetic so
     // a constant edit that silently degrades compression fails a test.
