@@ -194,6 +194,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vector_dot expects exactly 2 arguments")
         VectorDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_gather"),
+      new ExpressionInfo(classOf[PqGather].getName, "pq_gather"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "pq_gather expects exactly 2 arguments")
+        PqGather(children.head, children(1), SQLConf.get.ansiEnabled)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -208,6 +215,9 @@ object GraftFunctions {
 
   def vectorDot(a: Column, b: Column): Column =
     call_function("vector_dot", a, b)
+
+  def pqGather(lut: Column, code: Column): Column =
+    call_function("pq_gather", lut, code)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")
