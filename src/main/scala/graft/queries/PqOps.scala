@@ -99,7 +99,19 @@ object PqOps {
     val c1 = c0.join(means, Seq("m", "cid"), "left")
       .select(col("m"), col("cid"), coalesce(col("ncq"), col("cq")).as("cq"))
       .withColumn("cnsq", dot(s, "cq", "cq"))
-    (c1, assign(s, sub, c1).select(col("vec_id"), col("m"), col("code"), col("d2")))
+    // The trained codebooks feed every downstream consumer (encoding
+    // pass, per-query LUT — two plan branches in each ANN key), and a
+    // lazy c1 replays the whole training chain per branch. Codebooks
+    // are index METADATA — M × Ks = 128 rows — so do what a production
+    // index does: materialize them once and ship them (collect + local
+    // relation; the bounded-driver-scalar exception, like rankPhase2's
+    // ≤P-row first()). An eager localCheckpoint was measured WORSE
+    // than either (q_pq_distortion 0.89 → 9.3 s — the checkpoint job
+    // runs outside AQE and pays per-stage task overhead).
+    val c1Local = s.createDataFrame(
+      java.util.Arrays.asList(c1.collect(): _*), c1.schema)
+    (c1Local,
+      assign(s, sub, c1Local).select(col("vec_id"), col("m"), col("code"), col("d2")))
   }
 
   /** Quantization-loss audit, the PQ twin of q_lsh_bucket_audit's "no
@@ -264,6 +276,16 @@ object PqOps {
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy(col("qid"))
   }
+
+  /** Intermediate frames exposed for `tools.PqProf`'s stage bisect. */
+  private[graft] def profEncode(s: SparkSession, dir: String): DataFrame =
+    trainEncode(s, dir)._2
+  private[graft] def profCodes(s: SparkSession, dir: String): DataFrame =
+    codesOf(trainEncode(s, dir)._2)
+  private[graft] def profLut(s: SparkSession, dir: String): DataFrame =
+    lutFor(s, dir, trainEncode(s, dir)._1)
+  private[graft] def profCells(s: SparkSession, dir: String): DataFrame =
+    EmbeddingOps.ivfCells(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_distortion" -> qPqDistortion,
