@@ -267,6 +267,54 @@ object PipelineOps {
       .orderBy($"event_type")
   }
 
+  /** Count-min sketch heavy-hitter audit — the FREQUENCY sketch that
+    * completes the family (KMV for distinct counts, HLL for the
+    * built-in path, min-k for samples, Bloom for membership, quantile
+    * for distributions): a d=4 × w=1024 table of counters where token
+    * t increments cell (j, hashⱼ(t)) in every row, and its estimate is
+    * the MINIMUM over its four cells. The table is d·w integers
+    * REGARDLESS of vocabulary size, partial-agg mergeable across
+    * partitions, streams, and days — which is why it is the structure
+    * behind every "top queries right now" dashboard at 100 TB: exact
+    * per-token counts need vocab-sized state; the sketch needs 4096
+    * cells. Estimates never undercount (every cell ≥ the true count);
+    * the audit reports each heavy hitter's exact count, its sketch
+    * estimate, the overcount, and whether it sits within the 3N/w
+    * Markov envelope (ε = e/w at δ = e^-d, loosened to 3/w for integer
+    * exactness). Determinism: the four hash rows are the four disjoint
+    * 8-hex-char slices of ONE md5 — independent 32-bit hashes, one
+    * digest per token, reproduced bit-for-bit by the oracle. Plan
+    * shape: tokenize → 4-way posexplode → (j, bucket) partial agg for
+    * the sketch; exact top-20 via orderBy+limit (TakeOrderedAndProject
+    * — per-partition top-k then merge, never a global sort); the
+    * estimate join touches 80 candidate rows against the ≤4096-cell
+    * sketch. */
+  def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 1024
+    val toks = docs(s, dir)
+      .select(explode(split($"text", "\\s+")).as("token"))
+      .filter($"token" =!= "")
+    def bucketJ(j: Int) =
+      expr(s"CAST(conv(substring(md5(token), ${8 * j + 1}, 8), 16, 10) AS BIGINT) % $W")
+    val buckets = array((0 until 4).map(bucketJ): _*)
+    val sketch = toks.select(posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("true_count"))
+      .orderBy($"true_count".desc, $"token").limit(20)
+    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    top.select($"token", $"true_count", posexplode(buckets).as(Seq("j", "bucket")))
+      .join(sketch, Seq("j", "bucket"))
+      .groupBy($"token", $"true_count")
+      .agg(min($"cell").as("est_count"))
+      .crossJoin(broadcast(n))
+      .select($"token", $"true_count", $"est_count",
+        ($"est_count" - $"true_count").as("overcount"),
+        (($"est_count" - $"true_count") <= expr(s"(3 * n_tokens) DIV $W"))
+          .as("within_bound"))
+      .orderBy($"true_count".desc, $"token")
+  }
+
   /** The capstone composition: the corpus-to-training-set pipeline as
     * ONE query — length floor → stopword-ratio quality gate → exact
     * dedup (canonical-min per normalized-text fingerprint) → near-dup
@@ -535,6 +583,7 @@ object PipelineOps {
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_hll_audit" -> qHllAudit,
     "q_hll_union_audit" -> qHllUnionAudit,
+    "q_cms_heavy_hitters" -> qCmsHeavyHitters,
     "q_common_passages" -> qCommonPassages,
   )
 
@@ -544,6 +593,27 @@ object PipelineOps {
   private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
+    // The full sketch replayed: same md5-slice hash rows, same d×w
+    // cells, same min-of-cells estimate, same 3N/w envelope.
+    "q_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |t AS (SELECT token FROM toks WHERE token <> ''),
+        |n AS (SELECT count(*) AS n_tokens FROM t),
+        |rws AS (SELECT token, j.j AS j,
+        |    CAST('0x' || substring(md5(token), j.j*8+1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM t, range(4) j(j)),
+        |sketch AS (SELECT j, bucket, count(*) AS cell FROM rws GROUP BY 1,2),
+        |exact AS (SELECT token, count(*) AS true_count FROM t GROUP BY 1),
+        |top AS (SELECT token, true_count FROM exact ORDER BY true_count DESC, token LIMIT 20),
+        |cand AS (SELECT top.token, top.true_count, j.j AS j,
+        |    CAST('0x' || substring(md5(top.token), j.j*8+1, 8) AS BIGINT) % 1024 AS bucket
+        |  FROM top, range(4) j(j)),
+        |est AS (SELECT c.token, c.true_count, min(sk.cell) AS est_count
+        |  FROM cand c JOIN sketch sk ON sk.j = c.j AND sk.bucket = c.bucket GROUP BY 1,2)
+        |SELECT est.token, est.true_count, CAST(est.est_count AS BIGINT) AS est_count,
+        |  CAST(est.est_count - est.true_count AS BIGINT) AS overcount,
+        |  (est.est_count - est.true_count) <= ((3 * n.n_tokens) // 1024) AS within_bound
+        |FROM est, n ORDER BY est.true_count DESC, est.token""".stripMargin,
     "q_sequence_pack" ->
       """WITH d AS (SELECT source, doc_id,
         |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
