@@ -55,15 +55,18 @@ object PqOps {
   private val Ks = 16
 
   /** One row per (vector, subspace): the quantized subvector and its
-    * exact squared norm (reused across every assignment join). */
-  private def subRows(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
-    v.select(col("vec_id"), explode(array((0 until M).map(m =>
+    * exact squared norm (reused across every assignment join). `base`
+    * is any (vec_id, q) frame — the raw quantized vectors for plain
+    * PQ, cell-relative residuals for the IVFADC variant. */
+  private def subRowsOf(s: SparkSession, base: DataFrame): DataFrame =
+    base.select(col("vec_id"), explode(array((0 until M).map(m =>
         struct(lit(m.toLong).as("m"),
           expr(s"slice(q, ${m * SubDim + 1}, $SubDim)").as("sub"))): _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
       .withColumn("snsq", dot(s, "sub", "sub"))
-  }
+
+  private def subRows(s: SparkSession, dir: String): DataFrame =
+    subRowsOf(s, vecs(s, dir).select(col("vec_id"), col("q")))
 
   /** Nearest-codebook-entry assignment: d² = ‖sub‖² − 2·sub·cq + ‖cq‖²
     * on the fused integer dot, ties to the smallest cid; the subvector
@@ -83,10 +86,21 @@ object PqOps {
     * (vec_id, m, code, d2): init from vec_id < Ks, one exact Lloyd
     * update (assign → floor-mean → re-assign), empty clusters keep
     * their previous centroid. */
-  private def trainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sub = subRows(s, dir)
-    val c0 = sub.filter(col("vec_id") < Ks)
-      .select(col("m"), col("vec_id").as("cid"), col("sub").as("cq"))
+  private def trainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainEncodeOf(s, subRows(s, dir))
+
+  /** [[trainEncode]] over an arbitrary subvector frame (raw for plain
+    * PQ, residual for IVFADC). `initLo`: codebook init uses the
+    * subvectors of vec_id ∈ [initLo, initLo + Ks), cid = vec_id −
+    * initLo (dense 0..Ks−1, which the ADC gather indexes by). The raw
+    * path inits at 0; the RESIDUAL path inits at 16 because vectors
+    * 0..15 are the coarse centroids themselves — their residuals are
+    * ≈ zero vectors, a degenerate all-ties init. */
+  private def trainEncodeOf(s: SparkSession, sub0: DataFrame,
+                            initLo: Int = 0): (DataFrame, DataFrame) = {
+    val sub = sub0
+    val c0 = sub.filter(col("vec_id") >= initLo && col("vec_id") < initLo + Ks)
+      .select(col("m"), (col("vec_id") - initLo).as("cid"), col("sub").as("cq"))
       .withColumn("cnsq", dot(s, "cq", "cq"))
     val a1 = assign(s, sub, c0)
     val means = a1.select(col("m"), col("code").as("cid"),
@@ -254,6 +268,74 @@ object PqOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** (vec_id, q) where q is the CELL-RELATIVE RESIDUAL: the vector
+    * minus its coarse centroid. Integer subtraction on the quantized
+    * vectors — exact, oracle-replayable. */
+  private def residualBase(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val cents = v.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("ccid"), col("q").as("ccq"))
+    v.join(EmbeddingOps.ivfCells(s, dir), Seq("vec_id"))
+      .join(broadcast(cents), col("cell") === col("ccid"))
+      .select(col("vec_id"), expr("zip_with(q, ccq, (x, y) -> x - y)").as("q"))
+  }
+
+  /** True IVFADC — [[qIvfPqAnn]] with RESIDUAL encoding, the layout
+    * FAISS actually ships: codes quantize x − c(cell(x)), not x. On
+    * CLUSTERED data residuals concentrate near zero (the coarse
+    * centroid explains most of the vector) and the 4-bit budget spends
+    * on a smaller signal; on THIS near-random corpus the coarse
+    * quantizer explains almost nothing (assigned cosines ≈ 0.2–0.5)
+    * and the measured residual distortion is 1.35–1.4× the raw-vector
+    * distortion — the deployment-deciding fact [[encDistortion]]
+    * exists to surface, and PqOpsSpec pins it (the audit, not the
+    * folklore, says whether residual encoding pays on a given
+    * corpus). Scoring inside a cell: approx q·x̂ = q·c + q·r̂, and the
+    * q·c term is CONSTANT across a cell's candidates (every candidate
+    * shares the query's cell), so ranking needs only the residual
+    * gather — the LUT is the query's RAW subvectors against the
+    * residual codebooks. Shortlist → exact re-rank as before; output
+    * mirrors q_ivfpq_ann (top-3 by exact dot). */
+  def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val cells = EmbeddingOps.ivfCells(s, dir)
+    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
+    val (c1, enc) = trainEncodeOf(s, subRowsOf(s, residualBase(s, dir)), initLo = 16)
+    val qCells = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = qCells.join(capped, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"))
+    val scored = cand
+      .join(codesOf(enc).withColumnRenamed("vec_id", "cid"), Seq("cid"))
+      .join(broadcast(lutFor(s, dir, c1)), Seq("qid"))
+      .withColumn("adc", adcGather(s))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val short = scored.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= 10).select(col("qid"), col("cid"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val exact = short
+      .join(broadcast(queries), Seq("qid"))
+      .join(v, col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), dot(s, "qv", "q").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    exact.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"), col("dot"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** Total quantization distortion of an encoding — the spec's
+    * residual-vs-raw comparison surface. */
+  private[graft] def encDistortion(s: SparkSession, dir: String,
+                                   residual: Boolean): DataFrame = {
+    val base = if (residual) residualBase(s, dir)
+               else vecs(s, dir).select(col("vec_id"), col("q"))
+    trainEncodeOf(s, subRowsOf(s, base), initLo = if (residual) 16 else 0)._2
+      .agg(sum(col("d2")).as("total_d2"))
+  }
+
   /** Recall@5 of PQ-ADC against the EXACT max-inner-product truth
     * (ADC approximates the dot, so the truth ranks by dot — the
     * cosine-truth audits live with the LSH/IVF paths). Same
@@ -292,17 +374,22 @@ object PqOps {
     "q_pq_ann" -> qPqAnn,
     "q_pq_rerank" -> qPqRerank,
     "q_ivfpq_ann" -> qIvfPqAnn,
+    "q_ivfpq_residual" -> qIvfPqResidual,
     "q_pq_recall" -> qPqRecall)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
     * `a2` = codes) — nested verbatim by all three oracles so they can
     * never disagree about what a codebook is. Same replay discipline
     * as [[EmbeddingOps]]'s kmeansA2Cte. */
-  private lazy val pqCte: String =
-    s"""v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-       |sub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
-       |        FROM v, range($M) r(m)),
-       |c0 AS (SELECT m, vec_id AS cid, sub AS cq FROM sub WHERE vec_id < $Ks),
+  /** The training/encoding CTE chain (sub → … → c1, a2) over an
+    * arbitrary (vec_id, q) source CTE — `v` for raw PQ, `rv` for the
+    * residual variant — with the same init-window parameter as the
+    * Spark side. */
+  private def pqTrainCte(src: String, initLo: Int): String =
+    s"""sub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
+       |        FROM $src, range($M) r(m)),
+       |c0 AS (SELECT m, vec_id - $initLo AS cid, sub AS cq FROM sub
+       |       WHERE vec_id >= $initLo AND vec_id < ${initLo + Ks}),
        |t1 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
        |       FROM sub s JOIN c0 c ON c.m = s.m),
        |d1 AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM t1 GROUP BY 1,2,3),
@@ -322,6 +409,24 @@ object PqOps {
        |a2 AS (SELECT vec_id, m, cid AS code, d2 FROM (
        |    SELECT vec_id, m, cid, d2, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
        |    FROM d2r) WHERE rn = 1)""".stripMargin
+
+  private lazy val pqCte: String =
+    s"v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),\n" + pqTrainCte("v", 0)
+
+  /** The residual source CTEs: coarse cells (q_ivf_ann's assignment
+    * verbatim) and rv = the element-wise integer residual. */
+  private lazy val residualCte: String =
+    s"""v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |cents AS (SELECT vec_id AS ccid, q AS ccq FROM v WHERE vec_id < 16),
+       |ct AS (SELECT v.vec_id, c.ccid, unnest(v.q) AS a, unnest(c.ccq) AS b FROM v, cents c),
+       |cdots AS (SELECT vec_id, ccid, sum(a*b) AS cdot FROM ct GROUP BY 1,2),
+       |cells AS (SELECT vec_id, ccid AS cell FROM (
+       |  SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, ccid) AS rn
+       |  FROM cdots) WHERE rn = 1),
+       |rt AS (SELECT v.vec_id, generate_subscripts(v.q, 1) AS pos, unnest(v.q) AS a, unnest(c2.ccq) AS b
+       |       FROM v JOIN cells cl ON cl.vec_id = v.vec_id JOIN cents c2 ON c2.ccid = cl.cell),
+       |rv AS (SELECT vec_id, list(a - b ORDER BY pos) AS q FROM rt GROUP BY 1),
+       |""".stripMargin + pqTrainCte("rv", 16)
 
   private def annSqlAt(k: Int): String =
     s"""WITH $pqCte,
@@ -388,6 +493,39 @@ object PqOps {
          |         FROM qs JOIN cappedc c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),
          |lt AS (SELECT s.vec_id AS qid, s.m AS m, c.cid AS cid, unnest(s.sub) AS a, unnest(c.cq) AS b
          |       FROM sub s JOIN c1 c ON c.m = s.m WHERE s.vec_id % 100 = 0),
+         |lut AS (SELECT qid, m, cid, CAST(sum(a*b) AS BIGINT) AS pdot FROM lt GROUP BY 1,2,3),
+         |adcs AS (SELECT cand.qid, cand.cid, CAST(sum(l.pdot) AS BIGINT) AS adc
+         |  FROM cand JOIN a2 ON a2.vec_id = cand.cid
+         |            JOIN lut l ON l.qid = cand.qid AND l.m = a2.m AND l.cid = a2.code
+         |  GROUP BY 1,2),
+         |short AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rn
+         |  FROM adcs) WHERE rn <= 10),
+         |rterms AS (SELECT short.qid, short.cid, unnest(qv.q) AS a, unnest(cv.q) AS b
+         |  FROM short JOIN v qv ON qv.vec_id = short.qid
+         |             JOIN v cv ON cv.vec_id = short.cid),
+         |rdots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS dot FROM rterms GROUP BY 1,2),
+         |ranked AS (SELECT qid, cid, dot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
+         |  FROM rdots)
+         |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // True IVFADC: the residual CTEs feed the same training chain
+    // (init window 16..31 — the coarse centroids' own residuals are
+    // degenerate zeros), then capped-cell candidates score by the
+    // residual-codebook LUT (the constant q·c term is rank-invariant
+    // within a cell and omitted), shortlist 10, exact re-rank top-3.
+    "q_ivfpq_residual" ->
+      s"""WITH $residualCte,
+         |cappedc AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |  FROM cells) WHERE rn <= 128),
+         |qs AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id % 100 = 0),
+         |cand AS (SELECT qs.qid, c2.vec_id AS cid
+         |         FROM qs JOIN cappedc c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),
+         |qsub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
+         |         FROM v, range($M) r(m) WHERE vec_id % 100 = 0),
+         |lt AS (SELECT s.vec_id AS qid, s.m AS m, c.cid AS cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+         |       FROM qsub s JOIN c1 c ON c.m = s.m),
          |lut AS (SELECT qid, m, cid, CAST(sum(a*b) AS BIGINT) AS pdot FROM lt GROUP BY 1,2,3),
          |adcs AS (SELECT cand.qid, cand.cid, CAST(sum(l.pdot) AS BIGINT) AS adc
          |  FROM cand JOIN a2 ON a2.vec_id = cand.cid

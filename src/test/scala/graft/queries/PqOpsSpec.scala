@@ -121,6 +121,23 @@ class PqOpsSpec extends AnyFunSuite {
     counts.foreach(r => assert(r.getAs[Long]("count") <= 3L))
   }
 
+  test("residual-vs-raw distortion audit pins the honest finding on this corpus") {
+    // On clustered data residual encoding (true IVFADC) shrinks what
+    // the 4-bit codes must express; on this near-random corpus the
+    // coarse quantizer explains almost nothing, and the residual is
+    // MEASURABLY larger than the raw vector — the deployment-deciding
+    // number encDistortion surfaces. Pin the direction so a corpus or
+    // codebook change that flips it is a visible event, not silent.
+    val raw = PqOps.encDistortion(s, dir, residual = false)
+      .collect()(0).getAs[Long]("total_d2")
+    val res = PqOps.encDistortion(s, dir, residual = true)
+      .collect()(0).getAs[Long]("total_d2")
+    assert(raw > 0 && res > 0)
+    assert(res > raw, s"residual d2 $res unexpectedly below raw $raw — " +
+      "the corpus became clusterable; update the q_ivfpq_residual docs")
+    assert(res < 2 * raw, s"residual d2 $res implausibly large vs raw $raw")
+  }
+
   test("compression arithmetic: codes store 8 of 4-bit vs 64 float32 — 64x") {
     // The operator's reason to exist, stated as checked arithmetic so
     // a constant edit that silently degrades compression fails a test.
