@@ -268,6 +268,34 @@ object PqOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Frozen-codebook incremental encoding — how PQ ingests: codebooks
+    * train on the ARCHIVE (the first 80% of the id range — ids arrive
+    * in order, the q_tws_initial cutover shape) and NEW vectors encode
+    * against them unchanged; retraining is an offline event, not an
+    * ingest step. The audit per subspace: archive vs new counts and
+    * distortions, and `drift_bp` — the per-vector distortion of new
+    * data relative to the archive's, in basis points. ~10000 means the
+    * frozen codebooks fit new data as well as what they trained on;
+    * sustained growth is codebook STALENESS, the number a production
+    * pipeline alerts on to schedule retraining. Integer-exact
+    * throughout; the cutoff is a bounded driver scalar (one max()),
+    * like rankPhase2's. */
+  def qPqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val cutoff = v.agg(expr("max(vec_id) * 4 DIV 5").as("c")).collect()(0).getLong(0)
+    val sub = subRowsOf(s, v)
+    val (c1, encA) = trainEncodeOf(s, sub.filter(col("vec_id") < cutoff))
+    val encN = assign(s, sub.filter(col("vec_id") >= cutoff), c1)
+    def roll(e: DataFrame, nCol: String, dCol: String) =
+      e.groupBy(col("m")).agg(count(lit(1)).as(nCol), sum(col("d2")).as(dCol))
+    roll(encA, "n_archive", "d2_archive")
+      .join(roll(encN, "n_new", "d2_new"), Seq("m"))
+      .select(col("m").as("subspace"), col("n_archive"), col("n_new"),
+        col("d2_archive"), col("d2_new"),
+        expr("(10000 * d2_new * n_archive) DIV (d2_archive * n_new)").as("drift_bp"))
+      .orderBy(col("subspace"))
+  }
+
   /** (vec_id, q) where q is the CELL-RELATIVE RESIDUAL: the vector
     * minus its coarse centroid. Integer subtraction on the quantized
     * vectors — exact, oracle-replayable. */
@@ -375,6 +403,7 @@ object PqOps {
     "q_pq_rerank" -> qPqRerank,
     "q_ivfpq_ann" -> qIvfPqAnn,
     "q_ivfpq_residual" -> qIvfPqResidual,
+    "q_pq_incremental" -> qPqIncremental,
     "q_pq_recall" -> qPqRecall)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
@@ -509,6 +538,26 @@ object PqOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rnk
          |  FROM rdots)
          |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // Frozen-codebook ingest: train on the id-range archive, encode
+    // the tail against unchanged codebooks, report staleness drift.
+    "q_pq_incremental" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |co AS (SELECT (max(vec_id) * 4) // 5 AS c FROM v),
+         |va AS (SELECT v.vec_id, v.q FROM v, co WHERE v.vec_id < co.c),
+         |${pqTrainCte("va", 0)},
+         |nsub AS (SELECT v.vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
+         |         FROM v, co, range($M) r(m) WHERE v.vec_id >= co.c),
+         |nt AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+         |       FROM nsub s JOIN c1 c ON c.m = s.m),
+         |nd AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM nt GROUP BY 1,2,3),
+         |na2 AS (SELECT vec_id, m, cid AS code, d2 FROM (
+         |    SELECT vec_id, m, cid, d2, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+         |    FROM nd) WHERE rn = 1),
+         |ra AS (SELECT m, count(*) AS n_archive, CAST(sum(d2) AS BIGINT) AS d2_archive FROM a2 GROUP BY 1),
+         |rn_ AS (SELECT m, count(*) AS n_new, CAST(sum(d2) AS BIGINT) AS d2_new FROM na2 GROUP BY 1)
+         |SELECT ra.m AS subspace, ra.n_archive, rn_.n_new, ra.d2_archive, rn_.d2_new,
+         |  CAST((10000 * rn_.d2_new * ra.n_archive) // (ra.d2_archive * rn_.n_new) AS BIGINT) AS drift_bp
+         |FROM ra JOIN rn_ ON rn_.m = ra.m ORDER BY 1""".stripMargin,
     // True IVFADC: the residual CTEs feed the same training chain
     // (init window 16..31 — the coarse centroids' own residuals are
     // degenerate zeros), then capped-cell candidates score by the

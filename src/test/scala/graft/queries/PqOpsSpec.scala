@@ -138,6 +138,23 @@ class PqOpsSpec extends AnyFunSuite {
     assert(res < 2 * raw, s"residual d2 $res implausibly large vs raw $raw")
   }
 
+  test("incremental encode: counts partition the corpus, drift near par on this corpus") {
+    import s.implicits._
+    val out = PqOps.qPqIncremental(s, dir).collect()
+    assert(out.length == 8)
+    val total = s.read.parquet(s"$dir/embeddings.parquet").count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_archive") + r.getAs[Long]("n_new") == total,
+        "archive + new must partition the corpus in every subspace")
+      val drift = r.getAs[Long]("drift_bp")
+      // The synthetic corpus has no distribution shift, so new data
+      // should fit the frozen codebooks roughly as well as the
+      // archive did (~10000 bp). A drift far outside the band means
+      // the cutover or the freeze broke, not the corpus.
+      assert(drift > 5000 && drift < 20000, s"drift_bp $drift outside the par band")
+    }
+  }
+
   test("compression arithmetic: codes store 8 of 4-bit vs 64 float32 — 64x") {
     // The operator's reason to exist, stated as checked arithmetic so
     // a constant edit that silently degrades compression fails a test.
