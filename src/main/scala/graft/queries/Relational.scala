@@ -615,7 +615,54 @@ object Relational {
       .orderBy($"event_type", $"decile")
   }
 
+  /** k-anonymity audit with LOCAL RECODING over the nation → region
+    * generalization hierarchy — the privacy gate a training-data
+    * release runs before quasi-identifiers ship. Equivalence classes
+    * on the fine QI (nation, mktsegment); rows in classes below k=8
+    * GENERALIZE one hierarchy level (region, mktsegment); generalized
+    * rows forming a coarse class still below k are SUPPRESSED. The
+    * anonymity accounting is per released QI value: fine-released and
+    * generalized rows are distinguishable (their QIs differ), so each
+    * population counts only against its own class — the local-recoding
+    * rule. Output per segment: rows, fine classes, fine violations,
+    * generalized rows, suppressed rows, released rows (k-anonymous by
+    * construction). Scale shape: class-size tables are QI-cardinality
+    * (≤ nations × segments) and broadcast back onto the rows — two
+    * tiny aggs, three broadcast joins, one bounded rollup; the row
+    * table is scanned, never shuffled at data size. k=8 is calibrated
+    * so all three outcomes occur at the gate SFs. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey", $"c_mktsegment")
+    val nat = t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    val fine = cust.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("fsz"))
+    val rows = cust.join(broadcast(fine), Seq("c_nationkey", "c_mktsegment"))
+    val gen = rows.filter($"fsz" < k)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+    val coarse = gen.groupBy($"n_regionkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("csz"))
+    val gen2 = gen.join(broadcast(coarse), Seq("n_regionkey", "c_mktsegment"))
+    val seg = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("n_rows"))
+    val fstats = fine.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_fine_classes"),
+        sum(when($"fsz" < k, 1L).otherwise(0L)).as("n_fine_violations"))
+    val gstats = gen2.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_generalized"),
+        sum(when($"csz" < k, 1L).otherwise(0L)).as("n_suppressed"))
+    seg.join(fstats, Seq("c_mktsegment"))
+      .join(gstats, Seq("c_mktsegment"), "left")
+      .select($"c_mktsegment".as("mktsegment"), $"n_rows",
+        $"n_fine_classes", $"n_fine_violations",
+        coalesce($"n_generalized", lit(0L)).as("n_generalized"),
+        coalesce($"n_suppressed", lit(0L)).as("n_suppressed"),
+        ($"n_rows" - coalesce($"n_suppressed", lit(0L))).as("n_released"))
+      .orderBy($"mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> qKAnonymity,
     "q_cdc_apply" -> qCdcApply,
     "q_session_window" -> qSessionWindow,
     "q_ntile_deciles" -> qNtileDeciles,
@@ -648,6 +695,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Local-recoding replay: fine classes, one-level generalization of
+    // violators, suppression of still-small coarse classes.
+    "q_k_anonymity" ->
+      """WITH fine AS (SELECT c_nationkey, c_mktsegment, count(*) AS fsz
+        |  FROM customer GROUP BY 1,2),
+        |rows_ AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, f.fsz
+        |  FROM customer c JOIN fine f
+        |    ON f.c_nationkey = c.c_nationkey AND f.c_mktsegment = c.c_mktsegment),
+        |gen AS (SELECT r.*, n.n_regionkey FROM rows_ r
+        |  JOIN nation n ON n.n_nationkey = r.c_nationkey WHERE r.fsz < 8),
+        |coarse AS (SELECT n_regionkey, c_mktsegment, count(*) AS csz FROM gen GROUP BY 1,2),
+        |gen2 AS (SELECT g.*, co.csz FROM gen g JOIN coarse co
+        |  ON co.n_regionkey = g.n_regionkey AND co.c_mktsegment = g.c_mktsegment),
+        |seg AS (SELECT c_mktsegment, count(*) AS n_rows FROM customer GROUP BY 1),
+        |fstats AS (SELECT c_mktsegment, count(*) AS n_fine_classes,
+        |    CAST(sum(CASE WHEN fsz < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_fine_violations
+        |  FROM fine GROUP BY 1),
+        |gstats AS (SELECT c_mktsegment, count(*) AS n_generalized,
+        |    CAST(sum(CASE WHEN csz < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed
+        |  FROM gen2 GROUP BY 1)
+        |SELECT s.c_mktsegment AS mktsegment, s.n_rows, f.n_fine_classes,
+        |  f.n_fine_violations,
+        |  coalesce(g.n_generalized, 0) AS n_generalized,
+        |  coalesce(g.n_suppressed, 0) AS n_suppressed,
+        |  s.n_rows - coalesce(g.n_suppressed, 0) AS n_released
+        |FROM seg s JOIN fstats f ON f.c_mktsegment = s.c_mktsegment
+        |LEFT JOIN gstats g ON g.c_mktsegment = s.c_mktsegment
+        |ORDER BY 1""".stripMargin,
     // The LWW compaction mirrors q_lww_* (ts DESC, event_id DESC
     // window); the apply is the same full-outer + CASE classification.
     "q_cdc_apply" ->
