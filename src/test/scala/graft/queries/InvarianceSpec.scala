@@ -32,7 +32,11 @@ class InvarianceSpec extends AnyFunSuite {
     "q_graph_components", // iterative min-label propagation round count
     "q_rank_global",      // two-phase rank across range boundaries
     "q_cdc_stream",       // multi-batch foreachBatch LWW merge chain
-    "q_pii_scrub")        // regex scrub + xor checksum
+    "q_pii_scrub",        // regex scrub + xor checksum
+    "q_pq_ann",           // trained codebooks + ADC gather + top-k ties
+    "q_ivfpq_residual",   // cells + residuals + frozen gather + re-rank
+    "q_cms_heavy_hitters", // sketch linearity + TakeOrdered ties
+    "q_k_anonymity")      // broadcast class stats + left-join rollup
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
