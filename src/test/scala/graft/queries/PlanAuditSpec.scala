@@ -444,4 +444,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val bcast = collectNodes(bhj).collect { case b: BroadcastHashJoinExec => b }
     assert(bcast.isEmpty) // plain scan, no join — sanity check the audit helper
   }
+
+  test("q_pq_ann: native gather in the scan projection, rank filter limits below the exchange") {
+    // The two claims SCALE.md makes for the ADC scan: scoring is the
+    // codegen'd pq_gather expression (not the HOF chain), and the
+    // top-k row_number filter compiles to a partial WindowGroupLimit
+    // so each mapper ships <= k rows per query instead of the whole
+    // scored set.
+    val s = planString(PqOps.qPqAnn(spark, dir))
+    assert(s.contains("pq_gather"), s.linesIterator.take(5).mkString("\n"))
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"), s)
+  }
+
+  test("q_k_anonymity: every join is broadcast — class stats attach to rows, never shuffle them") {
+    // The audit's scale claim: class-size tables are QI-cardinality
+    // and broadcast back; the customer table is scanned and
+    // partial-aggregated but never the big side of a shuffle join.
+    val p = executed(Relational.qKAnonymity(spark, dir))
+    val s = p.toString
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("ShuffledHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(collectNodes(p).exists(_.isInstanceOf[BroadcastHashJoinExec]), s)
+  }
+
+  test("q_cms_heavy_hitters: exact top-20 is TakeOrdered, never a global sort/window") {
+    val s = planString(PipelineOps.qCmsHeavyHitters(spark, dir))
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(!s.contains("WindowExec"), s)
+  }
 }
