@@ -661,7 +661,56 @@ object Relational {
       .orderBy($"mktsegment")
   }
 
+  /** The release CERTIFICATE for the [[qKAnonymity]] recoding:
+    * k-anonymity alone still leaks when a class's SENSITIVE attribute
+    * is homogeneous (everyone in the class shares the value — finding
+    * the class IS the disclosure), so the certificate checks
+    * l-diversity too. Replays the same local recoding, then per
+    * RELEASED class (fine-kept and coarse-kept carry distinguishable
+    * QIs, so they certify separately): size and distinct-sensitive
+    * count (acctbal bucket as the sensitive attribute). Per segment:
+    * released rows/classes, min class size (≥ k proves the recoding),
+    * min l, and l<3 violations with rows at risk — zero on this
+    * corpus's uniform balances, which is the certificate PASSING, not
+    * the check being vacuous (min_l is oracle-pinned). Same
+    * QI-cardinality broadcast shapes as the k-anonymity audit. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (k, l) = (8, 3)
+    val cust = t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 500).cast("long").as("sens"))
+    val nat = t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    val fine = cust.groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("fsz"))
+    val r = cust.join(broadcast(fine), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+    val coarse = r.filter($"fsz" < k)
+      .groupBy($"n_regionkey", $"c_mktsegment").agg(count(lit(1)).as("csz"))
+    val released =
+      r.filter($"fsz" >= k)
+        .select(concat(lit("N"), $"c_nationkey".cast("string"), lit("|"),
+          $"c_mktsegment").as("qi"), $"c_mktsegment", $"sens")
+        .unionByName(
+          r.filter($"fsz" < k)
+            .join(broadcast(coarse), Seq("n_regionkey", "c_mktsegment"))
+            .filter($"csz" >= k)
+            .select(concat(lit("R"), $"n_regionkey".cast("string"), lit("|"),
+              $"c_mktsegment").as("qi"), $"c_mktsegment", $"sens"))
+    released.groupBy($"qi", $"c_mktsegment")
+      .agg(count(lit(1)).as("sz"), countDistinct($"sens").as("ldiv"))
+      .groupBy($"c_mktsegment".as("mktsegment"))
+      .agg(sum($"sz").as("n_released_rows"),
+        count(lit(1)).as("n_released_classes"),
+        min($"sz").as("min_class_size"),
+        min($"ldiv").as("min_l_diversity"),
+        sum(when($"ldiv" < l, 1L).otherwise(0L)).as("n_l_violations"),
+        sum(when($"ldiv" < l, $"sz").otherwise(0L)).as("n_rows_at_risk"))
+      .orderBy($"mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_diversity" -> qLDiversity,
     "q_k_anonymity" -> qKAnonymity,
     "q_cdc_apply" -> qCdcApply,
     "q_session_window" -> qSessionWindow,
@@ -695,6 +744,34 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The same recoding, then per-released-class size + distinct
+    // sensitive buckets — the certificate's oracle.
+    "q_l_diversity" ->
+      """WITH fine AS (SELECT c_nationkey, c_mktsegment, count(*) AS fsz
+        |  FROM customer GROUP BY 1,2),
+        |r AS (SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |        CAST(floor(c.c_acctbal / 500) AS BIGINT) AS sens, n.n_regionkey, f.fsz
+        |  FROM customer c
+        |  JOIN fine f ON f.c_nationkey = c.c_nationkey AND f.c_mktsegment = c.c_mktsegment
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |coarse AS (SELECT n_regionkey, c_mktsegment, count(*) AS csz
+        |  FROM r WHERE fsz < 8 GROUP BY 1,2),
+        |released AS (
+        |  SELECT concat('N', c_nationkey, '|', c_mktsegment) AS qi, c_mktsegment, sens
+        |  FROM r WHERE fsz >= 8
+        |  UNION ALL
+        |  SELECT concat('R', r.n_regionkey, '|', r.c_mktsegment) AS qi, r.c_mktsegment, r.sens
+        |  FROM r JOIN coarse co
+        |    ON co.n_regionkey = r.n_regionkey AND co.c_mktsegment = r.c_mktsegment
+        |  WHERE r.fsz < 8 AND co.csz >= 8),
+        |cls AS (SELECT qi, c_mktsegment, count(*) AS sz, count(DISTINCT sens) AS l
+        |  FROM released GROUP BY 1,2)
+        |SELECT c_mktsegment AS mktsegment, CAST(sum(sz) AS BIGINT) AS n_released_rows,
+        |  count(*) AS n_released_classes, min(sz) AS min_class_size,
+        |  min(l) AS min_l_diversity,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l_violations,
+        |  CAST(sum(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     // Local-recoding replay: fine classes, one-level generalization of
     // violators, suppression of still-small coarse classes.
     "q_k_anonymity" ->

@@ -50,4 +50,24 @@ class KAnonymitySpec extends AnyFunSuite {
       assert(row.getAs[Long]("n_suppressed") <= row.getAs[Long]("n_generalized"))
     }
   }
+
+  test("the certificate and the audit agree on the released population") {
+    // q_k_anonymity counts released rows by subtraction; q_l_diversity
+    // re-derives the released set constructively and rolls it up per
+    // class. The two paths must name the same population, and the
+    // certificate's min class size must prove k on its own.
+    val ka = Relational.qKAnonymity(s, dir).collect()
+      .map(r => r.getAs[String]("mktsegment") -> r.getAs[Long]("n_released")).toMap
+    val ld = Relational.qLDiversity(s, dir).collect()
+    ld.foreach { r =>
+      val seg = r.getAs[String]("mktsegment")
+      assert(r.getAs[Long]("n_released_rows") == ka(seg),
+        s"$seg: certificate released ${r.getAs[Long]("n_released_rows")} vs audit ${ka(seg)}")
+      assert(r.getAs[Long]("min_class_size") >= 8L)
+      assert(r.getAs[Long]("min_l_diversity") >= 1L)
+    }
+    // segments absent from the certificate released nothing
+    val missing = ka.keySet -- ld.map(_.getAs[String]("mktsegment")).toSet
+    missing.foreach(seg => assert(ka(seg) == 0L, s"$seg absent but audit says ${ka(seg)} released"))
+  }
 }
