@@ -100,6 +100,38 @@ object PipelineOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Strided chunking with overlap — the long-document treatment
+    * training pipelines actually use (fixed context window 64, stride
+    * 48 ⇒ 16-word overlap), where [[qDocChunks]] is the disjoint
+    * form: boundary context survives because consecutive windows
+    * share their edges, and the price is re-tokenized words. Chunk c
+    * covers [c·48, min(c·48 + 64, nw)); stride < window guarantees
+    * every word lands in ≥ 1 chunk (specced). Per-doc accounting:
+    * chunk count, total chunk words, and `overlap_words` — the
+    * duplicated-token TAX the overlap costs, the number that sizes
+    * stride against budget. Same per-row sequence-explode shape as
+    * the disjoint form: rows out ∝ tokens in, no shuffle before the
+    * per-doc rollup. */
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 25 === 0)
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("nw"))
+      .select($"doc_id", $"nw",
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT), (greatest(nw - 64, CAST(0 AS BIGINT)) + 47) DIV 48)"))
+          .as("chunk_id"))
+      .select($"doc_id", $"nw", $"chunk_id",
+        ($"chunk_id" * 48).as("start_word"),
+        least($"chunk_id" * 48 + 64, $"nw").as("end_word"))
+      .groupBy($"doc_id", $"nw")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"end_word" - $"start_word").as("total_chunk_words"),
+        (sum($"end_word" - $"start_word") - first($"nw")).as("overlap_words"))
+      .select($"doc_id", $"nw", $"n_chunks", $"total_chunk_words", $"overlap_words")
+      .orderBy($"doc_id")
+  }
+
   /** Quality scoring with basis-point integer arithmetic: stopword and
     * punctuation ratios per doc, bucketed into stopword-ratio deciles.
     * Ratios are `(10000 * count) DIV total` — integers end to end, so
@@ -576,6 +608,7 @@ object PipelineOps {
     "q_stratified_sample" -> qStratifiedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_doc_chunks" -> qDocChunks,
+    "q_chunk_overlap" -> qChunkOverlap,
     "q_quality_score" -> qQualityScore,
     "q_rolling_fingerprint" -> qRollingFingerprint,
     "q_incremental_dedup" -> qIncrementalDedup,
@@ -593,6 +626,22 @@ object PipelineOps {
   private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
+    // stride-48 / window-64 chunk grid replayed with a range explode;
+    // the per-doc rollup carries the duplicated-token accounting.
+    "q_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |cg AS (SELECT doc_id, nw,
+        |    unnest(range(0, ((CASE WHEN nw > 64 THEN nw - 64 ELSE 0 END) + 47) // 48 + 1)) AS chunk_id
+        |  FROM d),
+        |ch AS (SELECT doc_id, nw, chunk_id, chunk_id * 48 AS start_word,
+        |    least(chunk_id * 48 + 64, nw) AS end_word
+        |  FROM cg)
+        |SELECT doc_id, nw, count(*) AS n_chunks,
+        |  CAST(sum(end_word - start_word) AS BIGINT) AS total_chunk_words,
+        |  CAST(sum(end_word - start_word) - nw AS BIGINT) AS overlap_words
+        |FROM ch GROUP BY doc_id, nw ORDER BY doc_id""".stripMargin,
     // The full sketch replayed: same md5-slice hash rows, same d×w
     // cells, same min-of-cells estimate, same 3N/w envelope.
     "q_cms_heavy_hitters" ->
