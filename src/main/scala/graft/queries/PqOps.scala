@@ -97,9 +97,9 @@ object PqOps {
     * 0..15 are the coarse centroids themselves — their residuals are
     * ≈ zero vectors, a degenerate all-ties init. */
   private def trainEncodeOf(s: SparkSession, sub0: DataFrame,
-                            initLo: Int = 0): (DataFrame, DataFrame) = {
+                            initLo: Int = 0, ks: Int = Ks): (DataFrame, DataFrame) = {
     val sub = sub0
-    val c0 = sub.filter(col("vec_id") >= initLo && col("vec_id") < initLo + Ks)
+    val c0 = sub.filter(col("vec_id") >= initLo && col("vec_id") < initLo + ks)
       .select(col("m"), (col("vec_id") - initLo).as("cid"), col("sub").as("cq"))
       .withColumn("cnsq", dot(s, "cq", "cq"))
     val a1 = assign(s, sub, c0)
@@ -385,6 +385,54 @@ object PqOps {
       .select(col("qid"), col("n_truth"), col("n_hits"),
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy(col("qid"))
+  }
+
+  /** The codebook-size DIAL as a runnable code path ([[graft.tools
+    * .Dial]] `pq` mode), same contract as the bits/nlist dials: at an
+    * explicit per-subspace codebook size `ks`, one summary row — the
+    * bits each code costs, total/mean training distortion, and corpus
+    * recall@5 of the flat ADC scan against the exact max-inner-product
+    * truth. Occupancy dials say what a setting COSTS; this one shows
+    * both sides of PQ's trade at once: distortion (and therefore
+    * recall) vs bits per vector. Production sizes ks=256 (byte codes);
+    * the gate pins 16 for the 500-vector demo corpus. */
+  private[graft] def pqDialAt(s: SparkSession, dir: String, ks: Int): DataFrame = {
+    require(ks >= 2, s"ks must be >= 2, got $ks")
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val (c1, enc) = trainEncodeOf(s, subRowsOf(s, v), ks = ks)
+    val dist = enc.agg(sum(col("d2")).as("total_d2"),
+      (sum(col("d2")) / count(lit(1))).cast("long").as("mean_d2_per_code"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val truth = {
+      val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "q").as("dot"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
+    }
+    val approx = {
+      val scored = codesOf(enc).join(broadcast(lutFor(s, dir, c1)),
+          col("vec_id") =!= col("qid"))
+        .withColumn("adc", adcGather(s))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid").as("aqid"), col("vec_id").as("acid"))
+    }
+    val recall = truth
+      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nt"), count(col("acid")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(expr("(10000 * nh) DIV nt")) / count(lit(1))).cast("long")
+          .as("mean_recall_bp"),
+        min(expr("(10000 * nh) DIV nt")).as("min_recall_bp"))
+    dist.crossJoin(recall)
+      .select(lit(ks).as("ks"),
+        lit(math.ceil(math.log(ks) / math.log(2)).toLong * M).as("bits_per_vec"),
+        col("total_d2"), col("mean_d2_per_code"),
+        col("n_queries"), col("mean_recall_bp"), col("min_recall_bp"))
   }
 
   /** Intermediate frames exposed for `tools.PqProf`'s stage bisect. */

@@ -51,7 +51,8 @@ object Dial {
         case "band" => graft.queries.EmbeddingOps.bandOccupancyAt(spark, sfDir, v)
         case "ivf"  => graft.queries.EmbeddingOps.ivfOccupancyAt(spark, sfDir, v)
         case "ivft" => graft.queries.EmbeddingOps.ivfOccupancyTrainedAt(spark, sfDir, v)
-        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|recall")
+        case "pq"   => graft.queries.PqOps.pqDialAt(spark, sfDir, v)
+        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|recall")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
     }

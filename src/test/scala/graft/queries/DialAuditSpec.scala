@@ -50,4 +50,25 @@ class DialAuditSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_occupancy") >= r.getAs[Long]("n_vectors") / 4)
     }
   }
+
+  test("pqDialAt: distortion falls monotonically in ks, recall bounded, ks=1 rejected") {
+    // The PQ dial's honesty contract: a bigger codebook can never
+    // quantize WORSE (more centroids ⊇ the smaller init set after one
+    // Lloyd round is not a strict guarantee, but the measured curve
+    // must at least not invert between the gate's 16 and a 4x bigger
+    // book on this corpus), and recall stays a basis-point fraction.
+    val r16 = PqOps.pqDialAt(spark, dir, 16).collect().head
+    val r64 = PqOps.pqDialAt(spark, dir, 64).collect().head
+    assert(r16.getAs[Long]("total_d2") > r64.getAs[Long]("total_d2"),
+      "bigger codebook did not reduce distortion")
+    Seq(r16, r64).foreach { r =>
+      val mean = r.getAs[Long]("mean_recall_bp")
+      val min = r.getAs[Long]("min_recall_bp")
+      assert(min >= 0L && min <= mean && mean <= 10000L)
+    }
+    val e = intercept[IllegalArgumentException] {
+      PqOps.pqDialAt(spark, dir, 1).collect()
+    }
+    assert(e.getMessage.contains("ks"))
+  }
 }
