@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dial <sfDir> band <bits> [bits...]
   *   runMain graft.tools.Dial <sfDir> ivf <nlist> [nlist...]
   *   runMain graft.tools.Dial <sfDir> ivft <nlist> [nlist...]   (trained centroids)
+  *   runMain graft.tools.Dial <sfDir> pq <ks> [ks...]           (codebook size: distortion + recall)
   *   runMain graft.tools.Dial <sfDir> recall <bits[:cap]> [bits[:cap]...]
   *
   * `recall` closes the loop on the sizing dials: it runs the sign-LSH
