@@ -221,4 +221,11 @@ object GraftFunctions {
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")
+
+  /** Checked separately from [[isRegistered]]: a session can carry
+    * quantized_dot from an older extensions build without pq_gather,
+    * and gating the ADC fallback on the wrong function would fail
+    * analysis instead of falling back. */
+  def pqGatherRegistered(spark: SparkSession): Boolean =
+    spark.catalog.functionExists("pq_gather")
 }

@@ -96,9 +96,8 @@ object PqOps {
     * path inits at 0; the RESIDUAL path inits at 16 because vectors
     * 0..15 are the coarse centroids themselves — their residuals are
     * ≈ zero vectors, a degenerate all-ties init. */
-  private def trainEncodeOf(s: SparkSession, sub0: DataFrame,
+  private def trainEncodeOf(s: SparkSession, sub: DataFrame,
                             initLo: Int = 0, ks: Int = Ks): (DataFrame, DataFrame) = {
-    val sub = sub0
     val c0 = sub.filter(col("vec_id") >= initLo && col("vec_id") < initLo + ks)
       .select(col("m"), (col("vec_id") - initLo).as("cid"), col("sub").as("cq"))
       .withColumn("cnsq", dot(s, "cq", "cq"))
@@ -179,16 +178,18 @@ object PqOps {
     * results on the valid domain — PqGatherSpec pins the agreement;
     * measured 9.6× apart at the 10× corpus, SCALE.md). */
   private def adcGather(s: SparkSession): org.apache.spark.sql.Column =
-    if (graft.functions.GraftFunctions.isRegistered(s))
+    if (graft.functions.GraftFunctions.pqGatherRegistered(s))
       graft.functions.GraftFunctions.pqGather(col("lut"), col("code"))
     else
       expr("aggregate(zip_with(lut, code, (l, c) -> element_at(l, CAST(c + 1 AS INT))), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x)")
 
-  /** The ADC scan at an explicit k — the gate pins k=5; the re-rank
-    * path widens to a k=20 shortlist. */
-  private def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val (c1, enc) = trainEncode(s, dir)
+  /** The flat ADC scan at an explicit k over GIVEN codebooks/encoding
+    * — one definition serves the gate, the re-rank shortlist, and the
+    * sizing dial, so the scan a measurement runs can never drift from
+    * the scan the gate ships. */
+  private def adcTopKFrom(s: SparkSession, dir: String, k: Int,
+                          c1: DataFrame, enc: DataFrame): DataFrame = {
     val scored = codesOf(enc).join(broadcast(lutFor(s, dir, c1)),
         col("vec_id") =!= col("qid"))
       .withColumn("adc", adcGather(s))
@@ -198,6 +199,26 @@ object PqOps {
       .select(col("qid"), col("rnk").cast("long").as("rnk"),
         col("vec_id").as("cid"), col("adc"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** The ADC scan at an explicit k — the gate pins k=5; the re-rank
+    * path widens to a k=20 shortlist. */
+  private def adcTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (c1, enc) = trainEncode(s, dir)
+    adcTopKFrom(s, dir, k, c1, enc)
+  }
+
+  /** Exact max-inner-product top-k per query — the truth the recall
+    * audits and the dial both rank against. */
+  private def dotTruthTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val queries = v.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "q").as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k).select(col("qid"), col("cid"))
   }
 
   /** Shortlist-then-re-rank — how production actually deploys PQ: the
@@ -239,10 +260,21 @@ object PqOps {
     * never disagree about the coarse index. Output mirrors q_ivf_ann's
     * top-3, ranked by exact re-ranked dot. */
   def qIvfPqAnn(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
     val cells = EmbeddingOps.ivfCells(s, dir)
-    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
     val (c1, enc) = trainEncode(s, dir)
+    cellAdcRerank(s, dir, cells, c1, enc)
+  }
+
+  /** The capped-cell ADC scan + shortlist + exact re-rank shared by
+    * BOTH IVF×PQ variants — one definition, so a tie-break, cap,
+    * shortlist, or re-rank change can never diverge them (the same
+    * reason the coarse cells come from one [[EmbeddingOps.ivfCells]]).
+    * Only the (codebooks, encoding) pair differs between the raw and
+    * residual keys. */
+  private def cellAdcRerank(s: SparkSession, dir: String, cells: DataFrame,
+                            c1: DataFrame, enc: DataFrame): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
     val qCells = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("cell"))
     val cand = qCells.join(capped, Seq("cell"))
@@ -299,11 +331,17 @@ object PqOps {
   /** (vec_id, q) where q is the CELL-RELATIVE RESIDUAL: the vector
     * minus its coarse centroid. Integer subtraction on the quantized
     * vectors — exact, oracle-replayable. */
-  private def residualBase(s: SparkSession, dir: String): DataFrame = {
+  private def residualBase(s: SparkSession, dir: String): DataFrame =
+    residualBaseFrom(s, dir, EmbeddingOps.ivfCells(s, dir))
+
+  /** [[residualBase]] over a caller-held cell assignment, so a caller
+    * that already computed cells doesn't replay the assignment pass. */
+  private def residualBaseFrom(s: SparkSession, dir: String,
+                               cells: DataFrame): DataFrame = {
     val v = vecs(s, dir).select(col("vec_id"), col("q"))
     val cents = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("q").as("ccq"))
-    v.join(EmbeddingOps.ivfCells(s, dir), Seq("vec_id"))
+    v.join(cells, Seq("vec_id"))
       .join(broadcast(cents), col("cell") === col("ccid"))
       .select(col("vec_id"), expr("zip_with(q, ccq, (x, y) -> x - y)").as("q"))
   }
@@ -325,33 +363,10 @@ object PqOps {
     * residual codebooks. Shortlist → exact re-rank as before; output
     * mirrors q_ivfpq_ann (top-3 by exact dot). */
   def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
     val cells = EmbeddingOps.ivfCells(s, dir)
-    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
-    val (c1, enc) = trainEncodeOf(s, subRowsOf(s, residualBase(s, dir)), initLo = 16)
-    val qCells = cells.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("cell"))
-    val cand = qCells.join(capped, Seq("cell"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"))
-    val scored = cand
-      .join(codesOf(enc).withColumnRenamed("vec_id", "cid"), Seq("cid"))
-      .join(broadcast(lutFor(s, dir, c1)), Seq("qid"))
-      .withColumn("adc", adcGather(s))
-    val ws = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
-    val short = scored.withColumn("rn", row_number().over(ws))
-      .filter(col("rn") <= 10).select(col("qid"), col("cid"))
-    val queries = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
-    val exact = short
-      .join(broadcast(queries), Seq("qid"))
-      .join(v, col("vec_id") === col("cid"))
-      .select(col("qid"), col("cid"), dot(s, "qv", "q").as("dot"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
-    exact.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("cid"), col("dot"))
-      .orderBy(col("qid"), col("rnk"))
+    val (c1, enc) = trainEncodeOf(s,
+      subRowsOf(s, residualBaseFrom(s, dir, cells)), initLo = 16)
+    cellAdcRerank(s, dir, cells, c1, enc)
   }
 
   /** Total quantization distortion of an encoding — the spec's
@@ -368,16 +383,8 @@ object PqOps {
     * (ADC approximates the dot, so the truth ranks by dot — the
     * cosine-truth audits live with the LSH/IVF paths). Same
     * recompute-and-join audit shape as [[EmbeddingOps.qAnnRecall]]. */
-  def qPqRecall(s: SparkSession, dir: String): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
-    val queries = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
-    val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "q").as("dot"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
-    val truth = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
-    truth
+  def qPqRecall(s: SparkSession, dir: String): DataFrame =
+    dotTruthTopK(s, dir, 5)
       .join(qPqAnn(s, dir).select(col("qid").as("aqid"), col("cid").as("acid")),
         col("qid") === col("aqid") && col("cid") === col("acid"), "left")
       .groupBy(col("qid"))
@@ -385,7 +392,6 @@ object PqOps {
       .select(col("qid"), col("n_truth"), col("n_hits"),
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy(col("qid"))
-  }
 
   /** The codebook-size DIAL as a runnable code path ([[graft.tools
     * .Dial]] `pq` mode), same contract as the bits/nlist dials: at an
@@ -399,29 +405,20 @@ object PqOps {
   private[graft] def pqDialAt(s: SparkSession, dir: String, ks: Int): DataFrame = {
     require(ks >= 2, s"ks must be >= 2, got $ks")
     val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    // "no silent caps": the init window [0, ks) only yields ks
+    // centroids when the corpus has that many vectors — a dial row
+    // labeled ks=1024 over 500 vectors would report a codebook that
+    // was never built.
+    val nVecs = v.count()
+    require(ks <= nVecs,
+      s"ks=$ks exceeds the $nVecs-vector corpus — the codebook would silently cap")
     val (c1, enc) = trainEncodeOf(s, subRowsOf(s, v), ks = ks)
     val dist = enc.agg(sum(col("d2")).as("total_d2"),
       (sum(col("d2")) / count(lit(1))).cast("long").as("mean_d2_per_code"))
-    val queries = v.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("q").as("qv"))
-    val truth = {
-      val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "q").as("dot"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
-    }
-    val approx = {
-      val scored = codesOf(enc).join(broadcast(lutFor(s, dir, c1)),
-          col("vec_id") =!= col("qid"))
-        .withColumn("adc", adcGather(s))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid").as("aqid"), col("vec_id").as("acid"))
-    }
-    val recall = truth
-      .join(approx, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+    val recall = dotTruthTopK(s, dir, 5)
+      .join(adcTopKFrom(s, dir, 5, c1, enc)
+          .select(col("qid").as("aqid"), col("cid").as("acid")),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("nt"), count(col("acid")).as("nh"))
       .agg(count(lit(1)).as("n_queries"),

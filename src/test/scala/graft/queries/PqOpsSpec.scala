@@ -43,33 +43,28 @@ class PqOpsSpec extends AnyFunSuite {
     assert(ann.filter($"qid" === $"cid").count() == 0L, "self-match leaked")
   }
 
-  test("ADC equals the sum of per-subspace codebook dots (recomputed independently)") {
-    // Rebuild the score for one (query, candidate) pair from raw data:
-    // quantize, slice, re-derive the trained codebooks via the public
-    // outputs' own path, and compare against the gather's adc value.
+  test("ADC equals the sum of per-subspace codebook dots (recomputed in Scala)") {
+    // EVERY gated adc value must equal Σ_m lut[qid][m][code[cid][m]]
+    // recomputed driver-side from the collected codes and LUTs — the
+    // gather/LUT alignment check: an off-by-one index, a dropped
+    // subspace, or a mis-sorted lrow all fail here on every row.
     import s.implicits._
-    val ann = PqOps.qPqAnn(s, dir).orderBy($"qid", $"rnk").limit(1).collect()(0)
-    val (qid, cid, adc) = (ann.getAs[Long]("qid"), ann.getAs[Long]("cid"),
-      ann.getAs[Long]("adc"))
-    // Independent recompute: ADC = Σ_m dot(q_sub[m], centroid[code_m]).
-    // Reconstruct via SQL against the same parquet, mirroring the
-    // oracle's join form (no array gather, no element_at).
-    val emb = s.read.parquet(s"$dir/embeddings.parquet")
-    emb.createOrReplaceTempView("pq_spec_emb")
-    val recomputed = s.sql(
-      s"""WITH v AS (SELECT vec_id,
-         |  transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM pq_spec_emb WHERE vec_id IN ($qid, $cid))
-         |SELECT (SELECT aggregate(zip_with(a.q, b.q, (x, y) -> x * y),
-         |    CAST(0 AS BIGINT), (acc, v2) -> acc + v2)
-         |  FROM v a, v b WHERE a.vec_id = $qid AND b.vec_id = $cid) AS exact_dot
-         |""".stripMargin).collect()(0).getAs[Long]("exact_dot")
-    // ADC approximates exact_dot through the codebooks; on this corpus
-    // quantization error is bounded well below the score scale. The
-    // bit-exact ADC value itself is pinned by the DuckDB oracle (join
-    // form); here pin that the approximation is in the right regime.
-    assert(math.abs(adc - recomputed) < math.max(math.abs(recomputed), 1L),
-      s"adc $adc implausibly far from exact dot $recomputed")
+    val codes = PqOps.profCodes(s, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    val luts = PqOps.profLut(s, dir).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getSeq[Seq[Long]](1)).toMap
+    val ann = PqOps.qPqAnn(s, dir).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val (qid, cid, adc) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Long]("adc"))
+      val lut = luts(qid)
+      val code = codes(cid)
+      assert(lut.length == 8 && code.length == 8)
+      val recomputed = (0 until 8).map(m => lut(m)(code(m).toInt)).sum
+      assert(adc == recomputed,
+        s"qid=$qid cid=$cid: gather adc $adc != recomputed $recomputed")
+    }
   }
 
   test("re-rank recall dominates ADC-only recall per query (shortlist superset)") {
