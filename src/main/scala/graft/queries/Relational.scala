@@ -249,13 +249,20 @@ object Relational {
     * Day arithmetic is date-exact (UTC session tz both engines). */
   def qUserRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Day bucketing is ARITHMETIC on the µs instant (UTC epoch days),
+    // never date_trunc/to_date — those interpret the instant in the
+    // SESSION zone, and a non-UTC driver session would silently shift
+    // cohort boundaries against the oracle (caught by the timezone
+    // verification cell). The calendar type reappears only in the
+    // final projection, built from the zone-free day number.
     val ev = t(s, dir, "events")
-      .select($"user_id", date_trunc("day", $"ts").as("d"))
-    val first = ev.groupBy($"user_id").agg(min($"d").as("cohort_day"))
+      .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("d"))
+    val first = ev.groupBy($"user_id").agg(min($"d").as("cd"))
     ev.join(first, Seq("user_id"))
-      .groupBy($"cohort_day",
-        datediff($"d", $"cohort_day").cast("long").as("day_offset"))
+      .groupBy($"cd", ($"d" - $"cd").as("day_offset"))
       .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_add(lit(java.sql.Date.valueOf("1970-01-01")), $"cd".cast("int"))
+        .as("cohort_day"), $"day_offset", $"n_users")
       .orderBy($"cohort_day", $"day_offset")
   }
 
@@ -985,10 +992,10 @@ object Relational {
          count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
     "q_user_retention" ->
-      """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
-        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
-        |SELECT f.cohort_day,
-        |  CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(e.d AS DATE)) AS BIGINT) AS day_offset,
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cd FROM e GROUP BY user_id)
+        |SELECT DATE '1970-01-01' + CAST(f.cd AS INTEGER) AS cohort_day,
+        |  CAST(e.d - f.cd AS BIGINT) AS day_offset,
         |  count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN f ON f.user_id = e.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -154,8 +154,12 @@ object Storage {
     val canonical = concat_ws("|",
       $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
       $"o_orderstatus", $"o_orderpriority",
-      // NTZ → UTC timestamp (session TZ is pinned UTC) for micros
-      unix_micros($"o_orderdate".cast("timestamp")).cast("string"),
+      // NTZ wall-clock → epoch-DAY integer via the date cast, which is
+      // zone-free; an instant cast here would shift with the session
+      // zone and flip every fingerprint on a non-UTC driver (caught by
+      // the timezone verification cell)
+      datediff($"o_orderdate".cast("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long").cast("string"),
       // round() before the integer cast: price*100 sits within 1e-9 of
       // an integer, and Spark's double→long cast TRUNCATES where
       // DuckDB's ROUNDS — rounding first makes both engines land on
@@ -284,7 +288,7 @@ object Storage {
         |    CAST('0x' || substring(md5(concat_ws('|',
         |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
         |      o_orderstatus, o_orderpriority,
-        |      CAST(epoch_us(o_orderdate) AS VARCHAR),
+        |      CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS VARCHAR),
         |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT) AS h
         |  FROM orders)
         |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
