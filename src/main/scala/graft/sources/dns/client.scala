@@ -67,7 +67,7 @@ final class InMemoryDnsServer {
 
   def addZone(zone: String, records: Seq[ARecord]): Unit = synchronized {
     val st = new ZoneState
-    records.foreach(r => st.records += ARecord(r.fqdn.toLowerCase, r.ip))
+    records.foreach(r => st.records += ARecord(r.fqdn.toLowerCase(java.util.Locale.ROOT), r.ip))
     zones(Fqdn.normalize(zone)) = st
   }
 
@@ -100,7 +100,7 @@ final class InMemoryDnsServer {
     * reference — DnsUpdate.java:76-81). */
   def update(zone: String, changes: Seq[ZoneChange]): Unit = synchronized {
     val st = state(zone)
-    val applied = changes.map(c => c.copy(record = ARecord(c.record.fqdn.toLowerCase, c.record.ip)))
+    val applied = changes.map(c => c.copy(record = ARecord(c.record.fqdn.toLowerCase(java.util.Locale.ROOT), c.record.ip)))
     applied.foreach { c =>
       if (c.delete) st.records -= c.record else st.records += c.record
     }
@@ -116,7 +116,7 @@ final class InMemoryDnsServer {
     update(zone, adds.map(ZoneChange(_, delete = false)) ++ deletes.map(ZoneChange(_, delete = true)))
 
   def lookup(fqdn: String): Seq[String] = synchronized {
-    val name = Fqdn.normalize(fqdn).toLowerCase
+    val name = Fqdn.normalize(fqdn).toLowerCase(java.util.Locale.ROOT)
     zones.values.iterator.flatMap(_.records.iterator)
       .filter(_.fqdn == name).map(_.ip).toVector
   }

@@ -24,7 +24,7 @@ sealed trait XfrType
 object XfrType {
   case object AXFR extends XfrType
   case object IXFR extends XfrType
-  def parse(s: String): XfrType = s.trim.toUpperCase match {
+  def parse(s: String): XfrType = s.trim.toUpperCase(java.util.Locale.ROOT) match {
     case "AXFR" => AXFR
     case "IXFR" => IXFR
     case other => throw new IllegalArgumentException(

@@ -81,6 +81,6 @@ object DnsOptions {
 
   def sink(o: Map[String, String]): DnsSinkOptions = DnsSinkOptions(common(o))
 
-  private def lowerKeys(m: java.util.Map[String, String]): Map[String, String] =
-    m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+  private[dns] def lowerKeys(m: java.util.Map[String, String]): Map[String, String] =
+    m.asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
 }

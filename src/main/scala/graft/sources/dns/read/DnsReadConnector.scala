@@ -209,7 +209,7 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
     val fieldWriters: Array[(InternalRow, Int, String, ARecord) => Unit] =
       schema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
         case "action" => (row, i, action, _) => row.update(i, UTF8String.fromString(action))
-        case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase))
+        case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase(java.util.Locale.ROOT)))
         case "ip" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.ip))
         case "organization" => (row, i, _, _) => row.update(i, UTF8String.fromString(opts.organization))
         case "timestamp" => (row, i, _, _) => row.setLong(i, tsMicros)
