@@ -1,0 +1,64 @@
+#!/bin/bash
+# The round's full verification matrix as one command. Runs the
+# correctness gate (Verify + tools/selfcheck.py) across every
+# environment cell, then the negative control. Each cell writes to its
+# own dir under /tmp/graft_matrix; a cell failure prints FAIL and the
+# script continues (so one red cell doesn't hide the others), exiting
+# nonzero at the end if anything failed.
+#
+#   bash tools/matrix.sh            # all cells at sf0.01 (+ sf0.001 pass)
+#
+# Cells:
+#   base      sf0.01, 32 cores (the driver's own configuration)
+#   sf0001    sf0.001, 32 cores (smallest fixture)
+#   cpus4     sf0.01, 4 cores (partition-count invariance)
+#   ansi_off  spark.sql.ansi.enabled=false (arithmetic mode)
+#   rocksdb   RocksDB state-store provider forced globally
+#   tz_ny     spark.sql.session.timeZone=America/New_York (instant semantics)
+#   no_cg     whole-stage codegen + codegen factory off (interpreted twins)
+#   aqe_off   spark.sql.adaptive.enabled=false (AQE is perf-only)
+#   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on all but the
+#             SF-independent DNS-fixture keys + q_distinct_estimate
+set -u
+cd /root/repo
+BASE=/tmp/graft_matrix
+mkdir -p "$BASE"
+rc=0
+
+cell() { # name sfdir cpus conf
+  local name=$1 sfdir=$2 cpus=$3 conf=$4
+  local out="$BASE/$name"
+  rm -rf "$out"
+  echo "=== cell $name (sf=$sfdir cpus=$cpus conf='$conf') ==="
+  if ! SPARK_GRAFT_CPUS=$cpus SPARK_GRAFT_CONF="$conf" \
+      sbt -batch "runMain graft.Verify $sfdir $out" >/dev/null 2>&1; then
+    echo "FAIL $name: Verify exited nonzero"; rc=1; return
+  fi
+  if python3 tools/selfcheck.py "$sfdir" "$out" 2>/dev/null | grep -q "FAILURES: 0"; then
+    echo "OK   $name ($(ls "$out" | grep -c '^q'))"
+  else
+    echo "FAIL $name:"; python3 tools/selfcheck.py "$sfdir" "$out" 2>/dev/null | grep '^FAIL'
+    rc=1
+  fi
+}
+
+cell base     /root/testdata/sf0.01  32 ""
+cell sf0001   /root/testdata/sf0.001 32 ""
+cell cpus4    /root/testdata/sf0.01  4  ""
+cell ansi_off /root/testdata/sf0.01  32 "spark.sql.ansi.enabled=false"
+cell rocksdb  /root/testdata/sf0.01  32 "spark.sql.streaming.stateStore.providerClass=org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+cell tz_ny    /root/testdata/sf0.01  32 "spark.sql.session.timeZone=America/New_York"
+cell no_cg    /root/testdata/sf0.01  32 "spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN"
+cell aqe_off  /root/testdata/sf0.01  32 "spark.sql.adaptive.enabled=false"
+
+echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
+nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
+nok=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^OK ')
+echo "negctl: $nfail FAIL / $nok OK"
+# the known SF-independent set is 14 keys; a growing OK count means new
+# keys are accidentally SF-independent (weak gate) — flag it
+if [ "$nok" -gt 14 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 14)"; rc=1; fi
+if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; fi
+
+echo "=== matrix done, rc=$rc ==="
+exit $rc
