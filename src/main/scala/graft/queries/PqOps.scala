@@ -274,7 +274,11 @@ object PqOps {
   private def cellAdcRerank(s: SparkSession, dir: String, cells: DataFrame,
                             c1: DataFrame, enc: DataFrame): DataFrame = {
     val v = vecs(s, dir).select(col("vec_id"), col("q"))
-    val capped = Banding.capBuckets(cells, "vec_id", 128, bucketCol = "cell")
+    // Same cap constant as q_ivf_ann's capped cells — shared so a
+    // BucketCap change can never desync the IVF×PQ keys from q_ivf_ann
+    // (the oracles interpolate the same constant).
+    val capped = Banding.capBuckets(cells, "vec_id", EmbeddingOps.BucketCap,
+      bucketCol = "cell")
     val qCells = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("cell"))
     val cand = qCells.join(capped, Seq("cell"))
@@ -324,7 +328,10 @@ object PqOps {
       .join(roll(encN, "n_new", "d2_new"), Seq("m"))
       .select(col("m").as("subspace"), col("n_archive"), col("n_new"),
         col("d2_archive"), col("d2_new"),
-        expr("(10000 * d2_new * n_archive) DIV (d2_archive * n_new)").as("drift_bp"))
+        // nullif guards the perfectly-encoded-archive corner (d2=0 on a
+        // degenerate corpus): NULL drift, not an ANSI divide-by-zero;
+        // the oracle mirrors the same guard.
+        expr("(10000 * d2_new * n_archive) DIV nullif(d2_archive * n_new, 0)").as("drift_bp"))
       .orderBy(col("subspace"))
   }
 
@@ -427,7 +434,9 @@ object PqOps {
         min(expr("(10000 * nh) DIV nt")).as("min_recall_bp"))
     dist.crossJoin(recall)
       .select(lit(ks).as("ks"),
-        lit(math.ceil(math.log(ks) / math.log(2)).toLong * M).as("bits_per_vec"),
+        // integer bit-length (ceil(log2 ks)) — double log arithmetic is
+        // platform-fragile at exact powers of two (ks >= 2 required above)
+        lit((64 - java.lang.Long.numberOfLeadingZeros(ks - 1L)).toLong * M).as("bits_per_vec"),
         col("total_d2"), col("mean_d2_per_code"),
         col("n_queries"), col("mean_recall_bp"), col("min_recall_bp"))
   }
@@ -561,7 +570,7 @@ object PqOps {
          |  FROM cdots) WHERE rn = 1),
          |cappedc AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-         |  FROM cells) WHERE rn <= 128),
+         |  FROM cells) WHERE rn <= ${EmbeddingOps.BucketCap}),
          |qs AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id % 100 = 0),
          |cand AS (SELECT qs.qid, c2.vec_id AS cid
          |         FROM qs JOIN cappedc c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),
@@ -601,7 +610,7 @@ object PqOps {
          |ra AS (SELECT m, count(*) AS n_archive, CAST(sum(d2) AS BIGINT) AS d2_archive FROM a2 GROUP BY 1),
          |rn_ AS (SELECT m, count(*) AS n_new, CAST(sum(d2) AS BIGINT) AS d2_new FROM na2 GROUP BY 1)
          |SELECT ra.m AS subspace, ra.n_archive, rn_.n_new, ra.d2_archive, rn_.d2_new,
-         |  CAST((10000 * rn_.d2_new * ra.n_archive) // (ra.d2_archive * rn_.n_new) AS BIGINT) AS drift_bp
+         |  CAST((10000 * rn_.d2_new * ra.n_archive) // nullif(ra.d2_archive * rn_.n_new, 0) AS BIGINT) AS drift_bp
          |FROM ra JOIN rn_ ON rn_.m = ra.m ORDER BY 1""".stripMargin,
     // True IVFADC: the residual CTEs feed the same training chain
     // (init window 16..31 — the coarse centroids' own residuals are
@@ -612,7 +621,7 @@ object PqOps {
       s"""WITH $residualCte,
          |cappedc AS (SELECT vec_id, cell FROM (
          |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-         |  FROM cells) WHERE rn <= 128),
+         |  FROM cells) WHERE rn <= ${EmbeddingOps.BucketCap}),
          |qs AS (SELECT vec_id AS qid, cell FROM cells WHERE vec_id % 100 = 0),
          |cand AS (SELECT qs.qid, c2.vec_id AS cid
          |         FROM qs JOIN cappedc c2 ON c2.cell = qs.cell AND c2.vec_id <> qs.qid),

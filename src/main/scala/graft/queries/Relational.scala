@@ -255,8 +255,15 @@ object Relational {
     // cohort boundaries against the oracle (caught by the timezone
     // verification cell). The calendar type reappears only in the
     // final projection, built from the zone-free day number.
+    // FLOOR division, not DIV: Spark's DIV truncates toward zero while
+    // the oracle's // floors — divergent by one day for pre-1970
+    // instants. The double quotient is exact at day boundaries
+    // (µs counts < 2^53; the nearest non-multiple sits 1.16e-11 away
+    // from an integer, far outside double rounding error), so
+    // floor(µs / 86400e6) is the sign-correct epoch day in both engines.
     val ev = t(s, dir, "events")
-      .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .select($"user_id",
+        expr("CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)").as("d"))
     val first = ev.groupBy($"user_id").agg(min($"d").as("cd"))
     ev.join(first, Seq("user_id"))
       .groupBy($"cd", ($"d" - $"cd").as("day_offset"))

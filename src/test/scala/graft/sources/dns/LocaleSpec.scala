@@ -12,11 +12,18 @@ import org.scalatest.funsuite.AnyFunSuite
   * prove it. */
 class LocaleSpec extends AnyFunSuite {
 
-  private def underLocale[A](l: Locale)(body: => A): A = {
-    val prev = Locale.getDefault
-    Locale.setDefault(l)
-    try body finally Locale.setDefault(prev)
-  }
+  // The default-locale mutation is JVM-GLOBAL. sbt's forked test JVM
+  // runs suites sequentially by default (Test/testForkedParallel =
+  // false), but that is an sbt default, not a guarantee this spec
+  // controls — so serialize every mutation window under one class-level
+  // lock (shared by any future suite via the same idiom) so concurrent
+  // locale-sensitive code can never observe the Turkish default.
+  private def underLocale[A](l: Locale)(body: => A): A =
+    classOf[Locale].synchronized {
+      val prev = Locale.getDefault
+      Locale.setDefault(l)
+      try body finally Locale.setDefault(prev)
+    }
 
   test("xfr-type parsing, fqdn folding, and option keys survive a Turkish default locale") {
     underLocale(new Locale("tr", "TR")) {
