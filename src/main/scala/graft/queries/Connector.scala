@@ -128,6 +128,102 @@ object Connector {
       |FROM (SELECT unnest(generate_series(0, 11)) AS i)
       |ORDER BY fqdn""".stripMargin
 
+  /** RUNTIME zone pruning (`SupportsRuntimeFiltering`) under the oracle
+    * gate: four zones registered, NONE statically filtered — the zones
+    * a tenant wants exist only as ROWS of a dimension table, so
+    * ScanBuilder-time pushdown cannot see them. The equi-join on `zone`
+    * against the dimension (filtered `wanted = 1`) makes Spark's
+    * dynamic-partition-pruning rule plant a subquery filter on the DNS
+    * scan; at execution BatchScanExec evaluates the dim side first,
+    * hands the surviving zone values to `DnsScan.filter`, and re-plans
+    * partitions — so the two unwanted zones' transfers NEVER run. The
+    * gate pins that behaviorally: `transfers_run` is the in-memory
+    * server's served-transfer count read after execution, and the
+    * oracle says 2 — a regression to scan-all-four (DPP not fired, or
+    * the filter ignored) breaks the hash, not just a plan assert.
+    * At scale this is the difference between O(registered) and
+    * O(joined) zone transfers when the zone list is data, not a
+    * predicate. The dim lives as a (tiny) parquet scratch table
+    * because a purely local relation's filter constant-folds away
+    * before the DPP rule looks for a selective predicate. */
+  def qDnsRuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val port = freshPort("q_dns_runtime_prune")
+    seedReadFixture(port)
+    stageRuntimePruneDim(s, dir)
+    val joined = runtimePruneJoin(s, dir, port)
+    // Execute NOW: the transfer count is only meaningful after the scan
+    // ran, and it must ride the returned frame. The collect is fixture-
+    // scale (24 rows) — the same eager-fixture shape as the other
+    // connector keys, not a data-path collect.
+    val rows = joined.collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val transfers = InMemoryDnsServer.at(Host, port).transferCount
+    rows.toDF("zone", "fqdn", "ip")
+      .withColumn("transfers_run", lit(transfers))
+      .orderBy("zone", "fqdn")
+  }
+
+  /** The lazy join [[qDnsRuntimePrune]] executes — exposed so
+    * PlanAuditSpec can assert the DPP subquery reached the DNS scan
+    * (the gated key returns a post-execution local frame, whose plan no
+    * longer shows the join). Caller seeds the fixture + dim first. */
+  private[graft] def runtimePruneJoin(s: SparkSession, dir: String, port: Int): DataFrame = {
+    import s.implicits._
+    val dimPath = new java.io.File(Scratch.dir("dns_rtp_dim", dir), "dim")
+    val dns = s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("zone", "fqdn", "ip")
+    val dim = s.read.parquet(dimPath.toString).filter($"wanted" === 1).select("zone")
+    dns.join(dim, Seq("zone")).select($"zone", $"fqdn", $"ip")
+  }
+
+  /** Seed the [[qDnsRuntimePrune]] fixture on a fresh port and return
+    * it — the spec-side entry to the same fixture + staged dim. */
+  private[graft] def seedRuntimePruneFixture(s: SparkSession, dir: String): Int = {
+    val port = freshPort("q_dns_runtime_prune_audit")
+    seedReadFixture(port)
+    stageRuntimePruneDim(s, dir)
+    port
+  }
+
+  /** Spec-side read of the fixture server's served-transfer count. */
+  private[graft] def transfersServed(port: Int): Long =
+    InMemoryDnsServer.at(Host, port).transferCount
+
+  /** Staged once per JVM (marker-gated, a pure function of nothing):
+    * the dimension rows say z1/z3 are wanted, z0 is present-but-not
+    * (and z2 has no dim row at all). */
+  private def stageRuntimePruneDim(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val base = Scratch.dir("dns_rtp_dim", dir)
+    val dimPath = new java.io.File(base, "dim")
+    val marker = new java.io.File(base, "_STAGED")
+    if (!marker.exists()) {
+      Scratch.deleteRecursively(new java.io.File(base))
+      Seq(("z1.graft.", 1), ("z3.graft.", 1), ("z0.graft.", 0))
+        .toDF("zone", "wanted").coalesce(1)
+        .write.mode("overwrite").parquet(dimPath.toString)
+      marker.createNewFile(): Unit
+    }
+  }
+
+  private val qDnsRuntimePruneOracle: String =
+    """WITH h AS (
+      |  SELECT j, i FROM (SELECT unnest([1, 3]) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i)
+      |  WHERE i <= 9 + j)
+      |SELECT 'z'||j||'.graft.' AS zone,
+      |  'h'||i||'.z'||j||'.graft.' AS fqdn,
+      |  '10.'||j||'.0.'||i AS ip,
+      |  CAST(2 AS BIGINT) AS transfers_run
+      |FROM h ORDER BY zone, fqdn""".stripMargin
+
   /** The same full read through the WIRE client: executors open real
     * TCP sockets to the loopback [[WireDnsServer]] and speak RFC
     * 1035/5936 — message encode, TCP framing, compression-pointer-aware
@@ -656,6 +752,7 @@ object Connector {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_zone_pruned" -> qDnsZonePruned,
+    "q_dns_runtime_prune" -> qDnsRuntimePrune,
     "q_dns_roundtrip" -> qDnsRoundtrip,
     "q_dns_ixfr" -> qDnsIxfr,
     "q_dns_wire_read" -> qDnsWireRead,
@@ -674,6 +771,7 @@ object Connector {
   val oracles: Map[String, String] = Map(
     "q_dns_read" -> qDnsReadOracle,
     "q_dns_zone_pruned" -> qDnsZonePrunedOracle,
+    "q_dns_runtime_prune" -> qDnsRuntimePruneOracle,
     "q_dns_roundtrip" -> qDnsRoundtripOracle,
     "q_dns_ixfr" -> qDnsIxfrOracle,
     "q_dns_wire_read" -> qDnsReadOracle,

@@ -65,6 +65,14 @@ final class InMemoryDnsServer {
 
   private val zones = mutable.Map.empty[String, ZoneState]
 
+  /** Transfers served since construction (AXFR + IXFR, any zone) — the
+    * observable that runtime zone pruning is graded on: a pruned zone
+    * is a transfer that never reaches the server, so
+    * q_dns_runtime_prune / ReadConnectorSpec assert this count, not a
+    * plan string. */
+  private val xfrServed = new java.util.concurrent.atomic.AtomicLong(0L)
+  def transferCount: Long = xfrServed.get()
+
   def addZone(zone: String, records: Seq[ARecord]): Unit = synchronized {
     val st = new ZoneState
     records.foreach(r => st.records += ARecord(r.fqdn.toLowerCase(java.util.Locale.ROOT), r.ip))
@@ -79,6 +87,7 @@ final class InMemoryDnsServer {
 
   def axfr(zone: String): AxfrResult = synchronized {
     val st = state(zone)
+    xfrServed.incrementAndGet()
     AxfrResult(st.serial, st.records.toVector)
   }
 
@@ -86,6 +95,7 @@ final class InMemoryDnsServer {
     * longer covers the requested serial (DNS protocol behavior). */
   def ixfr(zone: String, fromSerial: Long): TransferResult = synchronized {
     val st = state(zone)
+    xfrServed.incrementAndGet()
     if (fromSerial >= st.serial) IxfrResult(st.serial, Vector.empty)
     else {
       val deltas = st.journal.dropWhile(_.startSerial < fromSerial).toVector

@@ -113,29 +113,61 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
 }
 
 final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType)
-  extends Scan {
+  extends Scan with SupportsRuntimeFiltering {
+
+  /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
+    * already pruned `zones` at ScanBuilder time; this second stage
+    * prunes against values that only exist at execution time — a
+    * dynamic-partition-pruning subquery over the join's other side.
+    * The reference has no pushdown at all (DnsSourceRelation.java:17);
+    * here a zone pruned EITHER way is a whole zone transfer (network
+    * round-trip + full zone payload) that never happens. */
+  @volatile private var runtimeZones: Seq[String] = zones
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
-    s"DnsScan(server=${opts.common.server}, zones=${zones.mkString(",")}, " +
+    s"DnsScan(server=${opts.common.server}, zones=${runtimeZones.mkString(",")}, " +
       s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}])"
 
-  private def registerAccumulators(prefix: String): Map[String, ZoneVersion] = {
+  /** DPP handshake: declare `zone` runtime-filterable. Spark's
+    * PartitionPruning rule then plants a DynamicPruningSubquery on any
+    * equi-join over `zone` whose other side carries a selective filter;
+    * at execution BatchScanExec evaluates it, calls [[filter]] with the
+    * surviving values, and re-plans partitions — so the transfers for
+    * runtime-eliminated zones never start. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("zone"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      // Same exact-match contract as the static pushdown: values
+      // compare verbatim against normalized zone names.
+      case EqualTo("zone", v: String) => runtimeZones = runtimeZones.filter(_ == v)
+      case In("zone", vs) => runtimeZones = runtimeZones.filter(z => vs.contains(z: Any))
+      case _ => () // unsupported shape: keep the superset; Spark still
+                   // applies the predicate above the scan
+    }
+
+  // Registered ONCE per scan (lazy), over the statically-pruned zone
+  // list: with runtime filtering Spark calls toBatch a second time
+  // after [[filter]], and re-registering would double-count. A
+  // runtime-pruned zone simply never updates its accumulator.
+  private lazy val accs: Map[String, ZoneVersion] = {
     // One named max-serial accumulator per zone, registered on the
     // driver at planning time (reference DnsSourceRelationProvider
     // .java:73-88); values surface in the Spark UI and feed streaming.
     val sc = SparkSession.active.sparkContext
     zones.map { z =>
       val acc = new ZoneVersion
-      sc.register(acc, s"$prefix.$z")
+      sc.register(acc, s"dns.zone.version.$z")
       z -> acc
     }.toMap
   }
 
   override def toBatch: Batch =
-    new DnsBatch(opts, zones, schema, zones.map(z => z -> opts.serial).toMap,
-      registerAccumulators("dns.zone.version"))
+    new DnsBatch(opts, runtimeZones, schema,
+      runtimeZones.map(z => z -> opts.serial).toMap, accs)
 
   override def toMicroBatchStream(checkpointLocation: String) =
     new DnsMicroBatchStream(opts, zones, schema, checkpointLocation)

@@ -53,6 +53,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_orderkey"), readSchema)
   }
 
+  test("q_dns_runtime_prune: the DPP runtime filter reaches the DNS scan") {
+    val port = Connector.seedRuntimePruneFixture(spark, dir)
+    val joined = Connector.runtimePruneJoin(spark, dir, port)
+    val s = planString(joined)
+    // the planner planted a dynamic-pruning subquery on the scan side…
+    assert(s.contains("dynamicpruning"), s)
+    // …and the filter reached DnsScan.filter, not just the plan header:
+    // only the two wanted zones' transfers actually ran
+    assert(Connector.transfersServed(port) == 2L,
+      s"expected 2 transfers after runtime pruning, got ${Connector.transfersServed(port)}")
+  }
+
   test("q3: no SF-scaling table is broadcast by hint (AQE decides)") {
     // At sf0.001 AQE may legitimately choose broadcast for small
     // runtime sizes; what must NOT appear is a build side pinned by an

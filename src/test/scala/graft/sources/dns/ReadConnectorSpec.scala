@@ -132,6 +132,37 @@ class ReadConnectorSpec extends AnyFunSuite {
     assert(plan.contains("zones=example.acme."), plan)
   }
 
+  test("runtime filtering: a zone-dim join prunes transfers via dynamic partition pruning") {
+    import spark.implicits._
+    val port = 5315
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    (0 to 3).foreach { z =>
+      srv.addZone(s"z$z.rtp.", (0 to z).map(i => ARecord(s"h$i.z$z.rtp.", s"10.$z.0.$i")))
+    }
+    // Dim must be a file scan: a local relation's filter constant-folds
+    // away before the DPP rule looks for a selective predicate.
+    val dimPath = java.nio.file.Files.createTempDirectory("rtp_dim").toString
+    Seq(("z1.rtp.", 1), ("z3.rtp.", 1), ("z0.rtp.", 0)).toDF("zone", "wanted")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dns = spark.read.format("dns")
+      .option("server", "t").option("port", port.toString)
+      .option("organization", "o")
+      .option("zones", "z0.rtp,z1.rtp,z2.rtp,z3.rtp")
+      .option("xfr", "AXFR").load()
+      .select("zone", "fqdn", "ip")
+    val dim = spark.read.parquet(dimPath).filter($"wanted" === 1).select("zone")
+    val joined = dns.join(dim, Seq("zone"))
+    val rows = joined.collect()
+    // z1 holds 2 hosts, z3 holds 4 — and only those two zones transfer
+    assert(rows.length == 6, rows.mkString(","))
+    assert(srv.transferCount == 2,
+      s"expected 2 zone transfers after runtime pruning, got ${srv.transferCount}")
+    // the planner planted a DPP subquery on the DNS scan side
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("zone IN filter prunes to the named zones; non-listed zone yields 0 rows") {
     seeded(5310)
     val in = read(5310, "xfr" -> "AXFR")
