@@ -869,10 +869,46 @@ object StreamingOps {
       .orderBy($"user_id")
   }
 
-  /** State INTROSPECTION under the oracle gate: the same
-    * [[ProfileProcessor]] replay as [[qTwsProfile]], checkpointed to a
-    * persistent location, then the checkpoint's state store itself is
-    * read back as a batch DataFrame with Spark's state data source
+  /** Once-per-JVM staged profile-replay CHECKPOINT (marker-gated, a
+    * pure function of the SF dir — the deterministic CDC landing
+    * replayed through the deterministic [[ProfileProcessor]]): the
+    * artifact the two READ-BACK keys below consume. q_tws_state and
+    * q_tws_metadata verify what the checkpoint HOLDS (store contents,
+    * operator/state-variable/batch facts), not the replay's emissions
+    * — the replay itself is the gated, per-call-measured subject of
+    * q_tws_profile. Staging it once per JVM is the same discipline as
+    * [[stagedLanding]]: input prep runs in warmup, the timed passes
+    * measure the read surface the key is actually about. (A shared
+    * STABLE checkpoint cannot serve q_tws_profile itself: restarting
+    * on an all-committed checkpoint replays nothing, so the emissions
+    * sink would come up empty — the profile key keeps its own fresh
+    * replay.) */
+  private def stagedProfileCheckpoint(s: SparkSession, dir: String): String = {
+    val base = graft.queries.Scratch.dir("tws_profile_ck", dir)
+    val ck = new java.io.File(base, "ck")
+    val marker = new java.io.File(base, "_STAGED")
+    if (!marker.exists()) {
+      graft.queries.Scratch.deleteRecursively(new java.io.File(base))
+      val s2 = rocksReplaySession(s)
+      import s2.implicits._
+      val out = twsSource(s2, dir).groupByKey(_.user_id)
+        .transformWithState(new ProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      val q = out.toDF()
+        .writeStream.outputMode(OutputMode.Append()).format("memory")
+        .queryName("graft_tws_ck_stage").option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "profile-checkpoint staging did not terminate")
+      lastReplayProgress = q.recentProgress.toSeq
+      marker.createNewFile(): Unit
+    }
+    ck.toString
+  }
+
+  /** State INTROSPECTION under the oracle gate: the
+    * [[ProfileProcessor]] replay's checkpoint ([[stagedProfileCheckpoint]]
+    * — same processor and landing as [[qTwsProfile]]), read back as a
+    * batch DataFrame with Spark's state data source
     * (`spark.read.format("statestore")`, `stateVarName` selecting the
     * ValueState variable) and compared against the whole-log batch
     * truth. Where q_tws_profile verifies the EMISSIONS, this key
@@ -883,18 +919,11 @@ object StreamingOps {
     * per executor without replaying the stream, reading it with
     * ordinary batch SQL instead. */
   def qTwsState(s: SparkSession, dir: String): DataFrame = {
+    val ck = stagedProfileCheckpoint(s, dir)
+    // reader clone with the RocksDB provider conf the checkpoint was
+    // written under (the state source instantiates the provider)
     val s2 = rocksReplaySession(s)
     import s2.implicits._
-    val ck = graft.queries.Scratch.fresh("tws_state_ck", dir)
-    val out = twsSource(s2, dir).groupByKey(_.user_id)
-      .transformWithState(new ProfileProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
-    val q = out.toDF()
-      .writeStream.outputMode(OutputMode.Append()).format("memory")
-      .queryName("graft_tws_state").option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow()).start()
-    require(q.awaitTermination(180000), "tws-state stream did not terminate")
-    lastReplayProgress = q.recentProgress.toSeq
     s2.read.format("statestore")
       .option("path", ck).option("stateVarName", "profile").load()
       .select($"key.value".as("user_id"),
@@ -902,6 +931,33 @@ object StreamingOps {
         $"value.last_eid".as("last_event_id"),
         $"value.last_type".as("last_event_type"))
       .orderBy($"user_id")
+  }
+
+  /** State DISCOVERY under the oracle gate: the `state-metadata`
+    * source over the same staged checkpoint — the catalog half of the
+    * introspection surface (q_tws_state is the data half). One row per
+    * stateful operator instance listing which operator ran, which
+    * store it kept, across how many shuffle partitions, and the batch
+    * id range the checkpoint covers — what an operator/migration tool
+    * reads FIRST, before deciding how to open the store itself. The
+    * oracle pins the replay's own recorded facts as literals: operator
+    * `transformWithStateExec`, the default store, 8 partitions
+    * ([[replaySession]]'s state-volume sizing), batches 0..2 (the
+    * 3-slice CDC landing under maxFilesPerTrigger=1), and the profile
+    * ValueState variable surfaced from operatorProperties. */
+  def qTwsMetadata(s: SparkSession, dir: String): DataFrame = {
+    val ck = stagedProfileCheckpoint(s, dir)
+    import s.implicits._
+    s.read.format("state-metadata").option("path", ck).load()
+      .select($"operatorId".cast("long").as("operator_id"),
+        $"operatorName".as("operator_name"),
+        $"stateStoreName".as("state_store_name"),
+        $"numPartitions".cast("long").as("num_partitions"),
+        $"minBatchId".cast("long").as("min_batch_id"),
+        $"maxBatchId".cast("long").as("max_batch_id"),
+        $"operatorProperties".contains("\"stateName\":\"profile\"")
+          .as("has_profile_var"))
+      .orderBy($"operator_id", $"state_store_name")
   }
 
   /** [[LastKProcessor]] under the oracle gate: each user's K=3 most
@@ -1016,7 +1072,8 @@ object StreamingOps {
     "q_tws_lastk" -> qTwsLastK,
     "q_tws_counts" -> qTwsCounts,
     "q_tws_initial" -> qTwsInitial,
-    "q_tws_state" -> qTwsState)
+    "q_tws_state" -> qTwsState,
+    "q_tws_metadata" -> qTwsMetadata)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -1167,6 +1224,20 @@ object StreamingOps {
         |WHERE s.sid < f.last_sid
         |   OR s.last_us // 1000 + 1800000 <= (SELECT wm_ms FROM wm)
         |ORDER BY s.user_id, s.start_us""".stripMargin,
+    // The checkpoint's own recorded facts as literals: which operator,
+    // which store, how many partitions, which batch range — all fully
+    // determined by the replay's construction (ProfileProcessor over
+    // the 3-slice landing at 8 state partitions). A replay that ran a
+    // different operator, resized partitions, or committed a different
+    // batch count breaks the hash.
+    "q_tws_metadata" ->
+      """SELECT CAST(0 AS BIGINT) AS operator_id,
+        |  'transformWithStateExec' AS operator_name,
+        |  'default' AS state_store_name,
+        |  CAST(8 AS BIGINT) AS num_partitions,
+        |  CAST(0 AS BIGINT) AS min_batch_id,
+        |  CAST(2 AS BIGINT) AS max_batch_id,
+        |  TRUE AS has_profile_var""".stripMargin,
     // Batch truth for first-per-key: earliest (ts, event_id) window.
     "q_streaming_dedup" ->
       """SELECT user_id, event_type, event_id AS first_event_id,

@@ -681,12 +681,11 @@ class StreamingOpsSpec extends AnyFunSuite {
 
     // the state-metadata source documents the operator and its state
     // variable — the discovery half of the introspection surface
-    val ck = graft.queries.Scratch.dir("tws_state_ck", dir)
-    val meta = spark.read.format("state-metadata").option("path", ck).load().collect()
+    // (gated as q_tws_metadata; asserted here against the typed row)
+    val meta = StreamingOps.qTwsMetadata(spark, dir).collect()
     assert(meta.exists(r =>
-      r.getAs[String]("operatorName") == "transformWithStateExec" &&
-        r.getAs[String]("operatorProperties").contains("\"stateName\":\"profile\"") &&
-        r.getAs[String]("operatorProperties").contains("\"stateVariableType\":\"ValueState\"")),
+      r.getAs[String]("operator_name") == "transformWithStateExec" &&
+        r.getAs[Boolean]("has_profile_var")),
       meta.map(_.toString).mkString("\n"))
   }
 

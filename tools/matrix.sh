@@ -55,10 +55,11 @@ echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
 nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
 nok=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^OK ')
 echo "negctl: $nfail FAIL / $nok OK"
-# the known SF-independent set is 15 keys (the r12 set of 14 fixture
-# keys + q_dns_runtime_prune); a growing OK count means new keys are
-# accidentally SF-independent (weak gate) — flag it
-if [ "$nok" -gt 15 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 15)"; rc=1; fi
+# the known SF-independent set is 16 keys (the r12 set of 14 fixture
+# keys + q_dns_runtime_prune + q_tws_metadata, whose oracle is the
+# replay's own construction facts); a growing OK count means new keys
+# are accidentally SF-independent (weak gate) — flag it
+if [ "$nok" -gt 16 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 16)"; rc=1; fi
 if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; fi
 
 echo "=== matrix done, rc=$rc ==="
