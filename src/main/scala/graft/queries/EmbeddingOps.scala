@@ -240,9 +240,14 @@ object EmbeddingOps {
     * centroid id — one broadcast pass, linear in the corpus. Shared by
     * [[qIvfAnn]] and the IVF×PQ composition ([[PqOps.qIvfPqAnn]]) so
     * the two paths can never disagree about what a cell is. */
-  private[queries] def ivfCells(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def ivfCells(s: SparkSession, dir: String): DataFrame =
+    ivfCellsOf(s, vecs(s, dir).select(col("vec_id"), col("q")))
+
+  /** [[ivfCells]] over an arbitrary (vec_id, q) frame — the coarse
+    * assignment is corpus-agnostic (PqOps runs it over the synthetic
+    * mixture-of-Gaussians corpus as well as the real embeddings). */
+  private[queries] def ivfCellsOf(s: SparkSession, v: DataFrame): DataFrame = {
     import s.implicits._
-    val v = vecs(s, dir).select($"vec_id", $"q")
     val cents = v.filter($"vec_id" < 16).select($"vec_id".as("ccid"), $"q".as("cq"))
     v.crossJoin(broadcast(cents))
       .select($"vec_id", $"ccid", dot(s, "cq", "q").as("cdot"))

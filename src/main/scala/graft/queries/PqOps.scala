@@ -344,13 +344,68 @@ object PqOps {
   /** [[residualBase]] over a caller-held cell assignment, so a caller
     * that already computed cells doesn't replay the assignment pass. */
   private def residualBaseFrom(s: SparkSession, dir: String,
-                               cells: DataFrame): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+                               cells: DataFrame): DataFrame =
+    residualBaseOf(vecs(s, dir).select(col("vec_id"), col("q")), cells)
+
+  /** The residual subtraction over an arbitrary (vec_id, q) frame —
+    * corpus-agnostic like [[EmbeddingOps.ivfCellsOf]]. */
+  private def residualBaseOf(v: DataFrame, cells: DataFrame): DataFrame = {
     val cents = v.filter(col("vec_id") < 16)
       .select(col("vec_id").as("ccid"), col("q").as("ccq"))
     v.join(cells, Seq("vec_id"))
       .join(broadcast(cents), col("cell") === col("ccid"))
       .select(col("vec_id"), expr("zip_with(q, ccq, (x, y) -> x - y)").as("q"))
+  }
+
+  /** Deterministic MIXTURE-OF-GAUSSIANS corpus over the SAME vec_id
+    * set as the embeddings table: 16 well-separated integer centers
+    * (coordinates in ±1000) plus small per-vector noise (±30), both
+    * pure integer arithmetic — Knuth multiplicative mixing mod a small
+    * range — so DuckDB regenerates the corpus verbatim from the same
+    * formula. Cluster of vector i is i % 16, so the IVF init
+    * convention (coarse centroids = vectors 0..15) seeds exactly one
+    * init vector per true cluster. This is the corpus where residual
+    * encoding SHOULD pay: the center explains ~99.8% of per-dim
+    * energy, so x − c(cell(x)) concentrates near zero and the 4-bit
+    * code budget spends on a ~500× smaller signal. */
+  private[graft] def mogVecs(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir).select(col("vec_id"))
+      .withColumn("q", expr(
+        "transform(sequence(0, 63), d -> CAST(" +
+          "(((vec_id % 16) * 64 + d + 1) * 2654435761) % 2001 - 1000 + " +
+          "((vec_id * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"))
+
+  /** The same formula in DuckDB's spelling (list_transform/range). */
+  private val MogQDuck: String =
+    "list_transform(range(0, 64), d -> CAST(" +
+      "(((vec_id % 16) * 64 + d + 1) * 2654435761) % 2001 - 1000 + " +
+      "((vec_id * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"
+
+  /** Residual-vs-raw on the CLUSTERABLE corpus ([[mogVecs]]) — the
+    * deployment-verdict twin of q_ivfpq_residual's audit. On the
+    * near-random demo embeddings the coarse quantizer explains almost
+    * nothing and residual encoding measures 1.35–1.4× WORSE than raw
+    * (PqOpsSpec pins it); FAISS folklore says it flips on clustered
+    * data, and this key PROVES the flip with the same machinery: per
+    * subspace, raw-encoding vs residual-encoding total distortion and
+    * their ratio in basis points (gain_bp ≪ 10000 = residual wins).
+    * Same single Lloyd round, same init discipline (raw inits at 0,
+    * residual at 16 past the degenerate self-residual centroids), and
+    * the oracle replays the full composition — corpus generation,
+    * coarse assignment, residual subtraction, both training chains —
+    * in DuckDB. */
+  def qPqMogResidual(s: SparkSession, dir: String): DataFrame = {
+    val v = mogVecs(s, dir)
+    val rawEnc = trainEncodeOf(s, subRowsOf(s, v))._2
+    val cells = EmbeddingOps.ivfCellsOf(s, v)
+    val resEnc = trainEncodeOf(s, subRowsOf(s, residualBaseOf(v, cells)),
+      initLo = 16)._2
+    def roll(e: DataFrame, dCol: String) =
+      e.groupBy(col("m")).agg(sum(col("d2")).as(dCol))
+    roll(rawEnc, "d2_raw").join(roll(resEnc, "d2_residual"), Seq("m"))
+      .select(col("m").as("subspace"), col("d2_raw"), col("d2_residual"),
+        expr("(10000 * d2_residual) DIV nullif(d2_raw, 0)").as("gain_bp"))
+      .orderBy(col("subspace"))
   }
 
   /** True IVFADC — [[qIvfPqAnn]] with RESIDUAL encoding, the layout
@@ -458,7 +513,8 @@ object PqOps {
     "q_ivfpq_ann" -> qIvfPqAnn,
     "q_ivfpq_residual" -> qIvfPqResidual,
     "q_pq_incremental" -> qPqIncremental,
-    "q_pq_recall" -> qPqRecall)
+    "q_pq_recall" -> qPqRecall,
+    "q_pq_mog_residual" -> qPqMogResidual)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
     * `a2` = codes) — nested verbatim by all three oracles so they can
@@ -469,29 +525,35 @@ object PqOps {
     * residual variant — with the same init-window parameter as the
     * Spark side. */
   private def pqTrainCte(src: String, initLo: Int): String =
-    s"""sub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
+    pqTrainCteP(src, initLo, "")
+
+  /** [[pqTrainCte]] with every CTE name prefixed — lets one oracle
+    * nest TWO training chains (raw + residual over the MoG corpus)
+    * without name collisions. */
+  private def pqTrainCteP(src: String, initLo: Int, p: String): String =
+    s"""${p}sub AS (SELECT vec_id, r.m AS m, q[r.m*$SubDim+1 : r.m*$SubDim+$SubDim] AS sub
        |        FROM $src, range($M) r(m)),
-       |c0 AS (SELECT m, vec_id - $initLo AS cid, sub AS cq FROM sub
+       |${p}c0 AS (SELECT m, vec_id - $initLo AS cid, sub AS cq FROM ${p}sub
        |       WHERE vec_id >= $initLo AND vec_id < ${initLo + Ks}),
-       |t1 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
-       |       FROM sub s JOIN c0 c ON c.m = s.m),
-       |d1 AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM t1 GROUP BY 1,2,3),
-       |a1 AS (SELECT vec_id, m, cid FROM (
+       |${p}t1 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+       |       FROM ${p}sub s JOIN ${p}c0 c ON c.m = s.m),
+       |${p}d1 AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM ${p}t1 GROUP BY 1,2,3),
+       |${p}a1 AS (SELECT vec_id, m, cid FROM (
        |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-       |    FROM d1) WHERE rn = 1),
-       |u1 AS (SELECT a1.m, a1.cid, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS val
-       |       FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.m = a1.m),
-       |m1 AS (SELECT m, cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mv
-       |       FROM u1 GROUP BY 1,2,3),
-       |c1 AS (SELECT c0.m, c0.cid, coalesce(n.cq, c0.cq) AS cq
-       |       FROM c0 LEFT JOIN (SELECT m, cid, list(mv ORDER BY pos) AS cq FROM m1 GROUP BY 1,2) n
+       |    FROM ${p}d1) WHERE rn = 1),
+       |${p}u1 AS (SELECT a1.m, a1.cid, generate_subscripts(s.sub, 1) AS pos, unnest(s.sub) AS val
+       |       FROM ${p}a1 a1 JOIN ${p}sub s ON s.vec_id = a1.vec_id AND s.m = a1.m),
+       |${p}m1 AS (SELECT m, cid, pos, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS mv
+       |       FROM ${p}u1 GROUP BY 1,2,3),
+       |${p}c1 AS (SELECT c0.m, c0.cid, coalesce(n.cq, c0.cq) AS cq
+       |       FROM ${p}c0 c0 LEFT JOIN (SELECT m, cid, list(mv ORDER BY pos) AS cq FROM ${p}m1 GROUP BY 1,2) n
        |       ON n.m = c0.m AND n.cid = c0.cid),
-       |t2 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
-       |       FROM sub s JOIN c1 c ON c.m = s.m),
-       |d2r AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM t2 GROUP BY 1,2,3),
-       |a2 AS (SELECT vec_id, m, cid AS code, d2 FROM (
+       |${p}t2 AS (SELECT s.vec_id, s.m, c.cid, unnest(s.sub) AS a, unnest(c.cq) AS b
+       |       FROM ${p}sub s JOIN ${p}c1 c ON c.m = s.m),
+       |${p}d2r AS (SELECT vec_id, m, cid, sum((a-b)*(a-b)) AS d2 FROM ${p}t2 GROUP BY 1,2,3),
+       |${p}a2 AS (SELECT vec_id, m, cid AS code, d2 FROM (
        |    SELECT vec_id, m, cid, d2, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-       |    FROM d2r) WHERE rn = 1)""".stripMargin
+       |    FROM ${p}d2r) WHERE rn = 1)""".stripMargin
 
   private lazy val pqCte: String =
     s"v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),\n" + pqTrainCte("v", 0)
@@ -537,7 +599,30 @@ object PqOps {
        |  FROM dots)
        |SELECT qid, cid FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** Full replay of the MoG flip: regenerate the corpus from the same
+    * integer formula, assign coarse cells, subtract residuals, run BOTH
+    * training chains (prefixed CTEs), compare distortions. */
+  private lazy val mogResidualSql: String =
+    s"""WITH mv AS (SELECT vec_id, $MogQDuck AS q FROM embeddings),
+       |mcents AS (SELECT vec_id AS ccid, q AS ccq FROM mv WHERE vec_id < 16),
+       |mct AS (SELECT mv.vec_id, c.ccid, unnest(mv.q) AS a, unnest(c.ccq) AS b FROM mv, mcents c),
+       |mcdots AS (SELECT vec_id, ccid, sum(a*b) AS cdot FROM mct GROUP BY 1,2),
+       |mcells AS (SELECT vec_id, ccid AS cell FROM (
+       |  SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, ccid) AS rn
+       |  FROM mcdots) WHERE rn = 1),
+       |mrt AS (SELECT mv.vec_id, generate_subscripts(mv.q, 1) AS pos, unnest(mv.q) AS a, unnest(c2.ccq) AS b
+       |       FROM mv JOIN mcells cl ON cl.vec_id = mv.vec_id JOIN mcents c2 ON c2.ccid = cl.cell),
+       |mrv AS (SELECT vec_id, list(a - b ORDER BY pos) AS q FROM mrt GROUP BY 1),
+       |${pqTrainCteP("mv", 0, "w")},
+       |${pqTrainCteP("mrv", 16, "r")},
+       |wr AS (SELECT m, CAST(sum(d2) AS BIGINT) AS d2_raw FROM wa2 GROUP BY 1),
+       |rr AS (SELECT m, CAST(sum(d2) AS BIGINT) AS d2_residual FROM ra2 GROUP BY 1)
+       |SELECT wr.m AS subspace, wr.d2_raw, rr.d2_residual,
+       |  CAST((10000 * rr.d2_residual) // nullif(wr.d2_raw, 0) AS BIGINT) AS gain_bp
+       |FROM wr JOIN rr ON rr.m = wr.m ORDER BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_pq_mog_residual" -> mogResidualSql,
     "q_pq_distortion" ->
       s"""WITH $pqCte
          |SELECT m AS subspace, count(*) AS n_vectors, count(DISTINCT code) AS n_codes_used,

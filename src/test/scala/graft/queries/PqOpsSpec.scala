@@ -133,6 +133,24 @@ class PqOpsSpec extends AnyFunSuite {
     assert(res < 2 * raw, s"residual d2 $res implausibly large vs raw $raw")
   }
 
+  test("on the clustered MoG corpus the residual-vs-raw verdict FLIPS") {
+    // The FAISS-folklore direction, proven with the same machinery and
+    // the same single Lloyd round: on data with real coarse structure
+    // (16 well-separated centers, small noise) residual encoding beats
+    // raw in EVERY subspace — the twin of the test above, which pins
+    // the opposite direction on the near-random demo embeddings.
+    val rows = PqOps.qPqMogResidual(s, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val gain = r.getAs[Long]("gain_bp")
+      assert(gain < 10000L,
+        s"subspace ${r.getAs[Long]("subspace")}: residual did not beat raw (gain_bp=$gain)")
+      assert(gain > 2000L,
+        s"subspace ${r.getAs[Long]("subspace")}: gain_bp=$gain implausibly small — " +
+          "residual should be noise-limited, not near-free")
+    }
+  }
+
   test("incremental encode: counts partition the corpus, drift near par on this corpus") {
     import s.implicits._
     val out = PqOps.qPqIncremental(s, dir).collect()
