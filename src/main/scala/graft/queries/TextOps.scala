@@ -522,10 +522,22 @@ object TextOps {
       val pushed = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
         .select($"dst".as("v"), $"l")
       val propagated = pushed.union(labels).groupBy($"v").agg(min($"l").as("l"))
-      // pointer jump: l(v) <- min(l(v), l(l(v))) — doubles reach
+      // pointer jump ×2 against ONE map: l ← min(l, L(l)), then
+      // min(·, L(·)) again with the SAME label map L = propagated —
+      // composing L twice reaches l(l(l(v))) per round, so the
+      // long-path regime converges in ~⅔ the rounds, and every round
+      // saved is a whole checkpoint + observe + shuffle cycle. Joining
+      // the same map twice (instead of re-deriving a map from the
+      // jumped labels) keeps the plan LINEAR — no self-join subtree
+      // duplication, and the map's aggregate exchange is reused across
+      // its references. Every step is still a min, so the
+      // decreasing-sum convergence argument is unchanged.
       val byLabel = propagated.select($"v".as("pv"), $"l".as("pl"))
-      val next = propagated.join(byLabel, $"l" === $"pv", "left")
+      val j1 = propagated.join(byLabel, $"l" === $"pv", "left")
         .select($"v", least($"l", coalesce($"pl", $"l")).as("l"))
+      val byLabel2 = byLabel.select($"pv".as("pv2"), $"pl".as("pl2"))
+      val next = j1.join(byLabel2, $"l" === $"pv2", "left")
+        .select($"v", least($"l", coalesce($"pl2", $"l")).as("l"))
       prevSum = curSum
       val (ck, sum2) = checkpointWithSum(next)
       prevLabels = labels
