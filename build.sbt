@@ -33,3 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra JVM flags for the forked run, straight from the environment —
+// how the verification matrix runs JVM-LEVEL cells (e.g. a Turkish
+// default locale via -Duser.language=tr -Duser.country=TR) against the
+// same gate without a build edit. Space-separated.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

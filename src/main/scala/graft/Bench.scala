@@ -114,6 +114,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")).toAbsolutePath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
+      // target/ is gitignored, so the full per-query map of an OFFICIAL
+      // run survived only as the driver's 2 KB output tail (truncated 4
+      // rounds running). A second copy at the repo root is a COMMITTED
+      // artifact: each round's official map rides the round commit and
+      // tools/anchors.py folds it into the ANCHORS.json series without
+      // tail archaeology.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_OFFICIAL.json").toAbsolutePath, line + "\n")
     } catch { case e: Throwable => // the file is a convenience channel;
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()

@@ -28,4 +28,29 @@ class DocsConsistencySpec extends AnyFunSuite {
     assert(doc.contains(s"All $n also verified locally"),
       s"QUERIES.md matrix sentence count is stale — the gate has $n keys")
   }
+
+  test("the committed matrix artifact covers exactly the script's cells") {
+    // tools/matrix.sh emits MATRIX_rN.json per run; this pins the
+    // LATEST committed artifact's cell list to the script, so a cell
+    // added to the script without a fresh green run (or an artifact
+    // emitted by a stale script) fails the build instead of silently
+    // drifting — the same discipline as the QUERIES.md pin above.
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/matrix.sh")), java.nio.charset.StandardCharsets.UTF_8)
+    val scriptCells = "(?m)^cell +([a-z0-9_]+) ".r
+      .findAllMatchIn(script).map(_.group(1)).toSet
+    assert(scriptCells.nonEmpty, "no cell invocations found in tools/matrix.sh")
+    val artifacts = new java.io.File(".").listFiles()
+      .filter(_.getName.matches("MATRIX_r\\d+\\.json")).sortBy(_.getName)
+    assert(artifacts.nonEmpty,
+      "no MATRIX_r*.json artifact — run `bash tools/matrix.sh` and commit its output")
+    val latest = new String(java.nio.file.Files.readAllBytes(
+      artifacts.last.toPath), java.nio.charset.StandardCharsets.UTF_8)
+    val artifactCells = "\"([a-z0-9_]+)\":\\{\"ok\"".r
+      .findAllMatchIn(latest).map(_.group(1)).toSet
+    assert(artifactCells == scriptCells,
+      s"${artifacts.last.getName} cells $artifactCells != script cells $scriptCells — re-run the matrix")
+    assert(latest.contains("\"negctl\""),
+      s"${artifacts.last.getName} lacks the negative-control envelope")
+  }
 }

@@ -6,7 +6,13 @@
 # script continues (so one red cell doesn't hide the others), exiting
 # nonzero at the end if anything failed.
 #
-#   bash tools/matrix.sh            # all cells at sf0.01 (+ sf0.001 pass)
+#   bash tools/matrix.sh [MATRIX_rN.json]
+#
+# Every run EMITS a committed artifact (default MATRIX_r13.json; the
+# next round passes its own name): ok/count per cell, plus the
+# negative-control envelope. DocsConsistencySpec pins the artifact's
+# cell list to this script, so a cell added here without a fresh
+# artifact (or an artifact from a stale script) fails the build.
 #
 # Cells:
 #   base      sf0.01, 32 cores (the driver's own configuration)
@@ -17,28 +23,41 @@
 #   tz_ny     spark.sql.session.timeZone=America/New_York (instant semantics)
 #   no_cg     whole-stage codegen + codegen factory off (interpreted twins)
 #   aqe_off   spark.sql.adaptive.enabled=false (AQE is perf-only)
+#   tr_locale Turkish JVM default locale (-Duser.language=tr): every
+#             default-locale case fold in any path the gate touches
+#             (the i/I pathology) — the full-gate twin of LocaleSpec
 #   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on all but the
-#             SF-independent DNS-fixture keys + q_distinct_estimate
+#             16 SF-independent keys (DNS fixtures, q_distinct_estimate,
+#             q_dns_runtime_prune, q_tws_metadata)
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
+OUT=${1:-MATRIX_r13.json}
 mkdir -p "$BASE"
 rc=0
+cells_json=""
 
-cell() { # name sfdir cpus conf
-  local name=$1 sfdir=$2 cpus=$3 conf=$4
+record() { # name ok count
+  cells_json="$cells_json$([ -n "$cells_json" ] && echo ,)\"$1\":{\"ok\":$2,\"count\":$3}"
+}
+
+cell() { # name sfdir cpus conf [jvmopts]
+  local name=$1 sfdir=$2 cpus=$3 conf=$4 jvmopts=${5:-}
   local out="$BASE/$name"
   rm -rf "$out"
-  echo "=== cell $name (sf=$sfdir cpus=$cpus conf='$conf') ==="
-  if ! SPARK_GRAFT_CPUS=$cpus SPARK_GRAFT_CONF="$conf" \
+  echo "=== cell $name (sf=$sfdir cpus=$cpus conf='$conf' jvm='$jvmopts') ==="
+  if ! SPARK_GRAFT_CPUS=$cpus SPARK_GRAFT_CONF="$conf" SPARK_GRAFT_JVM_OPTS="$jvmopts" \
       sbt -batch "runMain graft.Verify $sfdir $out" >/dev/null 2>&1; then
-    echo "FAIL $name: Verify exited nonzero"; rc=1; return
+    echo "FAIL $name: Verify exited nonzero"; rc=1; record "$name" false 0; return
   fi
+  local n
+  n=$(ls "$out" | grep -c '^q')
   if python3 tools/selfcheck.py "$sfdir" "$out" 2>/dev/null | grep -q "FAILURES: 0"; then
-    echo "OK   $name ($(ls "$out" | grep -c '^q'))"
+    echo "OK   $name ($n)"
+    record "$name" true "$n"
   else
     echo "FAIL $name:"; python3 tools/selfcheck.py "$sfdir" "$out" 2>/dev/null | grep '^FAIL'
-    rc=1
+    rc=1; record "$name" false "$n"
   fi
 }
 
@@ -50,6 +69,7 @@ cell rocksdb  /root/testdata/sf0.01  32 "spark.sql.streaming.stateStore.provider
 cell tz_ny    /root/testdata/sf0.01  32 "spark.sql.session.timeZone=America/New_York"
 cell no_cg    /root/testdata/sf0.01  32 "spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN"
 cell aqe_off  /root/testdata/sf0.01  32 "spark.sql.adaptive.enabled=false"
+cell tr_locale /root/testdata/sf0.01 32 "" "-Duser.language=tr -Duser.country=TR"
 
 echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
 nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
@@ -59,8 +79,11 @@ echo "negctl: $nfail FAIL / $nok OK"
 # keys + q_dns_runtime_prune + q_tws_metadata, whose oracle is the
 # replay's own construction facts); a growing OK count means new keys
 # are accidentally SF-independent (weak gate) — flag it
-if [ "$nok" -gt 16 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 16)"; rc=1; fi
-if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; fi
+negok=true
+if [ "$nok" -gt 16 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 16)"; rc=1; negok=false; fi
+if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; negok=false; fi
 
-echo "=== matrix done, rc=$rc ==="
+printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":16},"rc":%s}\n' \
+  "$cells_json" "$negok" "$nfail" "$nok" "$rc" > "$OUT"
+echo "=== matrix done, rc=$rc -> $OUT ==="
 exit $rc
