@@ -210,8 +210,11 @@ object PqOps {
 
   /** Exact max-inner-product top-k per query — the truth the recall
     * audits and the dial both rank against. */
-  private def dotTruthTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+  private def dotTruthTopK(s: SparkSession, dir: String, k: Int): DataFrame =
+    dotTruthTopKOf(s, vecs(s, dir).select(col("vec_id"), col("q")), k)
+
+  /** [[dotTruthTopK]] over an arbitrary (vec_id, q) frame. */
+  private def dotTruthTopKOf(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
     val queries = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -219,6 +222,41 @@ object PqOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k).select(col("qid"), col("cid"))
+  }
+
+  /** Flat-ADC recall@5 over the MoG corpus — the recall half of the
+    * clusterable-corpus verdict ([[qPqMogResidual]] is the distortion
+    * half). Dial-only ([[graft.tools.Dial]] `pqmog` mode), measured
+    * into SCALE.md rather than gated: the distortion key already pins
+    * the flip under the oracle, and recall here is the same audit
+    * shape as the gated q_pq_recall with the corpus swapped. */
+  private[graft] def mogRecall(s: SparkSession, dir: String): DataFrame = {
+    val v = mogVecs(s, dir)
+    val (c1, enc) = trainEncodeOf(s, subRowsOf(s, v))
+    val lut = subRowsOf(s, v).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(c1), Seq("m"))
+      .select(col("qid"), col("m"), col("cid"), dot(s, "qsub", "cq").as("pdot"))
+      .groupBy(col("qid"), col("m"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("pdot")))),
+        _.getField("pdot")).as("lrow"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("lrow")))),
+        _.getField("lrow")).as("lut"))
+    val scored = codesOf(enc).join(broadcast(lut), col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcGather(s))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+    val adcTop = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("qid"), col("vec_id").as("cid"))
+    dotTruthTopKOf(s, v, 5)
+      .join(adcTop.select(col("qid").as("aqid"), col("cid").as("acid")),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("nt"), count(col("acid")).as("nh"))
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(expr("(10000 * nh) DIV nt")) / count(lit(1))).cast("long")
+          .as("mean_recall_bp"),
+        min(expr("(10000 * nh) DIV nt")).as("min_recall_bp"))
   }
 
   /** Shortlist-then-re-rank — how production actually deploys PQ: the

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dial <sfDir> ivf <nlist> [nlist...]
   *   runMain graft.tools.Dial <sfDir> ivft <nlist> [nlist...]   (trained centroids)
   *   runMain graft.tools.Dial <sfDir> pq <ks> [ks...]           (codebook size: distortion + recall)
+  *   runMain graft.tools.Dial <sfDir> pqmog                     (MoG-corpus flat-ADC recall@5)
   *   runMain graft.tools.Dial <sfDir> recall <bits[:cap]> [bits[:cap]...]
   *
   * `recall` closes the loop on the sizing dials: it runs the sign-LSH
@@ -47,13 +48,16 @@ object Dial {
         graft.queries.EmbeddingOps.annRecallSummaryAt(spark, sfDir, bits, cap)
           .collect().foreach(r => println(s"DIAL recall bits=$bits cap=$cap $r"))
       }
+    } else if (mode == "pqmog") {
+      graft.queries.PqOps.mogRecall(spark, sfDir)
+        .collect().foreach(r => println(s"DIAL pqmog $r"))
     } else vals.foreach { v =>
       val df = mode match {
         case "band" => graft.queries.EmbeddingOps.bandOccupancyAt(spark, sfDir, v)
         case "ivf"  => graft.queries.EmbeddingOps.ivfOccupancyAt(spark, sfDir, v)
         case "ivft" => graft.queries.EmbeddingOps.ivfOccupancyTrainedAt(spark, sfDir, v)
         case "pq"   => graft.queries.PqOps.pqDialAt(spark, sfDir, v)
-        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|recall")
+        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|pqmog|recall")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
     }
