@@ -754,8 +754,51 @@ object TextOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** Bigram-LM "surprisal" quality scoring — the KenLM-style
+    * pretraining filter re-expressed integer-exact and log-free: the
+    * corpus's own bigram counts are the model (n_xy with left-marginal
+    * nx), and a document's score is the MEAN INVERSE CONDITIONAL
+    * FREQUENCY of its bigrams in basis points —
+    * mean over bigrams of (nx · 10⁴) DIV n_xy. 10000 means every
+    * transition is fully predictable from its left word (boilerplate
+    * the corpus has seen everywhere); large means the document's
+    * transitions are rare given their contexts — OCR garbage, noise,
+    * wrong-language splices, exactly what an LM filter exists to
+    * catch. True perplexity needs log-probabilities (floats, engine-
+    * divergent); the inverse-frequency mean ranks the same tail while
+    * staying integer-exact under any partitioning, and DIV truncates
+    * identically in both engines.
+    *
+    * Scale shape — train/score as TWO passes, which is what production
+    * LM filtering does anyway (the model trains once, often on a
+    * REFERENCE corpus, and scoring is a separate streaming pass): pass
+    * 1 aggregates bigram counts at vocab² cardinality (sublinear in
+    * corpus — Heaps' law); pass 2 re-explodes the corpus and
+    * hash-joins each bigram instance to the model (AQE broadcasts the
+    * model while it fits), then one partial-agg mean per doc. No
+    * corpus-sized frame is ever materialized or re-referenced. */
+  def qLmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bigrams = docs(s, dir)
+      .select($"doc_id", wordsCol.as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val model = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
+    val ux = model.groupBy($"w1").agg(sum($"n_xy").as("nx"))
+    bigrams
+      .join(model, Seq("w1", "w2"))
+      .join(ux, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum((nx * 10000) DIV n_xy) DIV count(*)").as("surprisal_bp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_scrub" -> qPiiScrub,
+    "q_lm_surprisal" -> qLmSurprisal,
     "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
@@ -969,6 +1012,21 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     // Positional marginals (first-word / second-word), mirroring the
     // Spark side; integer-exact lift in basis points.
+    // Train/score replay: the same bigram explode builds the model
+    // (vocab^2 CTE) and scores each document's transitions against it;
+    // integer DIV truncates identically in both engines.
+    "q_lm_surprisal" ->
+      """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+        |db AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+        |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t
+        |       WHERE len(w) >= 2 AND i <= len(w) - 2),
+        |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM db GROUP BY 1, 2),
+        |ux AS (SELECT w1 AS wd, CAST(sum(n_xy) AS BIGINT) AS nx FROM bi GROUP BY 1)
+        |SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((ux.nx * 10000) // bi.n_xy) // count(*) AS BIGINT) AS surprisal_bp
+        |FROM db JOIN bi ON bi.w1 = db.w1 AND bi.w2 = db.w2
+        |        JOIN ux ON ux.wd = db.w1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_collocations" ->
       """WITH ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
         |bi AS (SELECT w[i+1] AS w1, w[i+2] AS w2, CAST(count(*) AS BIGINT) AS n_xy

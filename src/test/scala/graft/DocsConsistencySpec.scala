@@ -46,8 +46,12 @@ class DocsConsistencySpec extends AnyFunSuite {
       "no MATRIX_r*.json artifact — run `bash tools/matrix.sh` and commit its output")
     val latest = new String(java.nio.file.Files.readAllBytes(
       artifacts.last.toPath), java.nio.charset.StandardCharsets.UTF_8)
+    // parse only the "cells" object — negctl has its own envelope key
+    val cellsObj = "\"cells\":\\{(.*?)\\}\\s*,\"negctl\"".r
+      .findFirstMatchIn(latest).map(_.group(1))
+      .getOrElse(fail(s"${artifacts.last.getName}: no cells object"))
     val artifactCells = "\"([a-z0-9_]+)\":\\{\"ok\"".r
-      .findAllMatchIn(latest).map(_.group(1)).toSet
+      .findAllMatchIn(cellsObj).map(_.group(1)).toSet
     assert(artifactCells == scriptCells,
       s"${artifacts.last.getName} cells $artifactCells != script cells $scriptCells — re-run the matrix")
     assert(latest.contains("\"negctl\""),

@@ -303,6 +303,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q_lm_surprisal: pruned scan, partial aggs, hash equi-joins only") {
+    val df = TextOps.qLmSurprisal(spark, dir)
+    val s = planString(df)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang"), readSchema)
+    assert(s.contains("partial_count") || s.contains("partial_sum") ||
+      "HashAggregate.*partial".r.findFirstIn(s).isDefined, s)
+    val nodes = collectNodes(executed(df))
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("cartesian")), "cartesian in plan")
+  }
+
   test("q_tfidf_top_terms: both rollups keep map-side partial aggregation") {
     val s = planString(PipelineOps.qTfidfTopTerms(spark, dir))
     assert(s.contains("partial_count"), s)
