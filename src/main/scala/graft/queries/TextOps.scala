@@ -796,7 +796,60 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-style importance weights for domain mixing (data selection
+    * via importance resampling — Xie et al. 2023, arXiv:2302.03169 —
+    * re-expressed integer-exact): the target domain is the `lang='en'`
+    * slice, features are word unigrams with add-one smoothing, and
+    * each document's weight is the mean per-token target-vs-raw
+    * frequency ratio in basis points —
+    * mean over tokens of ((nt+1)·(Nr+V)·10⁴) DIV ((nr+1)·(Nt+V)).
+    * ≫10000 = the document's vocabulary looks like the target domain
+    * (upsample it when mixing); ≪10000 = off-domain. The real method
+    * uses hashed-n-gram log-likelihood ratios; the smoothed integer
+    * ratio ranks the same way while staying exact under any
+    * partitioning (DIV truncates identically in both engines).
+    *
+    * Scale shape: BOTH models come from ONE token aggregation — the
+    * target count is a conditional count inside the same groupBy, so
+    * the corpus is scanned once for training (vocab-sized result,
+    * sublinear — Heaps' law) and once for scoring (instance-to-model
+    * hash join + per-doc partial-agg mean; the 1-row totals ride a
+    * broadcast crossJoin). The train/score two-pass is what production
+    * does — weights are computed once per mixing decision. */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame =
+    // Honest null-case note: the synthetic corpus draws every language
+    // from ONE shared vocabulary with iid word frequencies, so the
+    // lang='en' target's unigram distribution equals the raw corpus's
+    // and weights collapse to ≈10000 — exactly DSIR's "nothing to
+    // select on" answer, which the gate pins engine-exactly. The
+    // SEPARATION behavior (shifted domain ⇒ weights spread) is proven
+    // in DsirSpec on a constructed two-domain corpus through the same
+    // [[dsirWeightsOf]] body.
+    dsirWeightsOf(s, docs(s, dir), col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** [[qDsirWeights]] over an arbitrary (doc_id, lang, text) frame and
+    * target predicate — the spec feeds a constructed shifted-domain
+    * corpus through the same body the gate runs. */
+  private[queries] def dsirWeightsOf(s: SparkSession, d: DataFrame,
+                                     isTarget: Column): DataFrame = {
+    import s.implicits._
+    def toks = d.select($"doc_id", $"lang", isTarget.as("tgt"),
+      explode(wordsCol).as("w"))
+    val model = toks.groupBy($"w")
+      .agg(count(lit(1)).as("nr"), count(when($"tgt", 1)).as("nt"))
+    val totals = model.agg(sum($"nr").as("tot_r"), sum($"nt").as("tot_t"),
+      count(lit(1)).as("vocab"))
+    toks.join(model, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(((nt + 1) * (tot_r + vocab) * 10000) DIV ((nr + 1) * (tot_t + vocab))) DIV count(*)")
+          .as("weight_bp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_weights" -> qDsirWeights,
     "q_pii_scrub" -> qPiiScrub,
     "q_lm_surprisal" -> qLmSurprisal,
     "q_collocations" -> qCollocations,
@@ -1012,6 +1065,21 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
     // Positional marginals (first-word / second-word), mirroring the
     // Spark side; integer-exact lift in basis points.
+    // The same one-pass smoothed unigram model, replayed: conditional
+    // target counts inside one GROUP BY, add-one smoothing, integer
+    // ratio mean per document.
+    "q_dsir_weights" ->
+      """WITH ws AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS w FROM documents),
+        |tk AS (SELECT doc_id, lang, unnest(w) AS w FROM ws),
+        |m AS (SELECT w, CAST(count(*) AS BIGINT) AS nr,
+        |        CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS nt
+        |      FROM tk GROUP BY 1),
+        |t AS (SELECT CAST(sum(nr) AS BIGINT) AS tot_r, CAST(sum(nt) AS BIGINT) AS tot_t,
+        |        CAST(count(*) AS BIGINT) AS vocab FROM m)
+        |SELECT tk.doc_id, tk.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(((m.nt + 1) * (t.tot_r + t.vocab) * 10000) // ((m.nr + 1) * (t.tot_t + t.vocab))) // count(*) AS BIGINT) AS weight_bp
+        |FROM tk JOIN m ON m.w = tk.w, t
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Train/score replay: the same bigram explode builds the model
     // (vocab^2 CTE) and scores each document's transitions against it;
     // integer DIV truncates identically in both engines.
