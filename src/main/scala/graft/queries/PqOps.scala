@@ -405,19 +405,24 @@ object PqOps {
     * init vector per true cluster. This is the corpus where residual
     * encoding SHOULD pay: the center explains ~99.8% of per-dim
     * energy, so x − c(cell(x)) concentrates near zero and the 4-bit
-    * code budget spends on a ~500× smaller signal. */
+    * code budget spends on a ~500× smaller signal. The noise input
+    * reduces vec_id mod 1000003 BEFORE the Knuth multiply — the
+    * unreduced product overflows Long past vec_id ≈ 5.4e7 (caught as
+    * an ANSI error on the 10× scale replica; ids at 100 TB are far
+    * beyond it), and the reduction keeps every intermediate below
+    * 1.8e17 at ANY id. */
   private[graft] def mogVecs(s: SparkSession, dir: String): DataFrame =
     vecs(s, dir).select(col("vec_id"))
       .withColumn("q", expr(
         "transform(sequence(0, 63), d -> CAST(" +
           "(((vec_id % 16) * 64 + d + 1) * 2654435761) % 2001 - 1000 + " +
-          "((vec_id * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"))
+          "(((vec_id % 1000003) * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"))
 
   /** The same formula in DuckDB's spelling (list_transform/range). */
   private val MogQDuck: String =
     "list_transform(range(0, 64), d -> CAST(" +
       "(((vec_id % 16) * 64 + d + 1) * 2654435761) % 2001 - 1000 + " +
-      "((vec_id * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"
+      "(((vec_id % 1000003) * 64 + d + 7919) * 2654435761) % 61 - 30 AS BIGINT))"
 
   /** Residual-vs-raw on the CLUSTERABLE corpus ([[mogVecs]]) — the
     * deployment-verdict twin of q_ivfpq_residual's audit. On the
