@@ -890,6 +890,14 @@ object StreamingOps {
     if (!marker.exists()) {
       graft.queries.Scratch.deleteRecursively(new java.io.File(base))
       val s2 = rocksReplaySession(s)
+      // Changelog checkpointing: per-batch deltas instead of full
+      // RocksDB snapshots — the commit-latency mode a deployment runs,
+      // and what makes the state source's CHANGE FEED readable
+      // (q_tws_changefeed). Snapshot reads (q_tws_state) and metadata
+      // reads work identically either way (StreamingOpsSpec proves
+      // both against a changelog checkpoint).
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       import s2.implicits._
       val out = twsSource(s2, dir).groupByKey(_.user_id)
         .transformWithState(new ProfileProcessor,
@@ -930,6 +938,33 @@ object StreamingOps {
         $"value.n".as("n_events"), $"value.cents".as("total_cents"),
         $"value.last_eid".as("last_event_id"),
         $"value.last_type".as("last_event_type"))
+      .orderBy($"user_id")
+  }
+
+  /** The state CHANGE FEED under the oracle gate — the third facet of
+    * the staged checkpoint (q_tws_state reads the final image,
+    * q_tws_metadata the catalog; this key reads the HISTORY): with
+    * changelog checkpointing enabled, `readChangeFeed` returns every
+    * per-key update between batches as a batch DataFrame, and the
+    * last change per key must reconstruct the whole-log profile truth
+    * exactly — same oracle as q_tws_profile, arrived at through the
+    * store's delta log instead of the processor's emissions.
+    * Operationally this is CDC *out of* streaming state: auditing who
+    * changed when, or incrementally syncing state to a warehouse,
+    * without replaying the stream. */
+  def qTwsChangefeed(s: SparkSession, dir: String): DataFrame = {
+    val ck = stagedProfileCheckpoint(s, dir)
+    val s2 = rocksReplaySession(s)
+    import s2.implicits._
+    s2.read.format("statestore").option("path", ck)
+      .option("stateVarName", "profile")
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load()
+      .groupBy($"key.value".as("user_id"))
+      .agg(max_by(struct($"value.n", $"value.cents", $"value.last_eid",
+        $"value.last_type"), $"batch_id").as("f"))
+      .select($"user_id", $"f.n".as("n_events"), $"f.cents".as("total_cents"),
+        $"f.last_eid".as("last_event_id"), $"f.last_type".as("last_event_type"))
       .orderBy($"user_id")
   }
 
@@ -1073,7 +1108,8 @@ object StreamingOps {
     "q_tws_counts" -> qTwsCounts,
     "q_tws_initial" -> qTwsInitial,
     "q_tws_state" -> qTwsState,
-    "q_tws_metadata" -> qTwsMetadata)
+    "q_tws_metadata" -> qTwsMetadata,
+    "q_tws_changefeed" -> qTwsChangefeed)
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -1224,6 +1260,22 @@ object StreamingOps {
         |WHERE s.sid < f.last_sid
         |   OR s.last_us // 1000 + 1800000 <= (SELECT wm_ms FROM wm)
         |ORDER BY s.user_id, s.start_us""".stripMargin,
+    // The change feed's last update per key must equal the whole-log
+    // truth — identical oracle to q_tws_profile, reached through the
+    // store's delta log instead of the emissions.
+    "q_tws_changefeed" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id
+        |ORDER BY a.user_id""".stripMargin,
     // The checkpoint's own recorded facts as literals: which operator,
     // which store, how many partitions, which batch range — all fully
     // determined by the replay's construction (ProfileProcessor over
