@@ -315,6 +315,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.toLowerCase.contains("cartesian")), "cartesian in plan")
   }
 
+  test("q_dsir_weights: pruned scan, one model aggregation, no cartesian beyond the 1-row totals") {
+    val df = TextOps.qDsirWeights(spark, dir)
+    val s = planString(df)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("source"), readSchema)
+    // the only nested-loop is the broadcast 1-row totals combine
+    val nodes = collectNodes(executed(df))
+    val loops = nodes.filter(_.nodeName.toLowerCase.contains("broadcastnestedloop"))
+    assert(loops.size <= 1, s)
+    assert(!nodes.exists(_.nodeName.toLowerCase.contains("cartesian")), "cartesian in plan")
+  }
+
   test("q_tfidf_top_terms: both rollups keep map-side partial aggregation") {
     val s = planString(PipelineOps.qTfidfTopTerms(spark, dir))
     assert(s.contains("partial_count"), s)
