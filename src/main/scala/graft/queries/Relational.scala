@@ -257,13 +257,14 @@ object Relational {
     // final projection, built from the zone-free day number.
     // FLOOR division, not DIV: Spark's DIV truncates toward zero while
     // the oracle's // floors — divergent by one day for pre-1970
-    // instants. The double quotient is exact at day boundaries
-    // (µs counts < 2^53; the nearest non-multiple sits 1.16e-11 away
-    // from an integer, far outside double rounding error), so
-    // floor(µs / 86400e6) is the sign-correct epoch day in both engines.
+    // instants. Integer-only correction (DIV minus one when the
+    // remainder is negative — remainder sign follows the dividend)
+    // keeps the whole path in long arithmetic; the branch never fires
+    // on post-epoch data but stays sign-correct before it.
     val ev = t(s, dir, "events")
       .select($"user_id",
-        expr("CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT)").as("d"))
+        expr("unix_micros(ts) DIV 86400000000 + " +
+          "(CASE WHEN unix_micros(ts) % 86400000000 < 0 THEN -1 ELSE 0 END)").as("d"))
     val first = ev.groupBy($"user_id").agg(min($"d").as("cd"))
     ev.join(first, Seq("user_id"))
       .groupBy($"cd", ($"d" - $"cd").as("day_offset"))

@@ -182,4 +182,20 @@ class SchemaContractSpec extends AnyFunSuite {
     val utc = canon(dir).map(r => (r._1, r._2, r._3))
     assert(shifted == utc, "event instants shift with the session time zone")
   }
+
+  test("epoch-day bucketing floors (never truncates) across the 1970 boundary") {
+    // q_user_retention's day bucket is integer floor division of the
+    // µs instant: DIV minus one when the remainder is negative. The
+    // oracle's `//` floors, so a truncating Spark twin would diverge
+    // by one day for every pre-1970 instant — the fixture is all
+    // post-epoch, so only this test exercises the sign branch.
+    val expr = "CAST(us AS BIGINT) DIV 86400000000 + " +
+      "(CASE WHEN CAST(us AS BIGINT) % 86400000000 < 0 THEN -1 ELSE 0 END)"
+    import spark.implicits._
+    val us = Seq(-86400000001L, -86400000000L, -1L, 0L, 1L,
+      86399999999L, 86400000000L, 86400000001L)
+    val got = us.toDF("us").selectExpr(s"$expr AS d").as[Long].collect().toSeq
+    val want = us.map(x => Math.floorDiv(x, 86400000000L))
+    assert(got == want, s"floor-div mismatch: $got vs $want")
+  }
 }
