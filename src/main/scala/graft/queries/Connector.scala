@@ -224,6 +224,115 @@ object Connector {
       |  CAST(2 AS BIGINT) AS transfers_run
       |FROM h ORDER BY zone, fqdn""".stripMargin
 
+  /** Metadata columns (`SupportsMetadataColumns`): per-TRANSFER facts
+    * selectable as `_serial` / `_xfr_kind` alongside data columns,
+    * like the file sources' `_metadata`. The fixture makes the serial
+    * a real signal: zone j receives j RFC 2136 updates after seeding
+    * (one serial bump each), so its transfer reports SOA serial 1 + j
+    * and carries j extra `u*` records — the metadata column exposes a
+    * per-zone runtime fact no data column holds (the reference
+    * surfaces the serial only through its accumulator,
+    * DnsSourceRelationProvider.java:73-88). `_xfr_kind` pins the kind
+    * that actually RAN (AXFR here), not an echo of the `xfr` option. */
+  def qDnsMetadataCols(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_metadata_cols")
+    seedReadFixture(port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    (0 to 3).foreach { j =>
+      (0 until j).foreach { k =>
+        srv.update(s"z$j.graft.",
+          adds = Seq(ARecord(s"u$k.z$j.graft.", s"10.$j.1.$k")), deletes = Nil)
+      }
+    }
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select(col("zone"), col("fqdn"), col("_serial"), col("_xfr_kind"))
+      .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsMetadataColsOracle: String =
+    """WITH h AS (
+      |  SELECT j, 'h'||i||'.z'||j||'.graft.' AS fqdn
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i)
+      |  WHERE i <= 9 + j
+      |  UNION ALL
+      |  SELECT j, 'u'||k||'.z'||j||'.graft.' AS fqdn
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k)
+      |  WHERE k <= j - 1)
+      |SELECT 'z'||j||'.graft.' AS zone, fqdn,
+      |  CAST(1 + j AS BIGINT) AS "_serial", 'AXFR' AS "_xfr_kind"
+      |FROM h ORDER BY zone, fqdn""".stripMargin
+
+  /** Connector-reported statistics (`SupportsReportStatistics`) doing
+    * their one job: a resolve-the-logs join where the DNS table is the
+    * SMALL side and nobody writes a broadcast hint. The scan reports
+    * zones × `estimated-zone-bytes` (1 MiB here, far under the 10 MiB
+    * auto-broadcast threshold), so Catalyst plans a broadcast hash
+    * join of the zone table against the 3M-row log frame on its own;
+    * without the estimate a DSv2 relation defaults to
+    * `spark.sql.defaultSizeInBytes` = Long.MaxValue and this join
+    * sort-merges — shuffling 3M rows to co-locate them with 46. The
+    * gate pins the RESULT (per-zone hit counts and weight sums); the
+    * plan claim — reported stats visible to the optimizer, broadcast
+    * chosen without a hint — is asserted in PlanAuditSpec. At scale
+    * this is the difference between shipping a 100 TB fact table and
+    * shipping a kilobyte zone list. */
+  def qDnsAutoBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_auto_broadcast")
+    seedReadFixture(port)
+    autoBroadcastJoin(s, port)
+  }
+
+  /** Spec-side fixture for the auto-broadcast audit: same seeding on
+    * its own port. */
+  private[graft] def seedAutoBroadcastFixture(): Int = {
+    val port = freshPort("q_dns_auto_broadcast_audit")
+    seedReadFixture(port)
+    port
+  }
+
+  /** The lazy join [[qDnsAutoBroadcast]] gates — exposed so
+    * PlanAuditSpec can assert the reported statistics and the hint-free
+    * broadcast choice on the exact plan the key runs. */
+  private[graft] def autoBroadcastJoin(s: SparkSession, port: Int): DataFrame = {
+    val dns = s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select(col("zone"), col("fqdn"))
+    val logs = s.range(0, 3000000L).select(
+      concat(lit("h"), col("id") % 10, lit(".z"), col("id") % 4, lit(".graft."))
+        .as("fqdn"),
+      (col("id") % 97).as("w"))
+    logs.join(dns, Seq("fqdn"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_hits"), sum(col("w")).as("w_sum"))
+      .orderBy(col("zone"))
+  }
+
+  private val qDnsAutoBroadcastOracle: String =
+    """WITH logs AS (
+      |  SELECT 'h'||(id % 10)||'.z'||(id % 4)||'.graft.' AS fqdn, id % 97 AS w
+      |  FROM (SELECT unnest(generate_series(0, 2999999)) AS id)),
+      |dns AS (
+      |  SELECT 'z'||j||'.graft.' AS zone, 'h'||i||'.z'||j||'.graft.' AS fqdn
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 12)) AS i)
+      |  WHERE i <= 9 + j)
+      |SELECT dns.zone, count(*) AS n_hits, CAST(sum(logs.w) AS BIGINT) AS w_sum
+      |FROM logs JOIN dns ON logs.fqdn = dns.fqdn
+      |GROUP BY dns.zone ORDER BY dns.zone""".stripMargin
+
   /** The same full read through the WIRE client: executors open real
     * TCP sockets to the loopback [[WireDnsServer]] and speak RFC
     * 1035/5936 — message encode, TCP framing, compression-pointer-aware
@@ -764,6 +873,8 @@ object Connector {
     "q_dns_stream_sink" -> qDnsStreamSink,
     "q_dns_ignore_failures" -> qDnsIgnoreFailures,
     "q_dns_validate" -> qDnsValidate,
+    "q_dns_metadata_cols" -> qDnsMetadataCols,
+    "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -783,5 +894,7 @@ object Connector {
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
     "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
     "q_dns_validate" -> qDnsValidateOracle,
+    "q_dns_metadata_cols" -> qDnsMetadataColsOracle,
+    "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
   )
 }

@@ -43,6 +43,20 @@ object DnsSchemas {
     StructField("timestamp", TimestampType, nullable = true),
     StructField("zone", StringType, nullable = true)))
 
+  /** Metadata columns (`SupportsMetadataColumns`) — per-TRANSFER facts
+    * a row's data columns don't carry, selectable as `_serial` /
+    * `_xfr_kind` like the file sources' `_metadata`: the zone's final
+    * SOA serial the transfer reported, and the transfer kind that
+    * actually RAN (an IXFR request downgrades to AXFR on a journal
+    * gap — RFC 1995 §4 — so the kind is a runtime fact, not an echo
+    * of the `xfr` option). Beyond the reference, which exposes the
+    * serial only through its accumulator (DnsSourceRelationProvider
+    * .java:73-88). Not part of [[read]]: metadata columns exist only
+    * when a query names them. */
+  val metadata: StructType = StructType(Seq(
+    StructField("_serial", LongType, nullable = false),
+    StructField("_xfr_kind", StringType, nullable = false)))
+
   /** Write/sink schema (FIXTURES.md §2; DnsRecordUpdate.java:15-18). */
   val write: StructType = StructType(Seq(
     StructField("action", StringType, nullable = true),

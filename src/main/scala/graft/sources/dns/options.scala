@@ -25,11 +25,14 @@ final case class DnsSourceOptions(common: DnsCommonOptions,
                                   xfr: XfrType,
                                   ignoreFailures: Boolean,
                                   maxKeptCommits: Int,
-                                  fixedTimestampMicros: Option[Long]) {
+                                  fixedTimestampMicros: Option[Long],
+                                  estimatedZoneBytes: Long) {
   require(organization.nonEmpty, "option 'organization' is required")
   require(zones.nonEmpty, "option 'zones' is required (CSV of zone names)")
   require(serial >= 0, s"option 'serial' must be >= 0: $serial")
   require(maxKeptCommits > 0, s"option 'max-kept-commits' must be > 0: $maxKeptCommits")
+  require(estimatedZoneBytes > 0,
+    s"option 'estimated-zone-bytes' must be > 0: $estimatedZoneBytes")
 }
 
 final case class DnsSinkOptions(common: DnsCommonOptions)
@@ -40,6 +43,13 @@ object DnsOptions {
   val DefaultSerial = 0L
   val DefaultXfr: XfrType = XfrType.IXFR
   val DefaultMaxKeptCommits = 10
+  /** Planner hint for `SupportsReportStatistics`: expected wire payload
+    * per zone. A zone's size is unknowable before its transfer runs, so
+    * the scan reports zones × this bound — enough for Catalyst to
+    * auto-broadcast a small DNS dimension in joins (the decision the
+    * estimate exists to enable); a wrong value changes plan choice,
+    * never results. 256 KiB ≈ a few thousand A records. */
+  val DefaultEstimatedZoneBytes = 256L * 1024L
   /** `inmemory` (default) talks to the in-process server directly;
     * `wire` is a real TCP client speaking RFC 1035/1995/2136 (the
     * reference's dnsjava role) — loopback-only in this zero-egress
@@ -73,7 +83,9 @@ object DnsOptions {
       xfr = o.get("xfr").map(XfrType.parse).getOrElse(DefaultXfr),
       ignoreFailures = o.get("ignore-failures").exists(_.trim.equalsIgnoreCase("true")),
       maxKeptCommits = o.get("max-kept-commits").map(_.toInt).getOrElse(DefaultMaxKeptCommits),
-      fixedTimestampMicros = o.get("fixed-timestamp-micros").map(_.toLong))
+      fixedTimestampMicros = o.get("fixed-timestamp-micros").map(_.toLong),
+      estimatedZoneBytes = o.get("estimated-zone-bytes").map(_.toLong)
+        .getOrElse(DefaultEstimatedZoneBytes))
   }
 
   def sink(javaMap: java.util.Map[String, String]): DnsSinkOptions =

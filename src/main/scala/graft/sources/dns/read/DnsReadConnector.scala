@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
@@ -48,7 +48,8 @@ final class DnsTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
-final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead {
+final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead
+  with SupportsMetadataColumns {
   override def name(): String =
     s"dns(${opts.common.server}:${opts.common.port})[${opts.zones.mkString(",")}]"
 
@@ -57,6 +58,22 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
       .asJava // streaming: DnsMicroBatchStream (DnsStreamConnector.scala)
+
+  /** Per-transfer facts as queryable `_serial` / `_xfr_kind` columns
+    * (see [[DnsSchemas.metadata]]) — present in a scan only when a
+    * query names them, like the file sources' `_metadata`. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    DnsSchemas.metadata.fields.map { f =>
+      new MetadataColumn {
+        override def name(): String = f.name
+        override def dataType() = f.dataType
+        override def isNullable(): Boolean = f.nullable
+        override def comment(): String = f.name match {
+          case "_serial" => "final SOA serial the zone transfer reported"
+          case _ => "transfer kind that actually ran (AXFR, or IXFR downgraded on journal gap)"
+        }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DnsScanBuilder(opts)
@@ -104,16 +121,20 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // Preserve the connector's canonical column order.
+    // Preserve the connector's canonical column order; a referenced
+    // metadata column (`_serial`/`_xfr_kind`) arrives appended to the
+    // required schema and stays appended, in its own canonical order.
     val keep = requiredSchema.fieldNames.toSet
-    required = StructType(DnsSchemas.read.fields.filter(f => keep.contains(f.name)))
+    required = StructType(
+      DnsSchemas.read.fields.filter(f => keep.contains(f.name)) ++
+        DnsSchemas.metadata.fields.filter(f => keep.contains(f.name)))
   }
 
   override def build(): Scan = new DnsScan(opts, zones, required)
 }
 
 final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType)
-  extends Scan with SupportsRuntimeFiltering {
+  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
     * already pruned `zones` at ScanBuilder time; this second stage
@@ -136,6 +157,24 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
     * at execution BatchScanExec evaluates it, calls [[filter]] with the
     * surviving values, and re-plans partitions — so the transfers for
     * runtime-eliminated zones never start. */
+  /** Planner statistics (`SupportsReportStatistics`), reported AFTER
+    * static pushdown so a pruned zone shrinks the estimate. Row count
+    * is unknowable before the transfers run (OptionalLong.empty);
+    * size = surviving zones × the `estimated-zone-bytes` bound. The
+    * payoff is join planning: a handful of zones lands far under
+    * `spark.sql.autoBroadcastJoinThreshold`, so Catalyst broadcasts
+    * the DNS side of an equi-join on its own — without the estimate a
+    * DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue) and the join sort-merges a 4-zone table. The
+    * reference reports no statistics at all (DnsSourceRelation
+    * .java:17 — V1 TableScan has no such surface). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        runtimeZones.length.toLong * opts.estimatedZoneBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("zone"))
 
@@ -221,16 +260,25 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
   private val rows: Iterator[InternalRow] = {
     val tsMicros = opts.fixedTimestampMicros
       .getOrElse(System.currentTimeMillis() * 1000L)
+    // Per-transfer metadata-column values (`_serial`/`_xfr_kind`) —
+    // runtime facts captured from the transfer result; only read when
+    // the pruned schema asked for them, and a swallowed-failure zone
+    // emits no rows, so the defaults are never observable.
+    var xferSerial = 0L
+    var xferKind = ""
     // Materialize the change list inside the guard: a lazy networked
     // client would otherwise throw during next(), outside the catch.
     val changes: Seq[(String, ARecord)] =
       try {
         val result = client.transfer(p.zone, p.serial, opts.xfr, opts.common.timeoutSec)
         acc.foreach(_.add(result.serial))
+        xferSerial = result.serial
         result match {
           case AxfrResult(_, records) =>
+            xferKind = "AXFR"
             records.map(r => (DnsAction.Axfr, r))
           case IxfrResult(_, deltas) =>
+            xferKind = "IXFR"
             deltas.flatMap(_.deletes).map(r => (DnsAction.IxfrDelete, r)) ++
               deltas.flatMap(_.adds).map(r => (DnsAction.IxfrAdd, r))
         }
@@ -246,6 +294,8 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
         case "organization" => (row, i, _, _) => row.update(i, UTF8String.fromString(opts.organization))
         case "timestamp" => (row, i, _, _) => row.setLong(i, tsMicros)
         case "zone" => (row, i, _, _) => row.update(i, UTF8String.fromString(p.zone))
+        case "_serial" => (row, i, _, _) => row.setLong(i, xferSerial)
+        case "_xfr_kind" => (row, i, _, _) => row.update(i, UTF8String.fromString(xferKind))
         case other => throw new IllegalStateException(s"unknown dns column '$other'")
       }
     changes.iterator.map { case (action, rec) =>

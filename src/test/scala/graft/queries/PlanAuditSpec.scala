@@ -65,6 +65,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected 2 transfers after runtime pruning, got ${Connector.transfersServed(port)}")
   }
 
+  test("q_dns_auto_broadcast: reported statistics drive a hint-free static broadcast of the DNS side") {
+    val port = Connector.seedAutoBroadcastFixture()
+    val df = Connector.autoBroadcastJoin(spark, port)
+    // The connector's estimate is what the optimizer sees: 4 surviving
+    // zones × the 256 KiB default — not defaultSizeInBytes (Long.Max).
+    val v2 = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(v2.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(v2.head.stats.sizeInBytes == BigInt(4L * 256 * 1024),
+      s"dns scan stats: ${v2.head.stats}")
+    // no hint anywhere in the user plan…
+    assert(!df.queryExecution.logical.toString.toLowerCase.contains("hint"))
+    // …and STATIC planning (pre-AQE sparkPlan — AQE could rescue the
+    // no-stats case at runtime, which is exactly what this must not
+    // depend on) already chose a broadcast hash join.
+    val staticPlan = df.queryExecution.sparkPlan
+    val bhj = staticPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, staticPlan.toString)
+    // the broadcast (build) side is the DNS scan, not the 3M-row logs
+    val build = bhj.map(b =>
+      if (b.buildSide.toString.contains("Right")) b.right else b.left).mkString
+    assert(build.contains("class graft.sources.dns.read.DnsScan") || build.contains("dns("),
+      s"build side is not the dns scan: $build")
+  }
+
+  test("q_dns_metadata_cols: requested metadata columns reach the pruned scan schema") {
+    val s = planString(Connector.qDnsMetadataCols(spark, dir))
+    assert(s.contains("_serial") && s.contains("_xfr_kind"), s)
+    // pruned, not full-schema: an unprojected data column doesn't survive
+    assert(!s.contains("organization"), s)
+  }
+
   test("q3: no SF-scaling table is broadcast by hint (AQE decides)") {
     // At sf0.001 AQE may legitimately choose broadcast for small
     // runtime sizes; what must NOT appear is a build side pinned by an

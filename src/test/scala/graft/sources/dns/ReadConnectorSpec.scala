@@ -88,6 +88,44 @@ class ReadConnectorSpec extends AnyFunSuite {
     assert(ok.count() == 1)
   }
 
+  test("metadata columns report the transfer kind that actually ran, per zone") {
+    val srv = seeded(5321)
+    srv.update("example.acme.",
+      Seq(ARecord("new.example.acme.", "10.1.0.9")), Nil)
+    // IXFR from serial 1: example.acme. (serial 2) serves a true IXFR;
+    // another.zone. is still at serial 1 → empty IXFR (no rows). The
+    // _xfr_kind metadata column carries the runtime kind, and _serial
+    // the final SOA serial the transfer reported.
+    val df = read(5321, "serial" -> "1")
+      .select(col("zone"), col("fqdn"), col("_serial"), col("_xfr_kind"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSet == Set(("example.acme.", "new.example.acme.", 2L, "IXFR")))
+    // serial 0 ⇒ AXFR protocol rule: the same read reports AXFR ran
+    val kinds = read(5321, "serial" -> "0")
+      .select(col("zone"), col("_serial"), col("_xfr_kind")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(kinds == Set(("example.acme.", 2L, "AXFR"), ("another.zone.", 1L, "AXFR")))
+  }
+
+  test("estimated-zone-bytes feeds the reported scan statistics") {
+    seeded(5322)
+    val df = read(5322, "xfr" -> "AXFR", "estimated-zone-bytes" -> "1024")
+    val v2 = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(v2.nonEmpty)
+    assert(v2.head.stats.sizeInBytes == BigInt(2 * 1024), v2.head.stats.toString)
+    assert(v2.head.stats.rowCount.isEmpty, "row count is unknowable before transfer")
+    // a zone-pruned scan shrinks the estimate with it
+    val pruned = read(5322, "xfr" -> "AXFR", "estimated-zone-bytes" -> "1024")
+      .filter(col("zone") === "example.acme.")
+    val pv2 = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(pv2.head.stats.sizeInBytes == BigInt(1024), pv2.head.stats.toString)
+  }
+
   test("SQL DDL: CREATE TABLE USING dns + SELECT") {
     seeded(5307)
     spark.sql("DROP TABLE IF EXISTS dns_sql_test")

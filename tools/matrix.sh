@@ -27,8 +27,9 @@
 #             default-locale case fold in any path the gate touches
 #             (the i/I pathology) — the full-gate twin of LocaleSpec
 #   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on all but the
-#             16 SF-independent keys (DNS fixtures, q_distinct_estimate,
-#             q_dns_runtime_prune, q_tws_metadata)
+#             18 SF-independent keys (DNS fixtures, q_distinct_estimate,
+#             q_dns_runtime_prune, q_tws_metadata, q_dns_metadata_cols,
+#             q_dns_auto_broadcast)
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
@@ -75,15 +76,16 @@ echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
 nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
 nok=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^OK ')
 echo "negctl: $nfail FAIL / $nok OK"
-# the known SF-independent set is 16 keys (the r12 set of 14 fixture
-# keys + q_dns_runtime_prune + q_tws_metadata, whose oracle is the
-# replay's own construction facts); a growing OK count means new keys
-# are accidentally SF-independent (weak gate) — flag it
+# the known SF-independent set is 18 keys (the r12 set of 14 fixture
+# keys + q_dns_runtime_prune + q_tws_metadata + the r13 pair
+# q_dns_metadata_cols / q_dns_auto_broadcast, all pure fixture or
+# replay-construction oracles); a growing OK count means new keys are
+# accidentally SF-independent (weak gate) — flag it
 negok=true
-if [ "$nok" -gt 16 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 16)"; rc=1; negok=false; fi
+if [ "$nok" -gt 18 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 18)"; rc=1; negok=false; fi
 if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; negok=false; fi
 
-printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":16},"rc":%s}\n' \
+printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":18},"rc":%s}\n' \
   "$cells_json" "$negok" "$nfail" "$nok" "$rc" > "$OUT"
 echo "=== matrix done, rc=$rc -> $OUT ==="
 exit $rc
