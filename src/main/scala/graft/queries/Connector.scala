@@ -741,6 +741,53 @@ object Connector {
       |  FROM (SELECT unnest(generate_series(0, 7)) AS i))
       |SELECT fqdn, ip, 'sq.graft.' AS zone FROM final ORDER BY fqdn, ip""".stripMargin
 
+  /** SQL `DELETE FROM` over the sink (`SupportsDelete`) under the
+    * gate: a 10-record zone, one DELETE with an `fqdn IN` predicate
+    * narrowed by `ip =` for one of the names — so both the name-wide
+    * delete (d1: both its records go) and the record-precise delete
+    * (d3: only the .1 record goes, the multi-record name keeps its
+    * other ip) are pinned — then the zone read back over AXFR. The
+    * deleteWhere path runs one AXFR + ONE atomic ordered update
+    * message per (statement × zone) — driver-side metadata work
+    * bounded by named zones, never table size; the serial read back
+    * (3 = seed + one message per DELETE) proves message atomicity
+    * through the same metadata-column surface q_dns_metadata_cols
+    * gates. */
+  def qDnsSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_sql_delete")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("dz.graft.",
+      (0 to 7).map(k => ARecord(s"d$k.dz.graft.", s"10.9.0.$k")) ++
+        Seq(ARecord("d1.dz.graft.", "10.9.1.1"), ARecord("d3.dz.graft.", "10.9.1.3")))
+    s.sql("DROP TABLE IF EXISTS graft_dns_del")
+    s.sql(
+      s"""CREATE TABLE graft_dns_del USING dns_update
+         |OPTIONS (server '$Host', port '$port')""".stripMargin)
+    // unnormalized relative names on purpose: DELETE values normalize
+    // like every other connector entry point
+    s.sql(
+      "DELETE FROM graft_dns_del WHERE fqdn IN ('d1.dz.graft', 'd5.dz.graft')")
+    s.sql(
+      "DELETE FROM graft_dns_del WHERE fqdn = 'd3.dz.graft' AND ip = '10.9.0.3'")
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "dz.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select(col("fqdn"), col("ip"), col("zone"), col("_serial"))
+      .orderBy("fqdn", "ip")
+  }
+
+  private val qDnsSqlDeleteOracle: String =
+    """WITH remaining AS (
+      |  SELECT 'd'||i||'.dz.graft.' AS fqdn, '10.9.0.'||i AS ip
+      |  FROM (SELECT unnest([0, 2, 4, 6, 7]) AS i)
+      |  UNION ALL SELECT 'd3.dz.graft.', '10.9.1.3')
+      |SELECT fqdn, ip, 'dz.graft.' AS zone, CAST(3 AS BIGINT) AS "_serial"
+      |FROM remaining ORDER BY fqdn, ip""".stripMargin
+
   /** The NATIVE streaming sink under the gate: a formulaic update log
     * replayed through the file-stream source into
     * `writeStream.format("dns_update")` (the V2 StreamingWrite — no
@@ -875,6 +922,7 @@ object Connector {
     "q_dns_validate" -> qDnsValidate,
     "q_dns_metadata_cols" -> qDnsMetadataCols,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
+    "q_dns_sql_delete" -> qDnsSqlDelete,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -896,5 +944,6 @@ object Connector {
     "q_dns_validate" -> qDnsValidateOracle,
     "q_dns_metadata_cols" -> qDnsMetadataColsOracle,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
+    "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
   )
 }

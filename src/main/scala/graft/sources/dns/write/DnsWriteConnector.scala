@@ -4,7 +4,9 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -48,13 +50,100 @@ final class DnsUpdateTableProvider extends TableProvider with DataSourceRegister
     new DnsUpdateTable(DnsOptions.sink(properties))
 }
 
-final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrite {
+final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrite
+  with SupportsRead with SupportsDelete {
+
+  /** BATCH_READ is declared ONLY because the analyzer's capability
+    * check requires the DELETE target to be readable, and the
+    * optimizer's scan pushdown BUILDS a scan for the target before the
+    * metadata-only delete rewrite discards it. The scan therefore must
+    * build — but `toBatch` (which a DELETE never reaches) fails fast
+    * with the pointer, so an actual SELECT errors at physical planning
+    * instead of silently returning an empty or stale frame. Reads of
+    * zone state go through `format("dns")`, which needs the
+    * zones/organization options this sink doesn't have. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = DnsSchemas.write
+          override def description(): String =
+            "the dns_update sink is write/delete-only; read zone state via " +
+              "spark.read.format(\"dns\") with zones + organization options"
+          // default toBatch throws UnsupportedOperationException(description)
+        }
+    }
   override def name(): String = s"dns_update(${opts.common.server}:${opts.common.port})"
+
+  /** SQL `DELETE FROM … WHERE` over the sink (`SupportsDelete`) — the
+    * write-side twin of the read scan's pushdown family, and the one
+    * statement RFC 2136 maps to PERFECTLY: a DNS delete is "remove
+    * these (name, ip) records from their zone". Supported predicate
+    * shapes: `fqdn =` / `fqdn IN`, optionally narrowed by `ip =` /
+    * `ip IN` — at least one fqdn constraint is required, because an
+    * unconstrained delete would need a zone list this table doesn't
+    * have (fail-fast in [[canDeleteWhere]], so Spark rejects the
+    * statement at analysis instead of silently deleting nothing).
+    * Execution is driver-side METADATA work bounded by the named
+    * zones, never the table size: per zone one AXFR (RFC 2136 deletes
+    * name IP pairs, so current records are read first) and one atomic
+    * ordered update message of the matching deletes — the same
+    * emitter, ordering, and quirk-fix as the DataWriter path. Beyond
+    * the reference, whose sink is append-only (DnsSinkRelation
+    * .java:33-42). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.exists {
+      case EqualTo("fqdn", _: String) => true
+      case In("fqdn", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    } && filters.forall {
+      case EqualTo("fqdn", _: String) => true
+      case In("fqdn", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case EqualTo("ip", _: String) => true
+      case In("ip", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"unsupported DELETE predicate: ${filters.mkString(", ")} " +
+        "(supported: fqdn =/IN, optionally narrowed by ip =/IN)")
+    // Conjunctive semantics like any WHERE: multiple fqdn constraints
+    // intersect; ip constraints narrow the matched records.
+    val fqdnSets = filters.collect {
+      case EqualTo("fqdn", v: String) => Set(v)
+      case In("fqdn", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }.map(_.map(v => Fqdn.normalize(v).toLowerCase(java.util.Locale.ROOT)))
+    val fqdns = fqdnSets.reduce(_ intersect _)
+    val ipSets = filters.collect {
+      case EqualTo("ip", v: String) => Set(v)
+      case In("ip", vs) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    val ips: Option[Set[String]] = ipSets.reduceOption(_ intersect _)
+    val client = DnsClients.transferClient(opts.common)
+    val emitter = DnsClients.updateEmitter(opts.common)
+    fqdns.groupBy(Fqdn.zoneOf).toSeq.sortBy(_._1).foreach { case (zone, names) =>
+      val current = client.transfer(zone, 0L, XfrType.AXFR, opts.common.timeoutSec) match {
+        case AxfrResult(_, records) => records
+        case IxfrResult(_, _) => Seq.empty // serial-0 ⇒ AXFR contract makes this unreachable
+      }
+      val victims = current
+        .filter(r => names.contains(r.fqdn.toLowerCase(java.util.Locale.ROOT)) &&
+          ips.forall(_.contains(r.ip)))
+        .sortBy(r => (r.fqdn, r.ip)).distinct
+      if (victims.nonEmpty)
+        emitter.update(zone, victims.map(r =>
+          // timestamp/ttl are append-path fields; a delete is keyed by
+          // (name, ip) alone (RFC 2136 §2.5.4 — class NONE, TTL 0).
+          DnsUpdateRecord(DnsAction.IxfrDelete, r.fqdn, r.ip, 0L, 0)))
+    }
+  }
 
   override def schema(): StructType = DnsSchemas.write
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_READ, // analyzer precondition for DELETE FROM; see newScanBuilder
       TableCapability.TRUNCATE, // accept SaveMode.Overwrite as plain append (ref ignores the flag — DnsSinkRelation.java:33-42)
       TableCapability.ACCEPT_ANY_SCHEMA).asJava // columns are matched by name; extras ignored like the ref's bean decode
 

@@ -212,6 +212,45 @@ class WriteConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dns_out")
   }
 
+  test("SQL DELETE: name-wide and record-precise deletes land as one message each") {
+    val srv = fresh(5509, "delzone.test.")
+    srv.update("delzone.test.", Seq(
+      ARecord("a.delzone.test.", "1.1.1.1"), ARecord("a.delzone.test.", "1.1.1.2"),
+      ARecord("b.delzone.test.", "2.2.2.2"), ARecord("c.delzone.test.", "3.3.3.3")), Nil)
+    spark.sql("DROP TABLE IF EXISTS dns_del")
+    spark.sql(
+      """CREATE TABLE dns_del USING dns_update
+        |OPTIONS (server 't', port '5509')""".stripMargin)
+    // record-precise: only one of a's two records goes
+    spark.sql("DELETE FROM dns_del WHERE fqdn = 'a.delzone.test' AND ip = '1.1.1.2'")
+    assert(srv.lookup("a.delzone.test.") == Seq("1.1.1.1"))
+    // name-wide, multi-name IN: all records of b and c go; one message
+    val serialBefore = srv.serialOf("delzone.test.")
+    spark.sql("DELETE FROM dns_del WHERE fqdn IN ('b.delzone.test', 'c.delzone.test')")
+    assert(srv.lookup("b.delzone.test.").isEmpty && srv.lookup("c.delzone.test.").isEmpty)
+    assert(srv.serialOf("delzone.test.") == serialBefore + 1, "one atomic message per statement x zone")
+    // a no-match delete sends nothing (no empty update message)
+    val serialAfter = srv.serialOf("delzone.test.")
+    spark.sql("DELETE FROM dns_del WHERE fqdn = 'ghost.delzone.test'")
+    assert(srv.serialOf("delzone.test.") == serialAfter)
+    spark.sql("DROP TABLE dns_del")
+  }
+
+  test("SQL DELETE without an fqdn constraint is rejected; SELECT fails fast with the pointer") {
+    fresh(5510, "delzone2.test.")
+    spark.sql("DROP TABLE IF EXISTS dns_del2")
+    spark.sql(
+      """CREATE TABLE dns_del2 USING dns_update
+        |OPTIONS (server 't', port '5510')""".stripMargin)
+    // ip-only predicate cannot bound the zone set -> canDeleteWhere false
+    val e1 = intercept[Exception](spark.sql("DELETE FROM dns_del2 WHERE ip = '1.2.3.4'"))
+    assert(e1.getMessage != null)
+    // the sink is write/delete-only: reading it errors with the pointer
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM dns_del2").collect())
+    assert(e2.getMessage.contains("write/delete-only"), e2.getMessage)
+    spark.sql("DROP TABLE dns_del2")
+  }
+
   test("streaming: native dns_update sink via writeStream") {
     val srv = fresh(5509, "stream.test.")
     val src = Files.createTempDirectory("dns-sink-src")
