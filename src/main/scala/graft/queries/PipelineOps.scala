@@ -437,6 +437,82 @@ object PipelineOps {
       .limit(20)
   }
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
+    * the MOSS algorithm): per doc, 4-gram rolling hashes; over every
+    * window of 4 consecutive gram hashes select the MINIMUM, ties to
+    * the RIGHTMOST position — the guarantee the algorithm exists for
+    * is that any shared substring of ≥ w+k−1 words shares a selected
+    * fingerprint, at ~2/(w+1) the storage of all grams. The selection
+    * is pure per-doc HOF arithmetic: (hash, pos) packs into one BIGINT
+    * as hash·4096 + (4095 − u), so `array_min` IS the winnowing rule
+    * (smallest hash, then largest in-window offset) and both engines
+    * replay it exactly — no UDF, no shuffle until the bounded per-doc
+    * rollup. Output per sampled doc: gram/window/selected counts,
+    * selected density in basis points (theory says → 2/(w+1) = 4000bp
+    * on random text), and the XOR of the selected instance set — the
+    * checksum pins the exact fingerprint SET, not just its size.
+    * Positions < 4096 by the corpus's ~2000-word bound; both engines
+    * use the identical pack either way. */
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 7)
+      .select($"doc_id", expr(
+        """transform(sequence(0, size(hs) - 4),
+          |  i -> aggregate(slice(hs, i + 1, 4), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin).as("g"))
+      .select($"doc_id", size($"g").cast("long").as("n_grams"), expr(
+        """array_distinct(zip_with(
+          |  transform(sequence(0, size(g) - 4), j ->
+          |    array_min(transform(sequence(0, 3),
+          |      u -> element_at(g, j + u + 1) * 4096 + CAST(4095 - u AS BIGINT)))),
+          |  sequence(0, size(g) - 4),
+          |  (key, j) -> (key DIV 4096) * 4096 + j + 4095 - key % 4096))""".stripMargin)
+        .as("insts"))
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - 3).as("n_windows"),
+        size($"insts").cast("long").as("n_selected"),
+        expr("10000 * size(insts) DIV (n_grams - 3)").as("density_bp"),
+        expr("aggregate(insts, CAST(0 AS BIGINT), (acc, x) -> acc ^ x)").as("fp_xor"))
+      .orderBy($"doc_id")
+  }
+
+  /** N-gram novelty — the memorization audit: what fraction of the
+    * TEST split's 8-gram instances never occur in TRAIN? The
+    * complement of [[qSplitContamination]]'s view: contamination lists
+    * the worst shared passages; novelty measures how much of the eval
+    * set is fresh at all, per language — the rate a memorization study
+    * reports. Same deterministic split die and passage-hash machinery
+    * (one shared [[Hashing]] source of truth); the train gram set is
+    * corpus-scale so membership is a plain whash EQUI-join — AQE may
+    * broadcast it at demo SF where the runtime size merits it, but the
+    * plan is never a nested loop — and both rollups keep map-side
+    * partials. */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = docs(s, dir)
+      .select($"doc_id", $"lang",
+        when(bucket < 10, "test").when(bucket < 20, "val").otherwise("train").as("split"),
+        expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 8)
+      .select($"doc_id", $"lang", $"split", explode(expr(
+        """transform(sequence(0, size(hs) - 8),
+          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as("whash"))
+    val trainGrams = win.filter($"split" === "train")
+      .select($"whash").distinct().withColumn("seen", lit(1L))
+    win.filter($"split" === "test")
+      .join(trainGrams, Seq("whash"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_test_grams"), count($"seen").as("n_seen"))
+      .select($"lang", $"n_test_grams", $"n_seen",
+        expr("10000 * (n_test_grams - n_seen) DIV n_test_grams").as("novelty_bp"))
+      .orderBy($"lang")
+  }
+
   /** The custom typed Aggregator in a query: per language, the 4
     * smallest doc-content hashes (a per-group MinHash-style sketch).
     * The udaf partial-aggregates map-side like any built-in (buffer is
@@ -618,6 +694,8 @@ object PipelineOps {
     "q_hll_union_audit" -> qHllUnionAudit,
     "q_cms_heavy_hitters" -> qCmsHeavyHitters,
     "q_common_passages" -> qCommonPassages,
+    "q_winnow_fingerprint" -> qWinnowFingerprint,
+    "q_ngram_novelty" -> qNgramNovelty,
   )
 
   private val bucketSql =
@@ -878,5 +956,50 @@ object PipelineOps {
          |SELECT whash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
          |FROM w GROUP BY whash HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, whash LIMIT 20""".stripMargin,
+    // winnowing replayed verbatim: the packed-key array_min IS the
+    // rightmost-min rule, so the oracle only needs the same pack; the
+    // key expression appears twice (DIV and %) because SQL lambdas
+    // have no let-binding.
+    "q_winnow_fingerprint" -> {
+      val keyDuck = "list_min(list_transform(generate_series(0, 3), " +
+        "u -> g[j + u + 1] * 4096 + CAST(4095 - u AS BIGINT)))"
+      s"""WITH h AS (
+         |  SELECT doc_id, $wordHashListSql AS hs FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |g AS (
+         |  SELECT doc_id, list_transform(generate_series(0, len(hs) - 4),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 4]),
+         |                     (acc, x) -> (acc * 31 + x) % 1000000007)) AS g
+         |  FROM h WHERE len(hs) >= 7),
+         |sel AS (
+         |  SELECT doc_id, len(g) AS n_grams,
+         |    list_distinct(list_transform(generate_series(0, len(g) - 4),
+         |      j -> (($keyDuck) // 4096) * 4096 + j + 4095 - ($keyDuck) % 4096)) AS insts
+         |  FROM g)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_grams - 3 AS BIGINT) AS n_windows,
+         |  CAST(len(insts) AS BIGINT) AS n_selected,
+         |  10000 * len(insts) // (n_grams - 3) AS density_bp,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), insts),
+         |              (acc, x) -> xor(acc, x)) AS fp_xor
+         |FROM sel ORDER BY doc_id""".stripMargin
+    },
+    "q_ngram_novelty" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $bucketSql < 10 THEN 'test'
+         |         WHEN $bucketSql < 20 THEN 'val'
+         |         ELSE 'train' END AS split,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(hs, i + 1, i + 8)),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS whash
+         |  FROM (SELECT doc_id, lang, $wordHashListSql AS hs FROM documents),
+         |    (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |  WHERE len(hs) >= 8 AND i <= len(hs) - 8),
+         |tg AS (SELECT DISTINCT whash FROM w WHERE split = 'train')
+         |SELECT w.lang, count(*) AS n_test_grams, count(tg.whash) AS n_seen,
+         |  10000 * (count(*) - count(tg.whash)) // count(*) AS novelty_bp
+         |FROM w LEFT JOIN tg ON w.whash = tg.whash
+         |WHERE w.split = 'test'
+         |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
   )
 }

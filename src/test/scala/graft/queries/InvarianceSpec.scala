@@ -36,7 +36,9 @@ class InvarianceSpec extends AnyFunSuite {
     "q_pq_ann",           // trained codebooks + ADC gather + top-k ties
     "q_ivfpq_residual",   // cells + residuals + frozen gather + re-rank
     "q_cms_heavy_hitters", // sketch linearity + TakeOrdered ties
-    "q_k_anonymity")      // broadcast class stats + left-join rollup
+    "q_k_anonymity",      // broadcast class stats + left-join rollup
+    "q_winnow_fingerprint", // packed-key array_min winnowing + xor checksum
+    "q_ngram_novelty")    // split die + train-gram membership join
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

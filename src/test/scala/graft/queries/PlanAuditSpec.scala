@@ -98,6 +98,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("organization"), s)
   }
 
+  test("q_ngram_novelty: train-gram membership is an equi-join, never a nested loop") {
+    val p = executed(PipelineOps.qNgramNovelty(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q_winnow_fingerprint: selection is per-row HOF arithmetic — no join, no explode") {
+    // The winnowing rule runs inside one projection (packed-key
+    // array_min); the only exchange is the final orderBy.
+    val p = executed(PipelineOps.qWinnowFingerprint(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s) // no explode — grams stay in-array
+  }
+
   test("q3: no SF-scaling table is broadcast by hint (AQE decides)") {
     // At sf0.001 AQE may legitimately choose broadcast for small
     // runtime sizes; what must NOT appear is a build side pinned by an
