@@ -513,6 +513,60 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Corpus-overlap matrix: pairwise Jaccard between SOURCES over
+    * their distinct word-trigram shingle sets — the number a data-mix
+    * designer needs BEFORE weighting corpora (two crawls of the same
+    * sites deduplicate each other; [[qDatasetMix]]'s √size budgets
+    * assume the sources are distinct populations). Each pair carries
+    * both the EXACT Jaccard and the min-K sketch ESTIMATE with its
+    * signed error, so the key is simultaneously the audit that
+    * calibrates the estimator.
+    *
+    * Scale: at 100 TB the exact half is one distinct-(source, shingle)
+    * shuffle plus a shingle-hash EQUI-join whose per-key fanout is
+    * bounded by sources² — heavy but linear, the calibration run. The
+    * sketch half is the standing path: K=64 smallest distinct hashes
+    * per source (a bounded-buffer, mergeable bottom-K — same state
+    * shape as [[qMinkHash]]), after which the pair stage is arithmetic
+    * over sources² tiny arrays. Estimator: with U = the K smallest of
+    * A ∪ B (union of sketches, since the sketch IS bottom-K),
+    * est = |U ∩ A ∩ B| / |U| — the classic single-hash min-K Jaccard
+    * estimator. Everything is integer-exact; ties impossible (hashes
+    * distinct per source by construction). */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, dir)
+      .select($"source", expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 3)
+      .select($"source", explode(expr(
+        """transform(sequence(0, size(hs) - 3),
+          |  i -> aggregate(slice(hs, i + 1, 3), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as("whash"))
+      .distinct()
+    val counts = w.groupBy($"source").agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy($"source").orderBy($"whash")
+    val sk = w.withColumn("rn", row_number().over(rk)).filter($"rn" <= 64)
+      .groupBy($"source").agg(sort_array(collect_list($"whash")).as("sk"))
+    val inter = w.as("a")
+      .join(w.as("b"), $"a.whash" === $"b.whash" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("sa"), $"b.source".as("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+    counts.select($"source".as("sa"), $"n".as("n_a"))
+      .crossJoin(broadcast(counts.select($"source".as("sb"), $"n".as("n_b"))))
+      .filter($"sa" < $"sb")
+      .join(inter, Seq("sa", "sb"), "left").na.fill(0L, Seq("n_inter"))
+      .join(broadcast(sk.select($"source".as("sa"), $"sk".as("ska"))), Seq("sa"))
+      .join(broadcast(sk.select($"source".as("sb"), $"sk".as("skb"))), Seq("sb"))
+      .withColumn("u", expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+      .select($"sa", $"sb", $"n_a", $"n_b", $"n_inter",
+        expr("(10000 * n_inter) DIV (n_a + n_b - n_inter)").as("jaccard_bp"),
+        expr("(10000 * size(array_intersect(u, array_intersect(ska, skb)))) DIV size(u)")
+          .as("est_bp"))
+      .withColumn("err_bp", $"est_bp" - $"jaccard_bp")
+      .orderBy($"sa", $"sb")
+  }
+
   /** The custom typed Aggregator in a query: per language, the 4
     * smallest doc-content hashes (a per-group MinHash-style sketch).
     * The udaf partial-aggregates map-side like any built-in (buffer is
@@ -696,6 +750,7 @@ object PipelineOps {
     "q_common_passages" -> qCommonPassages,
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_ngram_novelty" -> qNgramNovelty,
+    "q_source_overlap" -> qSourceOverlap,
   )
 
   private val bucketSql =
@@ -1001,5 +1056,37 @@ object PipelineOps {
          |FROM w LEFT JOIN tg ON w.whash = tg.whash
          |WHERE w.split = 'test'
          |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
+    // Overlap matrix replayed in full: same trigram rolling hash, exact
+    // Jaccard via the shingle equi-join, and the identical bottom-64
+    // sketch estimator (list_filter/list_contains instead of
+    // array_intersect — u is distinct so the counts agree exactly).
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT source, $wordHashListSql AS hs FROM documents),
+         |w AS (SELECT DISTINCT source,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 3]),
+         |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
+         |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |      WHERE len(hs) >= 3 AND i <= len(hs) - 3),
+         |c AS (SELECT source, count(*) AS n FROM w GROUP BY 1),
+         |sk AS (SELECT source, (list(whash ORDER BY whash))[1:64] AS sk FROM w GROUP BY 1),
+         |x AS (SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+         |      FROM w a JOIN w b ON a.whash = b.whash AND a.source < b.source
+         |      GROUP BY 1, 2),
+         |p AS (SELECT ca.source AS sa, cb.source AS sb, ca.n AS n_a, cb.n AS n_b
+         |      FROM c ca, c cb WHERE ca.source < cb.source),
+         |e AS (SELECT p.sa, p.sb, p.n_a, p.n_b,
+         |        coalesce(x.n_inter, 0) AS n_inter, a.sk AS ska, b.sk AS skb,
+         |        (list_sort(list_distinct(a.sk || b.sk)))[1:64] AS u
+         |      FROM p LEFT JOIN x ON x.sa = p.sa AND x.sb = p.sb
+         |      JOIN sk a ON a.source = p.sa JOIN sk b ON b.source = p.sb)
+         |SELECT sa, sb, n_a, n_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST((10000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT) AS jaccard_bp,
+         |  CAST((10000 * len(list_filter(u, y -> list_contains(ska, y)
+         |                                   AND list_contains(skb, y)))) // len(u)
+         |    AS BIGINT) AS est_bp,
+         |  CAST((10000 * len(list_filter(u, y -> list_contains(ska, y)
+         |                                   AND list_contains(skb, y)))) // len(u)
+         |    - (10000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT) AS err_bp
+         |FROM e ORDER BY sa, sb""".stripMargin,
   )
 }

@@ -533,6 +533,59 @@ object PqOps {
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy(col("qid"))
 
+  /** Scalar quantization (SQ8) recall@5 — PQ's sibling quantizer and
+    * the other deployment option a 100 TB embedding store weighs. Each
+    * dimension is quantized INDEPENDENTLY to 8 bits against the
+    * corpus's per-dim [min, max] range: code_d = (x_d − min_d)·255 DIV
+    * span_d, reconstructed as min_d + (code_d·span_d) DIV 255. 64 dims
+    * × 1 byte = 64 B/vector (4× vs float32) against PQ's 4 B (64×) —
+    * SQ8 spends 16× PQ's memory to keep per-dim resolution, and this
+    * audit measures what that buys: recall against the same exact
+    * max-inner-product truth as [[qPqRecall]], same query set, same
+    * rollup, so the two keys ARE the memory/recall trade read
+    * side-by-side (SCALE.md records the pair).
+    *
+    * Determinism: all arithmetic is integer over the quantized
+    * vectors; (x−min) ≥ 0 by construction so DIV (truncating) equals
+    * DuckDB's // (flooring) everywhere it runs; a constant dimension
+    * (span 0) reconstructs exactly as min via the nullif/coalesce
+    * guard — no ANSI divide-by-zero. The per-dim stats are one
+    * 64-group partial-agg rollup collapsed to two broadcast arrays
+    * (array_sort on (d, stat) structs pins element order under any
+    * partitioning); scoring is the same asymmetric broadcast-queries
+    * scan as the brute/ADC baselines — exact query against
+    * reconstructed corpus, one corpus pass, no shuffle until the
+    * top-k window. */
+  def qSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val v = vecs(s, dir).select(col("vec_id"), col("q"))
+    val stats = v.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, mn))), p -> p.mn)").as("mn"),
+        expr("transform(array_sort(collect_list(struct(d, mn, mx))), p -> p.mx - p.mn)").as("span"))
+    val rec = v.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("q"), expr(
+        """transform(sequence(1, 64), d ->
+          |  element_at(mn, d) + coalesce(
+          |    (((element_at(q, d) - element_at(mn, d)) * 255)
+          |       DIV nullif(element_at(span, d), 0)) * element_at(span, d) DIV 255,
+          |    CAST(0 AS BIGINT)))""".stripMargin).as("r"))
+    val queries = rec.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val scored = rec.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot(s, "qv", "r").as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val sqTop = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
+    dotTruthTopK(s, dir, 5)
+      .join(sqTop.select(col("qid").as("aqid"), col("cid").as("acid")),
+        col("qid") === col("aqid") && col("cid") === col("acid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_truth"), count(col("acid")).as("n_hits"))
+      .select(col("qid"), col("n_truth"), col("n_hits"),
+        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
+      .orderBy(col("qid"))
+  }
+
   /** The codebook-size DIAL as a runnable code path ([[graft.tools
     * .Dial]] `pq` mode), same contract as the bits/nlist dials: at an
     * explicit per-subspace codebook size `ks`, one summary row — the
@@ -592,6 +645,7 @@ object PqOps {
     "q_ivfpq_residual" -> qIvfPqResidual,
     "q_pq_incremental" -> qPqIncremental,
     "q_pq_recall" -> qPqRecall,
+    "q_sq8_recall" -> qSq8Recall,
     "q_pq_mog_residual" -> qPqMogResidual)
 
   /** Training + encoding as shared CTEs (ending in `c1` = codebooks,
@@ -813,5 +867,32 @@ object PqOps {
          |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
          |FROM ($dotTruthSql) t
          |LEFT JOIN ($annSql) a ON a.qid = t.qid AND a.cid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    // SQ8 replayed in full: per-dim [min, max] over the quantized
+    // corpus, 8-bit encode/reconstruct in the same guarded integer
+    // arithmetic, asymmetric exact-query × reconstructed-corpus scan,
+    // and the identical truth/rollup as q_pq_recall.
+    "q_sq8_recall" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |st AS (SELECT r.d + 1 AS d, min(q[r.d + 1]) AS mn, max(q[r.d + 1]) AS mx
+         |       FROM v, range(64) r(d) GROUP BY 1),
+         |sa AS (SELECT list(mn ORDER BY d) AS mn, list(mx - mn ORDER BY d) AS span FROM st),
+         |rec AS (SELECT vec_id, q, list_transform(generate_series(1, 64), d ->
+         |          mn[d] + coalesce(
+         |            (((q[d] - mn[d]) * 255) // nullif(span[d], 0)) * span[d] // 255,
+         |            CAST(0 AS BIGINT))) AS r
+         |        FROM v, sa),
+         |terms AS (SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         |            unnest(qv.q) AS a, unnest(cv.r) AS b
+         |          FROM rec qv JOIN rec cv ON cv.vec_id <> qv.vec_id
+         |          WHERE qv.vec_id % 100 = 0),
+         |dots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS adc FROM terms GROUP BY 1,2),
+         |sq AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS rnk
+         |    FROM dots) WHERE rnk <= 5)
+         |SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+         |FROM ($dotTruthSql) t
+         |LEFT JOIN sq a ON a.qid = t.qid AND a.cid = t.cid
          |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
 }

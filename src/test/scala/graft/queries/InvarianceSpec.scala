@@ -38,7 +38,9 @@ class InvarianceSpec extends AnyFunSuite {
     "q_cms_heavy_hitters", // sketch linearity + TakeOrdered ties
     "q_k_anonymity",      // broadcast class stats + left-join rollup
     "q_winnow_fingerprint", // packed-key array_min winnowing + xor checksum
-    "q_ngram_novelty")    // split die + train-gram membership join
+    "q_ngram_novelty",    // split die + train-gram membership join
+    "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
+    "q_source_overlap")   // bottom-64 sketch + exact-join matrix
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

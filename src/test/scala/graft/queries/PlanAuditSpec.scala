@@ -113,6 +113,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Generate"), s) // no explode — grams stay in-array
   }
 
+  test("q_sq8_recall: per-dim stats broadcast, pair stage is the labeled asymmetric scan") {
+    // The per-dim [min, max] rollup collapses to ONE broadcast row
+    // (like the trained-codebook metadata); the scoring pass is the
+    // same intentional broadcast-queries corpus scan as the brute/ADC
+    // baselines — a broadcast NL by design, never a CartesianProduct.
+    val p = executed(PqOps.qSq8Recall(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
+  test("q_source_overlap: exact pair stage is a whash equi-join, sketches broadcast") {
+    // The only corpus-sized shuffles are keyed by the shingle hash
+    // (distinct + the exact-intersection self-join); the sources²
+    // combine runs over broadcast per-source rows. A degradation to
+    // an unkeyed pair stage would surface as a CartesianProduct.
+    val p = executed(PipelineOps.qSourceOverlap(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    // keyed on whash whichever equi strategy the optimizer picks —
+    // a shuffle on whash or a hash join built on it
+    assert(s.contains("hashpartitioning(whash")
+      || s.contains("BroadcastHashJoin [whash")
+      || s.contains("ShuffledHashJoin [whash"), s)
+  }
+
   test("q3: no SF-scaling table is broadcast by hint (AQE decides)") {
     // At sf0.001 AQE may legitimately choose broadcast for small
     // runtime sizes; what must NOT appear is a build side pinned by an
