@@ -375,6 +375,68 @@ object EmbeddingOps {
         min($"recall_bp").as("min_recall_bp"))
   }
 
+  /** Random-projection (Johnson–Lindenstrauss) recall@5 — the third
+    * axis of ANN cost, measured like the other two: IVF/LSH bound how
+    * many candidates a query SCORES, PQ/SQ bound the BYTES a candidate
+    * costs, and RP bounds the DIMENSIONS each score touches. The
+    * corpus projects once through a deterministic ±1 sign matrix
+    * (Achlioptas 2003's database-friendly JL variant; sign(j, d) =
+    * md5-parity of the (j, d) label, so both engines regenerate the
+    * matrix bit-for-bit — at scale it is 16×64 literal metadata, here
+    * one broadcast row) and queries rank candidates by the 16-dim
+    * projected inner product (E[⟨Px, Py⟩] = dims·⟨x, y⟩, so ranking
+    * is scale-free), audited against the same exact 64-dim
+    * max-inner-product truth and rollup as the quantizer recalls —
+    * the three families read as one cost/recall menu. Integer-exact
+    * end to end; `graft.tools.Dial rp` sweeps the dims knob. */
+  def qRpRecall(s: SparkSession, dir: String): DataFrame =
+    rpRecallAt(s, dir, dims = 16)
+
+  /** [[qRpRecall]] at an explicit target dimensionality. */
+  private[graft] def rpRecallAt(s: SparkSession, dir: String, dims: Int): DataFrame = {
+    import s.implicits._
+    require(dims >= 1 && dims <= 64, s"projected dims must be in [1, 64], got $dims")
+    val v = vecs(s, dir).select($"vec_id", $"q")
+    // The sign matrix as ONE broadcast row: sg[j][d] ∈ {−1, +1} from
+    // the md5 parity of the (j, d) label — index metadata, like the
+    // SQ8 range arrays and the PQ codebooks.
+    val signs = s.range(1).select(expr(
+      s"""transform(sequence(1, $dims), j ->
+         |  transform(sequence(1, 64), d ->
+         |    CASE WHEN conv(substring(md5(concat('rp', CAST(j AS STRING), '_',
+         |                                       CAST(d AS STRING))), 1, 1), 16, 10) % 2 = 0
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END))""".stripMargin).as("sg"))
+    val pv = v.crossJoin(broadcast(signs))
+      .select($"vec_id", expr(
+        s"""transform(sequence(1, $dims), j ->
+           |  aggregate(zip_with(q, element_at(sg, j), (x, sgn) -> x * sgn),
+           |            CAST(0 AS BIGINT), (acc, t) -> acc + t))""".stripMargin).as("p"))
+    val queries = pv.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"p".as("qp"))
+    val scored = pv.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), dot(s, "qp", "p").as("pdot"))
+    val w = Window.partitionBy($"qid").orderBy($"pdot".desc, $"cid")
+    val rpTop = scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5).select($"qid", $"cid")
+    PqOps.dotTruthTopK(s, dir, 5)
+      .join(rpTop.select($"qid".as("aqid"), $"cid".as("acid")),
+        $"qid" === $"aqid" && $"cid" === $"acid", "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_truth"), count($"acid").as("n_hits"))
+      .select($"qid", $"n_truth", $"n_hits",
+        expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
+      .orderBy($"qid")
+  }
+
+  /** One summary row per RP dims setting — the Dial `rp` mode. */
+  private[graft] def rpDialAt(s: SparkSession, dir: String, dims: Int): DataFrame =
+    rpRecallAt(s, dir, dims)
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("recall_bp")).cast("long").as("mean_recall_bp"),
+        min(col("recall_bp")).as("min_recall_bp"))
+      .select(lit(dims).as("dims"), lit(dims * 8L).as("bytes_per_vec"),
+        col("n_queries"), col("mean_recall_bp"), col("min_recall_bp"))
+
   /** Recall@5 of the sign-LSH path. */
   def qAnnRecall(s: SparkSession, dir: String): DataFrame =
     recallAudit(s, dir, truthK = 5, approx = qAnnLsh(s, dir))
@@ -526,6 +588,7 @@ object EmbeddingOps {
     "q_lsh_bucket_audit" -> qLshBucketAudit,
     "q_ann_recall" -> qAnnRecall,
     "q_ivf_recall" -> qIvfRecall,
+    "q_rp_recall" -> qRpRecall,
   )
 
   private[queries] val qvecSql =
@@ -579,7 +642,35 @@ object EmbeddingOps {
          |            JOIN n nb ON nb.vec_id = d.doc_b
          |ORDER BY d.doc_a, d.doc_b""".stripMargin,
     "q_ann_recall" -> recallOracle(5, baseOracles("q_ann_lsh")),
-    "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")))
+    "q_ivf_recall" -> recallOracle(3, baseOracles("q_ivf_ann")),
+    // RP replayed in full: the md5-parity sign matrix, the projection,
+    // the projected-dot ranking, and the identical exact-dot truth and
+    // rollup as the quantizer recall audits.
+    "q_rp_recall" ->
+      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         |sg AS (SELECT list_transform(generate_series(1, 16), j ->
+         |         list_transform(generate_series(1, 64), d ->
+         |           CASE WHEN CAST('0x' || substring(md5('rp' || CAST(j AS VARCHAR)
+         |                    || '_' || CAST(d AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+         |                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)) AS sg),
+         |pv AS (SELECT vec_id, list_transform(generate_series(1, 16), j ->
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(generate_series(1, 64), d -> q[d] * sg[j][d])),
+         |           (acc, t) -> acc + t)) AS p
+         |       FROM v, sg),
+         |terms AS (SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         |            unnest(qv.p) AS a, unnest(cv.p) AS b
+         |          FROM pv qv JOIN pv cv ON cv.vec_id <> qv.vec_id
+         |          WHERE qv.vec_id % 100 = 0),
+         |dots AS (SELECT qid, cid, CAST(sum(a*b) AS BIGINT) AS pdot FROM terms GROUP BY 1, 2),
+         |rp AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY pdot DESC, cid) AS rnk
+         |    FROM dots) WHERE rnk <= 5)
+         |SELECT t.qid, count(*) AS n_truth, count(a.cid) AS n_hits,
+         |  CAST((10000 * count(a.cid)) // count(*) AS BIGINT) AS recall_bp
+         |FROM (${PqOps.dotTruthSql}) t
+         |LEFT JOIN rp a ON a.qid = t.qid AND a.cid = t.cid
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin)
 
   /** Both Lloyd rounds as reusable CTEs (ending in `a2`, the final
     * assignment) — shared verbatim between the k-means oracle and the

@@ -246,7 +246,7 @@ object PqOps {
 
   /** Exact max-inner-product top-k per query — the truth the recall
     * audits and the dial both rank against. */
-  private def dotTruthTopK(s: SparkSession, dir: String, k: Int): DataFrame =
+  private[queries] def dotTruthTopK(s: SparkSession, dir: String, k: Int): DataFrame =
     dotTruthTopKOf(s, vecs(s, dir).select(col("vec_id"), col("q")), k)
 
   /** [[dotTruthTopK]] over an arbitrary (vec_id, q) frame. */
@@ -556,7 +556,16 @@ object PqOps {
     * scan as the brute/ADC baselines — exact query against
     * reconstructed corpus, one corpus pass, no shuffle until the
     * top-k window. */
-  def qSq8Recall(s: SparkSession, dir: String): DataFrame = {
+  def qSq8Recall(s: SparkSession, dir: String): DataFrame =
+    sqRecallAt(s, dir, bits = 8)
+
+  /** [[qSq8Recall]]'s composition at an explicit bits-per-dimension —
+    * the SQ sizing dial's runnable path (`graft.tools.Dial sq`), same
+    * contract as the bits/nlist/ks dials. `levels = 2^bits − 1` is the
+    * top code; the gate pins bits = 8. */
+  private[graft] def sqRecallAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits-per-dim must be in [1, 16], got $bits")
+    val levels = (1 << bits) - 1
     val v = vecs(s, dir).select(col("vec_id"), col("q"))
     val stats = v.select(posexplode(col("q")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -564,11 +573,11 @@ object PqOps {
         expr("transform(array_sort(collect_list(struct(d, mn, mx))), p -> p.mx - p.mn)").as("span"))
     val rec = v.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("q"), expr(
-        """transform(sequence(1, 64), d ->
-          |  element_at(mn, d) + coalesce(
-          |    (((element_at(q, d) - element_at(mn, d)) * 255)
-          |       DIV nullif(element_at(span, d), 0)) * element_at(span, d) DIV 255,
-          |    CAST(0 AS BIGINT)))""".stripMargin).as("r"))
+        s"""transform(sequence(1, 64), d ->
+           |  element_at(mn, d) + coalesce(
+           |    (((element_at(q, d) - element_at(mn, d)) * $levels)
+           |       DIV nullif(element_at(span, d), 0)) * element_at(span, d) DIV $levels,
+           |    CAST(0 AS BIGINT)))""".stripMargin).as("r"))
     val queries = rec.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val scored = rec.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -585,6 +594,17 @@ object PqOps {
         expr("(10000 * n_hits) DIV n_truth").as("recall_bp"))
       .orderBy(col("qid"))
   }
+
+  /** One summary row per SQ bits setting — bytes per vector and what
+    * they buy in recall, next to the PQ dial's rows. */
+  private[graft] def sqDialAt(s: SparkSession, dir: String, bits: Int): DataFrame =
+    sqRecallAt(s, dir, bits)
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("recall_bp")).cast("long").as("mean_recall_bp"),
+        min(col("recall_bp")).as("min_recall_bp"))
+      .select(lit(bits).as("bits_per_dim"),
+        lit((64L * bits + 7) / 8).as("bytes_per_vec"),
+        col("n_queries"), col("mean_recall_bp"), col("min_recall_bp"))
 
   /** The codebook-size DIAL as a runnable code path ([[graft.tools
     * .Dial]] `pq` mode), same contract as the bits/nlist dials: at an
@@ -721,7 +741,7 @@ object PqOps {
   private lazy val annSql: String = annSqlAt(5)
 
   /** Exact max-inner-product top-5 — the ground truth ADC approximates. */
-  private lazy val dotTruthSql: String =
+  private[queries] lazy val dotTruthSql: String =
     s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
        |terms AS (SELECT qv.vec_id AS qid, cv.vec_id AS cid, unnest(qv.q) AS a, unnest(cv.q) AS b
        |          FROM v qv JOIN v cv ON cv.vec_id <> qv.vec_id WHERE qv.vec_id % 100 = 0),

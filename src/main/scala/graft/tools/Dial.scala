@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.tools.Dial <sfDir> ivft <nlist> [nlist...]   (trained centroids)
   *   runMain graft.tools.Dial <sfDir> pq <ks> [ks...]           (codebook size: distortion + recall)
   *   runMain graft.tools.Dial <sfDir> pqmog                     (MoG-corpus flat-ADC recall@5)
+  *   runMain graft.tools.Dial <sfDir> sq <bits> [bits...]       (scalar-quant bits/dim: bytes + recall)
+  *   runMain graft.tools.Dial <sfDir> rp <dims> [dims...]       (random-projection dims: bytes + recall)
   *   runMain graft.tools.Dial <sfDir> recall <bits[:cap]> [bits[:cap]...]
   *
   * `recall` closes the loop on the sizing dials: it runs the sign-LSH
@@ -57,7 +59,9 @@ object Dial {
         case "ivf"  => graft.queries.EmbeddingOps.ivfOccupancyAt(spark, sfDir, v)
         case "ivft" => graft.queries.EmbeddingOps.ivfOccupancyTrainedAt(spark, sfDir, v)
         case "pq"   => graft.queries.PqOps.pqDialAt(spark, sfDir, v)
-        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|pqmog|recall")
+        case "sq"   => graft.queries.PqOps.sqDialAt(spark, sfDir, v)
+        case "rp"   => graft.queries.EmbeddingOps.rpDialAt(spark, sfDir, v)
+        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|pqmog|sq|rp|recall")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
     }

@@ -40,6 +40,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_winnow_fingerprint", // packed-key array_min winnowing + xor checksum
     "q_ngram_novelty",    // split die + train-gram membership join
     "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
+    "q_rp_recall",        // broadcast sign matrix + pdot/cid ties
     "q_source_overlap")   // bottom-64 sketch + exact-join matrix
 
   private def rows(key: String, parts: Int): Seq[Row] = {

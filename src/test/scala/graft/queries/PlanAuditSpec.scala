@@ -124,6 +124,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("BroadcastExchange"), s)
   }
 
+  test("q_rp_recall: the sign matrix is one broadcast row, never a shuffle side") {
+    // The JL matrix is index metadata — 16×64 signs computed once and
+    // broadcast (like the SQ8 range arrays); the scoring pass is the
+    // labeled asymmetric broadcast scan, never a CartesianProduct.
+    val p = executed(EmbeddingOps.qRpRecall(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
   test("q_source_overlap: exact pair stage is a whash equi-join, sketches broadcast") {
     // The only corpus-sized shuffles are keyed by the shingle hash
     // (distinct + the exact-intersection self-join); the sources²
