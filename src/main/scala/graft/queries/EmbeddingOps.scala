@@ -395,8 +395,15 @@ object EmbeddingOps {
   /** [[qRpRecall]] at an explicit target dimensionality. */
   private[graft] def rpRecallAt(s: SparkSession, dir: String, dims: Int): DataFrame = {
     import s.implicits._
+    rpRecallOf(s, vecs(s, dir).select($"vec_id", $"q"), dims)
+  }
+
+  /** The RP composition over an arbitrary (vec_id, q) frame — so the
+    * dial can answer "does projection work on CLUSTERED data" on the
+    * MoG corpus with a measurement. */
+  private def rpRecallOf(s: SparkSession, v: DataFrame, dims: Int): DataFrame = {
+    import s.implicits._
     require(dims >= 1 && dims <= 64, s"projected dims must be in [1, 64], got $dims")
-    val v = vecs(s, dir).select($"vec_id", $"q")
     // The sign matrix as ONE broadcast row: sg[j][d] ∈ {−1, +1} from
     // the md5 parity of the (j, d) label — index metadata, like the
     // SQ8 range arrays and the PQ codebooks.
@@ -418,7 +425,7 @@ object EmbeddingOps {
     val w = Window.partitionBy($"qid").orderBy($"pdot".desc, $"cid")
     val rpTop = scored.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 5).select($"qid", $"cid")
-    PqOps.dotTruthTopK(s, dir, 5)
+    PqOps.dotTruthTopKOf(s, v, 5)
       .join(rpTop.select($"qid".as("aqid"), $"cid".as("acid")),
         $"qid" === $"aqid" && $"cid" === $"acid", "left")
       .groupBy($"qid")
@@ -430,8 +437,15 @@ object EmbeddingOps {
 
   /** One summary row per RP dims setting — the Dial `rp` mode. */
   private[graft] def rpDialAt(s: SparkSession, dir: String, dims: Int): DataFrame =
-    rpRecallAt(s, dir, dims)
-      .agg(count(lit(1)).as("n_queries"),
+    rpSummary(rpRecallAt(s, dir, dims), dims)
+
+  /** The same dial over the MoG corpus (Dial `rpmog`) — projection on
+    * CLUSTERED data, the other half of the q_rp_recall verdict. */
+  private[graft] def rpMogDialAt(s: SparkSession, dir: String, dims: Int): DataFrame =
+    rpSummary(rpRecallOf(s, PqOps.mogVecs(s, dir), dims), dims)
+
+  private def rpSummary(df: DataFrame, dims: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_queries"),
         avg(col("recall_bp")).cast("long").as("mean_recall_bp"),
         min(col("recall_bp")).as("min_recall_bp"))
       .select(lit(dims).as("dims"), lit(dims * 8L).as("bytes_per_vec"),

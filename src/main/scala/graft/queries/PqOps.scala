@@ -250,7 +250,7 @@ object PqOps {
     dotTruthTopKOf(s, vecs(s, dir).select(col("vec_id"), col("q")), k)
 
   /** [[dotTruthTopK]] over an arbitrary (vec_id, q) frame. */
-  private def dotTruthTopKOf(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
+  private[queries] def dotTruthTopKOf(s: SparkSession, v: DataFrame, k: Int): DataFrame = {
     val queries = v.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"))
     val scored = v.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -563,10 +563,16 @@ object PqOps {
     * the SQ sizing dial's runnable path (`graft.tools.Dial sq`), same
     * contract as the bits/nlist/ks dials. `levels = 2^bits − 1` is the
     * top code; the gate pins bits = 8. */
-  private[graft] def sqRecallAt(s: SparkSession, dir: String, bits: Int): DataFrame = {
+  private[graft] def sqRecallAt(s: SparkSession, dir: String, bits: Int): DataFrame =
+    sqRecallOf(s, vecs(s, dir).select(col("vec_id"), col("q")), bits)
+
+  /** The SQ composition over an arbitrary (vec_id, q) frame —
+    * corpus-agnostic like the PQ/IVF `*Of` cores, so the dial can run
+    * it on the MoG table and answer "does the verdict flip on
+    * clustered data" with a measurement. */
+  private def sqRecallOf(s: SparkSession, v: DataFrame, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits-per-dim must be in [1, 16], got $bits")
     val levels = (1 << bits) - 1
-    val v = vecs(s, dir).select(col("vec_id"), col("q"))
     val stats = v.select(posexplode(col("q")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .agg(expr("transform(array_sort(collect_list(struct(d, mn))), p -> p.mn)").as("mn"),
@@ -585,7 +591,7 @@ object PqOps {
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
     val sqTop = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5).select(col("qid"), col("cid"))
-    dotTruthTopK(s, dir, 5)
+    dotTruthTopKOf(s, v, 5)
       .join(sqTop.select(col("qid").as("aqid"), col("cid").as("acid")),
         col("qid") === col("aqid") && col("cid") === col("acid"), "left")
       .groupBy(col("qid"))
@@ -598,8 +604,15 @@ object PqOps {
   /** One summary row per SQ bits setting — bytes per vector and what
     * they buy in recall, next to the PQ dial's rows. */
   private[graft] def sqDialAt(s: SparkSession, dir: String, bits: Int): DataFrame =
-    sqRecallAt(s, dir, bits)
-      .agg(count(lit(1)).as("n_queries"),
+    sqSummary(sqRecallAt(s, dir, bits), bits)
+
+  /** The same dial over the MoG corpus — the clustered-data half of
+    * the SQ verdict, like `pqmog` for flat ADC. */
+  private[graft] def sqMogDialAt(s: SparkSession, dir: String, bits: Int): DataFrame =
+    sqSummary(sqRecallOf(s, mogVecs(s, dir), bits), bits)
+
+  private def sqSummary(df: DataFrame, bits: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_queries"),
         avg(col("recall_bp")).cast("long").as("mean_recall_bp"),
         min(col("recall_bp")).as("min_recall_bp"))
       .select(lit(bits).as("bits_per_dim"),

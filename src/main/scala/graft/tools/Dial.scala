@@ -61,7 +61,10 @@ object Dial {
         case "pq"   => graft.queries.PqOps.pqDialAt(spark, sfDir, v)
         case "sq"   => graft.queries.PqOps.sqDialAt(spark, sfDir, v)
         case "rp"   => graft.queries.EmbeddingOps.rpDialAt(spark, sfDir, v)
-        case other  => throw new IllegalArgumentException(s"mode $other: band|ivf|ivft|pq|pqmog|sq|rp|recall")
+        case "sqmog" => graft.queries.PqOps.sqMogDialAt(spark, sfDir, v)
+        case "rpmog" => graft.queries.EmbeddingOps.rpMogDialAt(spark, sfDir, v)
+        case other  => throw new IllegalArgumentException(
+          s"mode $other: band|ivf|ivft|pq|pqmog|sq|sqmog|rp|rpmog|recall")
       }
       df.collect().foreach(r => println(s"DIAL $mode=$v $r"))
     }
