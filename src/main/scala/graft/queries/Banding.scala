@@ -71,4 +71,26 @@ private[queries] object Banding {
       .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName),
         col("p.inter").as("inter"), (col("p.sz") - col("p.inter")).as("uni"))
       .distinct()
+
+  /** [[verifiedPairs]] with the two set sizes kept SEPARATE in the
+    * verify struct (`p.na`/`p.nb` instead of their sum) — for keep
+    * rules that are not symmetric in the sizes, e.g. Broder
+    * CONTAINMENT |A∩B| / min(|A|,|B|), which a Jaccard rule cannot
+    * express. Same bucket-local shape and scale properties. */
+  def verifiedPairsSized(cappedBands: DataFrame, idCol: String,
+                         aName: String, bName: String, keep: String): DataFrame =
+    cappedBands.groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("n"), col("hs")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        s"""filter(
+              flatten(transform(sequence(0, size(xs)-2),
+                i -> transform(sequence(i+1, size(xs)-1),
+                  j -> struct(xs[i].$idCol AS $aName, xs[j].$idCol AS $bName,
+                    xs[i].n AS na, xs[j].n AS nb,
+                    CAST(size(array_intersect(xs[i].hs, xs[j].hs)) AS BIGINT) AS inter)))),
+              $keep)""")).as("p"))
+      .select(col(s"p.$aName").as(aName), col(s"p.$bName").as(bName),
+        col("p.na").as("n_a"), col("p.nb").as("n_b"), col("p.inter").as("inter"))
+      .distinct()
 }

@@ -252,6 +252,39 @@ object TextOps {
     * integers (intersection, union). */
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    Banding.verifiedPairs(minhashBandRows(s, dir), "doc_id",
+        "doc_a", "doc_b", keep = "p -> p.inter * 2 >= p.sz - p.inter") // jaccard >= 0.5
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Containment near-dup screen — the asymmetric twin of
+    * [[qMinhashPairs]] over the SAME candidate generation (shared
+    * [[minhashBandRows]], so the two keys can never disagree about
+    * what a candidate is). Broder containment |A∩B| / min(|A|,|B|)
+    * catches what Jaccard structurally misses: a short document
+    * embedded verbatim in a long one has high containment but LOW
+    * Jaccard (the long doc's extra shingles swamp the union), and a
+    * Jaccard-only dedup ships the duplicate. Keep = max-direction
+    * containment ≥ 0.5; each pair reports both metrics so the
+    * cont-high/jaccard-low rows — the pairs only this key finds — are
+    * visible in the output. Same bucket-local verify shape and caps;
+    * `least` (not a sum) in the keep rule is why the sized variant of
+    * the verify struct exists. */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Banding.verifiedPairsSized(minhashBandRows(s, dir), "doc_id",
+        "doc_a", "doc_b", keep = "p -> p.inter * 2 >= least(p.na, p.nb)")
+      .select($"doc_a", $"doc_b", $"n_a", $"n_b", $"inter",
+        expr("(10000 * inter) DIV least(n_a, n_b)").as("cont_bp"),
+        expr("(10000 * inter) DIV (n_a + n_b - inter)").as("jaccard_bp"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The capped minhash band rows WITH the verify payload (n, hs) —
+    * the candidate-generation half shared by the Jaccard and
+    * containment keys. */
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val hs = shingles(s, dir)
 
     // ONE per-doc aggregation carries the minhash signature, the
@@ -275,9 +308,7 @@ object TextOps {
       (0 until 4).map(b => concat(lit(b.toString), lit(":"), col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*
     )).as("band"))
 
-    Banding.verifiedPairs(capBuckets(bands, MinhashBucketCap), "doc_id",
-        "doc_a", "doc_b", keep = "p -> p.inter * 2 >= p.sz - p.inter") // jaccard >= 0.5
-      .orderBy($"doc_a", $"doc_b")
+    capBuckets(bands, MinhashBucketCap)
   }
 
   /** SimHash near-dup buckets: 16-bit signature from per-word hash-bit
@@ -865,6 +896,7 @@ object TextOps {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_containment" -> qContainment,
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_ngram_jaccard" -> qNgramJaccard,
@@ -1114,6 +1146,17 @@ object TextOps {
          |FROM inter JOIN sizes na ON na.doc_id = doc_a
          |           JOIN sizes nb ON nb.doc_id = doc_b
          |WHERE inter * 2 >= na.n + nb.n - inter
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Containment nests the SAME candidate/verify CTEs; only the keep
+    // rule and reported metrics differ — asymmetric in the set sizes.
+    "q_containment" ->
+      s"""WITH $minhashCteSql
+         |SELECT doc_a, doc_b, na.n AS n_a, nb.n AS n_b, inter,
+         |  CAST((10000 * inter) // least(na.n, nb.n) AS BIGINT) AS cont_bp,
+         |  CAST((10000 * inter) // (na.n + nb.n - inter) AS BIGINT) AS jaccard_bp
+         |FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |           JOIN sizes nb ON nb.doc_id = doc_b
+         |WHERE inter * 2 >= least(na.n, nb.n)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_funnel" ->
       s"""WITH $minhashCteSql,

@@ -41,6 +41,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_ngram_novelty",    // split die + train-gram membership join
     "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
     "q_rp_recall",        // broadcast sign matrix + pdot/cid ties
+    "q_containment",      // shared band rows + sized verify
     "q_source_overlap")   // bottom-64 sketch + exact-join matrix
 
   private def rows(key: String, parts: Int): Seq[Row] = {
