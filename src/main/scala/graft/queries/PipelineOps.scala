@@ -437,6 +437,95 @@ object PipelineOps {
       .limit(20)
   }
 
+  /** Maximal shared-passage extents between document pairs — the
+    * span-level view of contamination (Lee et al. 2021's ExactSubstr
+    * dedup reports exactly this: HOW LONG the verbatim overlap is,
+    * not just that one window matched). From the same 8-word window
+    * hashes as [[qCommonPassages]]: for every pair of docs sharing a
+    * window instance, adjacent shared windows that advance BOTH
+    * positions by 1 merge into maximal spans (diagonal run-length
+    * merging: group by pa − pb, islands by pa − row_number), so a
+    * k-word verbatim overlap reports as ONE span of k words, not
+    * k − 7 window hits. Boilerplate guard: window hashes occurring
+    * more than 32 times in the corpus are excluded BEFORE the pair
+    * stage (q_common_passages is the screen that shows what they
+    * are), so pair volume is bounded by rare-window co-occurrence —
+    * linear in duplicated content, never corpus². All joins are
+    * whash/pair equi-joins; the island window is partitioned by
+    * (pair, diagonal), never global. Output per pair with a ≥ 16-word
+    * maximal span: span count, total shared windows, longest span. */
+  def qSharedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = docs(s, dir)
+      .select($"doc_id", expr(s"$wordHashSql").as("hs"))
+      .filter(size($"hs") >= 8)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, size(hs) - 8),
+          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as(Seq("pos", "whash")))
+    // The rare-window guard as a COUNT window on the same whash
+    // partitioning the self-join needs — one exchange feeds the
+    // filter and both join sides (ReusedExchange), instead of a
+    // separate aggregate + membership join.
+    val w2 = win
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"whash")))
+      .filter($"n_occ" <= 32).drop("n_occ")
+    val pairs = w2.as("a")
+      .join(w2.as("b"), $"a.whash" === $"b.whash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val spans = pairs
+      .withColumn("isl", $"pa" - row_number().over(
+        Window.partitionBy($"doc_a", $"doc_b", $"pa" - $"pb").orderBy($"pa")))
+      .groupBy($"doc_a", $"doc_b", ($"pa" - $"pb").as("diag"), $"isl")
+      .agg(count(lit(1)).as("n_win"))
+      .withColumn("span_words", $"n_win" + 7)
+    spans.groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"n_win").as("n_shared_windows"),
+        max($"span_words").as("max_span_words"))
+      .filter($"max_span_words" >= 16)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Quality-filter funnel with per-rule ATTRIBUTION — not just how
+    * many documents survive the C4/Gopher-style screen but WHICH rule
+    * each casualty died on (first-failing-rule semantics, the way a
+    * production funnel reports so a rule change is accountable for
+    * exactly the documents it kills). Rules, in order: too_short
+    * (< 30 words), repetitive (distinct words < 30% of words),
+    * high_punct (non-alnum chars > 15%), low_stop (stopword ratio
+    * < 3% — an en-centric rule by design; the per-language attribution
+    * EXPOSES that bias instead of hiding it). All per-doc math is
+    * codegen'd HOF arithmetic in one pass (CASE short-circuits, so
+    * too_short guards the later divisions); the rollup is one bounded
+    * (lang, verdict) partial agg plus a lang-partitioned share
+    * window over the tiny aggregate. */
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = "array('the','a','of','and','to','in','is','it')"
+    docs(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", "\\s+")).cast("long").as("nw"),
+        expr("CAST(size(array_distinct(split(text, '\\\\s+'))) AS BIGINT)").as("nd"),
+        expr(s"CAST(size(filter(split(text, '\\\\s+'), x -> array_contains($stopArr, x))) AS BIGINT)")
+          .as("nstop"),
+        length($"text").cast("long").as("nc"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("npunct"))
+      .select($"lang", expr(
+        """CASE WHEN nw < 30 THEN 'too_short'
+          |     WHEN (10000 * nd) DIV nw < 3000 THEN 'repetitive'
+          |     WHEN (10000 * npunct) DIV nc > 1500 THEN 'high_punct'
+          |     WHEN (10000 * nstop) DIV nw < 300 THEN 'low_stop'
+          |     ELSE 'keep' END""".stripMargin).as("verdict"))
+      .groupBy($"lang", $"verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_share_bp",
+        expr("(10000 * n_docs) DIV sum(n_docs) OVER (PARTITION BY lang)"))
+      .orderBy($"lang", $"verdict")
+  }
+
   /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
     * the MOSS algorithm): per doc, 4-gram rolling hashes; over every
     * window of 4 consecutive gram hashes select the MINIMUM, ties to
@@ -751,6 +840,8 @@ object PipelineOps {
     "q_winnow_fingerprint" -> qWinnowFingerprint,
     "q_ngram_novelty" -> qNgramNovelty,
     "q_source_overlap" -> qSourceOverlap,
+    "q_shared_spans" -> qSharedSpans,
+    "q_filter_funnel" -> qFilterFunnel,
   )
 
   private val bucketSql =
@@ -1088,5 +1179,52 @@ object PipelineOps {
          |                                   AND list_contains(skb, y)))) // len(u)
          |    - (10000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT) AS err_bp
          |FROM e ORDER BY sa, sb""".stripMargin,
+    // Shared spans replayed in full: same windows with positions, the
+    // same <= 32-occurrence boilerplate guard, the same diagonal
+    // island arithmetic.
+    "q_shared_spans" ->
+      s"""WITH d AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
+         |w AS (SELECT doc_id, i AS pos,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 8]),
+         |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
+         |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |      WHERE len(hs) >= 8 AND i <= len(hs) - 8),
+         |rare AS (SELECT whash FROM w GROUP BY whash HAVING count(*) <= 32),
+         |w2 AS (SELECT w.* FROM w JOIN rare USING (whash)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |      FROM w2 a JOIN w2 b ON a.whash = b.whash AND a.doc_id < b.doc_id),
+         |i2 AS (SELECT doc_a, doc_b, pa - pb AS diag,
+         |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+         |       FROM p),
+         |sp AS (SELECT doc_a, doc_b, count(*) AS n_win
+         |       FROM i2 GROUP BY doc_a, doc_b, diag, isl)
+         |SELECT doc_a, doc_b, count(*) AS n_spans,
+         |  CAST(sum(n_win) AS BIGINT) AS n_shared_windows,
+         |  CAST(max(n_win) + 7 AS BIGINT) AS max_span_words
+         |FROM sp GROUP BY doc_a, doc_b
+         |HAVING max(n_win) + 7 >= 16
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_filter_funnel" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw,
+        |    CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS nd,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS nstop,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS npunct
+        |  FROM documents),
+        |v AS (SELECT lang,
+        |    CASE WHEN nw < 30 THEN 'too_short'
+        |         WHEN (10000 * nd) // nw < 3000 THEN 'repetitive'
+        |         WHEN (10000 * npunct) // nc > 1500 THEN 'high_punct'
+        |         WHEN (10000 * nstop) // nw < 300 THEN 'low_stop'
+        |         ELSE 'keep' END AS verdict
+        |  FROM f)
+        |SELECT lang, verdict, count(*) AS n_docs,
+        |  CAST((10000 * count(*)) // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS lang_share_bp
+        |FROM v GROUP BY lang, verdict
+        |ORDER BY lang, verdict""".stripMargin,
   )
 }

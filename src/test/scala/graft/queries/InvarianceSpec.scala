@@ -42,7 +42,9 @@ class InvarianceSpec extends AnyFunSuite {
     "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
     "q_rp_recall",        // broadcast sign matrix + pdot/cid ties
     "q_containment",      // shared band rows + sized verify
-    "q_source_overlap")   // bottom-64 sketch + exact-join matrix
+    "q_source_overlap",   // bottom-64 sketch + exact-join matrix
+    "q_shared_spans",     // diagonal islands + rare-window guard
+    "q_filter_funnel")    // CASE attribution + lang share window
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -113,6 +113,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Generate"), s) // no explode — grams stay in-array
   }
 
+  test("q_shared_spans: pair stage is a whash equi-join, island windows stay partitioned") {
+    // The span merge must never plan an unkeyed pair stage or a
+    // global window — both would be corpus² at scale.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = executed(PipelineOps.qSharedSpans(spark, dir))
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+    assert(!p.toString.contains("BroadcastNestedLoopJoin"), p.toString)
+    val windows = collectNodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the island row_number window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
+
   test("q_sq8_recall: per-dim stats broadcast, pair stage is the labeled asymmetric scan") {
     // The per-dim [min, max] rollup collapses to ONE broadcast row
     // (like the trained-codebook metadata); the scoring pass is the
