@@ -473,7 +473,7 @@ object EmbeddingOps {
     * oracle nests the minhash oracle verbatim, like the recall audits. */
   def qNeardupXmodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = TextOps.qMinhashPairs(s, dir)
+    val pairs = TextOps.nearDupPairs(s, dir)
       .select($"doc_a", $"doc_b", $"inter", $"uni")
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
     pairs

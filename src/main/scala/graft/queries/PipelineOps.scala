@@ -378,7 +378,7 @@ object PipelineOps {
       .filter($"stop_bp" >= 500)
     val canon = quality.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = quality.join(canon.select($"doc_id"), Seq("doc_id"), "left_semi")
-    val nearDupDrops = graft.queries.TextOps.qMinhashPairs(s, dir)
+    val nearDupDrops = graft.queries.TextOps.nearDupPairs(s, dir)
       .select($"doc_b".as("doc_id")).distinct()
     exact.join(nearDupDrops, Seq("doc_id"), "left_anti")
       .select($"lang", $"nw",
