@@ -49,7 +49,10 @@ class ComponentsSpec extends AnyFunSuite {
     spark.listenerManager.register(listener)
     try {
       val (_, rounds) = TextOps.connectedComponents(spark, pathPairs(40, 1))
-      assert(rounds >= 4, s"diameter-39 path should need many rounds, took $rounds")
+      // Reach per round is 5·(push reach) with the ×4 pointer jump:
+      // 1 → 10 → 55, so diameter 39 converges in round 2 and round 3
+      // observes the fixed point.
+      assert(rounds >= 3, s"diameter-39 path should need several rounds, took $rounds")
       // listener delivery is async: poll until the count is stable
       var last = -1
       var stable = 0
