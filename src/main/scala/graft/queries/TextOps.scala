@@ -475,13 +475,23 @@ object TextOps {
 
   /** Round bound for [[qDedupClusters]]: each round does one
     * neighbor-min hop AND four pointer-jump compositions against the
-    * round's label map, so label agreement spreads ~5^rounds hops;
-    * the loop stops at the actual fixed point (checked per round) and
-    * 16 rounds bounds component diameter ~5^16 — hitting the bound
-    * without converging throws
-    * loudly rather than emitting silently split clusters. Near-dup
-    * components are unions of bucket cliques (measured diameter 1 at
-    * sf0.1), so convergence is 1-2 rounds in practice. */
+    * round's label map, so label agreement spreads ~5^rounds hops —
+    * IN THE ORDER-CORRELATED REGIME, where vertex-id order tracks
+    * graph locality (both callers are in it: the near-dup graph is
+    * diameter-≤2 bucket cliques; the path-graph key chains vertices
+    * in staged-rank order, and ranks sort by id). The multiplier is a
+    * property of the label VALUE space, not of pointer jumping per
+    * se: labels are ball-minima, and a jump stalls at any vertex
+    * that is the minimum of its own reach-ball, so on an
+    * order-DESTROYED id layout (CcProf -shuffle: ids remapped through
+    * a multiplicative hash) the many local minima dissolve only at
+    * the +1/round neighbor-min rate and a diameter-39 path blows the
+    * bound — measured, not hypothetical. The loop stops at the actual
+    * fixed point (checked per round); hitting the bound without
+    * converging throws loudly rather than emitting silently split
+    * clusters (a long-path graph over HASHED ids would need
+    * relabeling through a locality-correlated rank first — the
+    * [[qGraphComponents]] prelude is that primitive). */
   private val MaxClusterRounds = 16
 
   /** Connected components over the verified near-dup pairs: the step
@@ -643,7 +653,7 @@ object TextOps {
     * PlanAuditSpec audits this exact plan (the production caller
     * checkpoints it, which would hide the window behind a
     * LogicalRDD). */
-  private[queries] def rankPhase1(ids: DataFrame): DataFrame =
+  private[graft] def rankPhase1(ids: DataFrame): DataFrame =
     ids.repartitionByRange(col("user_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrk", row_number().over(
@@ -659,7 +669,7 @@ object TextOps {
     * would re-introduce exactly the shapes the audit bans.
     * sequence() is guarded because Spark's sequence(a, b) runs
     * DESCENDING when a > b instead of returning empty. */
-  private[queries] def rankPhase2(s: SparkSession, local: DataFrame): DataFrame = {
+  private[graft] def rankPhase2(s: SparkSession, local: DataFrame): DataFrame = {
     import s.implicits._
     val counts = local.groupBy($"pid").agg(count(lit(1)).as("cnt")).localCheckpoint()
     // The pid upper bound comes from the DATA, not the session conf:

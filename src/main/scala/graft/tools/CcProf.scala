@@ -31,10 +31,25 @@ object CcProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // -shuffle: remap vertex ids through a bijection that destroys
+    // the order-locality correlation (path neighbors get unrelated
+    // ids) — the regime a chain over arbitrary user ids runs in. The
+    // min-label loop's JUMP effectiveness depends on the label VALUE
+    // space: with order-correlated dense ids every local min lies
+    // maximally far along the path; with shuffled ids jumps chase
+    // jagged local minima and rounds grow.
+    val shuffle = args.contains("-shuffle")
+    // -sparse: order-PRESERVING remap (scattered values, same order) —
+    // separates value-sparsity effects from order-correlation effects.
+    val sparse = args.contains("-sparse")
+    def remap(c: org.apache.spark.sql.Column) =
+      if (shuffle) pmod(c * 2654435761L, lit(4294967311L))
+      else if (sparse) c * 1000003L + 17L
+      else c
     def pathPairs(nv: Int, blk: Int) =
       spark.range(nv - 1).toDF("a")
         .filter((col("a") + 1) % blk =!= 0)
-        .select(col("a"), (col("a") + 1).as("b"))
+        .select(remap(col("a")).as("a"), remap(col("a") + 1).as("b"))
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
@@ -48,7 +63,26 @@ object CcProf {
       }
     })
 
-    val pairs = pathPairs(n, block).localCheckpoint()
+    // -real <sfDir>: run the loop over q_graph_components' ACTUAL
+    // chain (staged-rank order over distinct event users) instead of
+    // the synthetic dense path — tells real-regime rounds apart from
+    // fixture-regime rounds.
+    val realDir = args.sliding(2).collectFirst {
+      case Array("-real", d) => d }
+    val pairs = (realDir match {
+      case Some(dir) =>
+        import spark.implicits._
+        val users = graft.queries.Tables.events(spark, dir)
+          .select($"user_id").distinct()
+        val ranked = graft.queries.TextOps.rankPhase2(
+          spark, graft.queries.TextOps.rankPhase1(users).localCheckpoint())
+        val a = ranked.select($"user_id".as("src"), $"rk".as("rka"))
+        val b = ranked.select($"user_id".as("dst"), $"rk".as("rkb"))
+        a.join(b, $"rkb" === $"rka" + 1)
+          .filter(($"rka" + 1) % block =!= 0)
+          .select($"src", $"dst")
+      case None => pathPairs(n, block)
+    }).localCheckpoint()
     // warmup
     graft.queries.TextOps.connectedComponents(spark, pairs)
     Thread.sleep(500); jobs.set(0); stages.set(0); tasks.set(0)
