@@ -647,6 +647,112 @@ object TextOps {
     (labels, rounds)
   }
 
+  /** Iteration bound for [[connectedComponentsRobust]]: the
+    * alternating star algorithm converges in O(log² n) rounds on ANY
+    * id layout (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — the published answer to the regime
+    * sensitivity documented at [[MaxClusterRounds]]); 32 alternations
+    * is orders of magnitude past what any testable graph needs, and
+    * hitting it throws loudly. */
+  private val MaxStarRounds = 32
+
+  /** Layout-robust connected components: alternating LARGE-STAR /
+    * SMALL-STAR (Kiveris et al., SoCC'14). Where [[connectedComponents]]'
+    * min-label jumps need vertex-id order to correlate with graph
+    * locality (the measured CcProf -shuffle failure: on hashed ids a
+    * diameter-39 path blows the 16-round bound), the star operators
+    * rewire edges themselves — large-star hangs every
+    * larger-than-center neighbor under the neighborhood minimum,
+    * small-star does the same for the smaller side — so convergence
+    * is O(log² n) regardless of what the ids look like. Everything is
+    * hash equi-joins and partial-agg mins over edge-cardinality
+    * frames (never a collected neighborhood list — the per-node min
+    * comes from a groupBy, so a 100 TB-scale high-degree node costs a
+    * partial aggregate, not a driver list); per-step lineage is
+    * checkpoint-truncated like the min-label loop. Fixed point =
+    * small-star output IS a star forest whose edges large-star
+    * reproduces verbatim — checked exactly via count + anti-join
+    * (both over checkpointed edge frames), never an observed metric.
+    * Returns (vertex, label = component minimum) rows plus the
+    * alternation count actually taken. */
+  private[graft] def connectedComponentsRobust(
+      s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
+    import s.implicits._
+    val Seq(ca, cb) = pairs.columns.toSeq.map(col)
+    var edges = pairs
+      .select(least(ca, cb).as("a"), greatest(ca, cb).as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    // Both star steps share one shape: per-node neighborhood minimum
+    // m(u) = min(Γ(u) ∪ {u}) from a groupBy over the directed view,
+    // then re-attach a side of the neighborhood to m(u).
+    def withMins(e: DataFrame): (DataFrame, DataFrame) = {
+      val nb = e.select($"a".as("u"), $"b".as("v"))
+        .union(e.select($"b".as("u"), $"a".as("v")))
+      val m = nb.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u".as("mu"), least($"u", $"mn").as("m"))
+      (nb, m)
+    }
+    // Large-star output is checkpointed WITHOUT distinct: duplicates
+    // are bounded (≤ one row per directed input row) and harmless to
+    // the min aggregates, while a distinct would buy set semantics
+    // nothing reads — only the small-star output (the compared
+    // frame) needs them. The checkpoint truncates the plan so
+    // small-star's four references to it stay cheap scans.
+    def largeStar(e: DataFrame): DataFrame = {
+      val (nb, m) = withMins(e)
+      // (v, m(u)) for v > u: m(u) ≤ u < v, so (m, v) is canonical and
+      // never a self-loop.
+      nb.filter($"v" > $"u").join(m, $"u" === $"mu")
+        .select($"m".as("a"), $"v".as("b")).localCheckpoint()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val (nb, m) = withMins(e)
+      // (x, m(u)) for x ∈ {v ∈ Γ(u) : v < u} ∪ {u}, dropping the
+      // x = m(u) self-loops. The {u} half needs no join at all: the
+      // min frame's (mu, m) rows ARE those pairs verbatim.
+      nb.filter($"v" < $"u").join(m, $"u" === $"mu").filter($"v" =!= $"m")
+        .select($"m".as("a"), $"v".as("b"))
+        .union(m.filter($"mu" =!= $"m").select($"m".as("a"), $"mu".as("b")))
+        .distinct()
+    }
+    // Stability detection mirrors the min-label loop's discipline: a
+    // cheap CANDIDATE signature (count + endpoint sums, observed on
+    // the checkpoint job itself — zero extra jobs) gates the exact
+    // anti-join confirm, which therefore runs at most a handful of
+    // times per run instead of every alternation.
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val observed = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum($"a"), lit(0L)).as("sa"),
+        coalesce(sum($"b"), lit(0L)).as("sb"))
+      val ck = observed.localCheckpoint()
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(300, java.util.concurrent.TimeUnit.SECONDS))
+      (ck, (row.getLong(0), row.getLong(1), row.getLong(2)))
+    }
+    // Exact set equality over two CHECKPOINTED distinct frames.
+    def sameEdges(next: DataFrame, prev: DataFrame): Boolean =
+      next.join(prev, Seq("a", "b"), "left_anti").isEmpty &&
+        prev.join(next, Seq("a", "b"), "left_anti").isEmpty
+    var prevSig: Option[(Long, Long, Long)] = None
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < MaxStarRounds) {
+      val (next, sig) = checkpointWithSig(smallStar(largeStar(edges)))
+      stable = prevSig.contains(sig) && sameEdges(next, edges)
+      prevSig = Some(sig)
+      edges = next
+      rounds += 1
+    }
+    require(stable, s"star alternation did not converge in $MaxStarRounds rounds")
+    // Fixed point is a star forest rooted at component minima: edges
+    // (m, v) plus the roots labeling themselves.
+    val labels = edges.select($"b".as("v"), $"a".as("l"))
+      .union(edges.select($"a".as("v"), $"a".as("l")).distinct())
+      .distinct()
+    (labels, rounds)
+  }
+
   /** Phase 1 of the two-phase global rank: range-partition the
     * (distinct) id column, then rank locally inside each partition —
     * a PARTITIONED window, never a global one. Exposed separately so
@@ -773,6 +879,35 @@ object TextOps {
     val (labels, rounds) = connectedComponents(s, chain)
     require(rounds > 1,
       s"path graph must exercise the multi-round regime, converged in $rounds")
+    labels.groupBy($"l".as("component_id"))
+      .agg(count(lit(1)).as("n_vertices"), max($"v").as("max_vertex"))
+      .orderBy($"component_id")
+  }
+
+  /** [[connectedComponentsRobust]] gated on EXACTLY the graph the
+    * min-label loop cannot handle: the same rank-blocked path chains
+    * as [[qGraphComponents]], but with every vertex id remapped
+    * through a multiplicative hash ((rk · 2654435761) mod the prime
+    * 4294967311 — injective for rk below the modulus, order
+    * DESTROYED). On this layout the min-label jumps stall at local
+    * reach-ball minima and blow the 16-round bound (measured, CcProf
+    * -shuffle); the alternating-star operator converges in ~6
+    * alternations regardless. Vertices come from the staged rank map
+    * (a consumer like q_graph_components); the oracle replays rank,
+    * hash, chain, and true components via the recursive CTE — the
+    * same ground truth, blind to which loop produced the labels. */
+  def qCcHashedIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = stagedRankedUsers(s, dir)
+      .select((($"rk" * 2654435761L) % 4294967311L).as("h"), $"rk")
+    val a = hashed.select($"h".as("src"), $"rk".as("rka"))
+    val b = hashed.select($"h".as("dst"), $"rk".as("rkb"))
+    val chain = a.join(b, $"rkb" === $"rka" + 1)
+      .filter(($"rka" + 1) % 40 =!= 0) // same block cut as q_graph_components
+      .select($"src", $"dst")
+    val (labels, rounds) = connectedComponentsRobust(s, chain)
+    require(rounds > 1,
+      s"hashed path graph must exercise the multi-alternation regime, converged in $rounds")
     labels.groupBy($"l".as("component_id"))
       .agg(count(lit(1)).as("n_vertices"), max($"v").as("max_vertex"))
       .orderBy($"component_id")
@@ -966,6 +1101,7 @@ object TextOps {
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
     "q_graph_components" -> qGraphComponents,
+    "q_cc_hashed_ids" -> qCcHashedIds,
     "q_rank_global" -> qRankGlobal,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
@@ -1045,6 +1181,27 @@ object TextOps {
         |           FROM users),
         |chain AS (SELECT a.user_id AS src, b.user_id AS dst
         |          FROM ranked a JOIN ranked b ON b.rk = a.rk + 1
+        |          WHERE (a.rk + 1) % 40 <> 0),
+        |edges AS (SELECT src, dst FROM chain UNION ALL SELECT dst, src FROM chain),
+        |reach(v, l) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
+        |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
+        |SELECT l AS component_id, count(*) AS n_vertices, max(v) AS max_vertex
+        |FROM lab GROUP BY l ORDER BY component_id""".stripMargin) +
+    // True components of the HASH-REMAPPED chain — same CTE ground
+    // truth, blind to which loop (min-label vs alternating-star) the
+    // Spark side ran; the hash arithmetic is identical BIGINT forms in
+    // both engines.
+    ("q_cc_hashed_ids" ->
+      """WITH RECURSIVE
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |ranked AS (SELECT row_number() OVER (ORDER BY user_id) - 1 AS rk
+        |           FROM users),
+        |hashed AS (SELECT rk, (rk * 2654435761) % 4294967311 AS h FROM ranked),
+        |chain AS (SELECT a.h AS src, b.h AS dst
+        |          FROM hashed a JOIN hashed b ON b.rk = a.rk + 1
         |          WHERE (a.rk + 1) % 40 <> 0),
         |edges AS (SELECT src, dst FROM chain UNION ALL SELECT dst, src FROM chain),
         |reach(v, l) AS (

@@ -69,6 +69,9 @@ object CcProf {
     // fixture-regime rounds.
     val realDir = args.sliding(2).collectFirst {
       case Array("-real", d) => d }
+    // -robust: run the alternating large-star/small-star variant
+    // (layout-robust) instead of the min-label loop.
+    val robust = args.contains("-robust")
     val pairs = (realDir match {
       case Some(dir) =>
         import spark.implicits._
@@ -83,12 +86,15 @@ object CcProf {
           .select($"src", $"dst")
       case None => pathPairs(n, block)
     }).localCheckpoint()
+    def run() =
+      if (robust) graft.queries.TextOps.connectedComponentsRobust(spark, pairs)
+      else graft.queries.TextOps.connectedComponents(spark, pairs)
     // warmup
-    graft.queries.TextOps.connectedComponents(spark, pairs)
+    run()
     Thread.sleep(500); jobs.set(0); stages.set(0); tasks.set(0)
     val ts = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      val (_, rounds) = graft.queries.TextOps.connectedComponents(spark, pairs)
+      val (_, rounds) = run()
       val t = (System.nanoTime() - t0) / 1e9
       (t, rounds)
     }

@@ -69,6 +69,45 @@ class ComponentsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("alternating-star variant is result-identical to min-label on the ordered fixture") {
+    import spark.implicits._
+    val pairs = pathPairs(80, 2)
+    val (a, _) = TextOps.connectedComponents(spark, pairs)
+    val (b, rounds) = TextOps.connectedComponentsRobust(spark, pairs)
+    assert(rounds > 1, s"40-blocks should take several alternations, took $rounds")
+    val la = a.select($"v", $"l").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val lb = b.select($"v", $"l").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(la == lb)
+  }
+
+  test("star alternation converges on the order-destroyed layout where min-label blows its bound") {
+    import spark.implicits._
+    // The CcProf -shuffle bijection: order-destroying, injective below
+    // the prime modulus — the id layout of a hashed-key graph.
+    def remap(c: org.apache.spark.sql.Column) =
+      pmod(c * 2654435761L, lit(4294967311L))
+    val pairs = pathPairs(200, 5) // 5 blocks of 40, diameter 39
+      .select(remap($"a").as("a"), remap($"b").as("b"))
+    // Min-label jumps stall at local reach-ball minima on this layout:
+    // the 16-round bound must throw LOUDLY, never silently split.
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.connectedComponents(spark, pairs)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // The star variant converges and labels every vertex with its
+    // component minimum (membership computed from the known blocks).
+    val (labels, rounds) = TextOps.connectedComponentsRobust(spark, pairs)
+    assert(rounds > 1)
+    val h = (x: Long) => java.lang.Math.floorMod(x * 2654435761L, 4294967311L)
+    val expected = (0L until 200L).groupBy(_ / 40).values.flatMap { block =>
+      val ids = block.map(h)
+      val mn = ids.min
+      ids.map(_ -> mn)
+    }.toMap
+    val got = labels.select($"v", $"l").as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("reliable checkpoint(dir) mode is result-identical to localCheckpoint") {
     import spark.implicits._
     val pairs = pathPairs(60, 3)
