@@ -445,6 +445,88 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Token-level edit-distance near-dup pairs (ed ≤ 2) — the EDIT
+    * metric's member of the dedup family: MinHash/Jaccard sees bag
+    * overlap, SimHash sees profile distance, this sees the number of
+    * word insert/delete/substitute operations between two documents —
+    * the right lens when near-dups are templated texts with a few
+    * slots changed (the reference corpus's injected near-dups are
+    * exactly that: 25 pairs at token-ed ≤ 2 vs a noise floor at 9).
+    *
+    * Token edit distance is computed as CHARACTER Levenshtein (a
+    * codegen'd built-in in both engines) over a per-doc encoding that
+    * maps every token to one printable char, `chr(33 + whash % 94)`
+    * from the shared [[Hashing.wordHashSql]] — deterministic and
+    * engine-identical; hash collisions (1/94 per token pair) can only
+    * shrink a distance and are identical in the oracle.
+    *
+    * Candidate generation is the PassJoin pigeonhole (Li et al.,
+    * VLDB'11): partition the shorter doc's encoding into k+1 = 3
+    * contiguous segments — if ed ≤ k, at least one segment survives
+    * editless and lands in the partner shifted by at most k, so the
+    * partner probes every segment geometry it could be matched under
+    * (own lengths l ∈ [n−k, n], 3 segments, shifts ±k ≈ 45 short
+    * substrings/doc) and candidates come from a plain hash EQUI-join
+    * on (l, seg, substring) — never all-pairs, pair volume ∝ shared
+    * third-of-a-doc runs (i.e. real duplication), not corpus². Both
+    * join sides are capped at [[MinhashBucketCap]] rows per bucket by
+    * the same smallest-id-first rule as the LSH families (the rank
+    * window partitions by the join key, so the cap shares the join's
+    * exchange); at every test SF the deepest bucket holds 2 docs, so
+    * the cap is pure insurance and the brute-force oracle stays exact.
+    * Verify re-attaches encodings by doc_id equi-joins and keeps
+    * exact `levenshtein ≤ k`. The DuckDB oracle is an INDEPENDENT
+    * brute force (length-banded all-pairs) — a green row proves the
+    * pigeonhole candidate set was complete, not just self-consistent. */
+  def qTokenEditPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 2
+    val enc = docs(s, dir)
+      .select($"doc_id", expr(
+        s"array_join(transform(${Hashing.wordHashSql}, h -> chr(33 + h % 94)), '')").as("enc"))
+      .filter(length($"enc") >= 8)
+      .select($"doc_id", $"enc", length($"enc").as("n"))
+    val bucketW = Window.partitionBy($"l", $"seg", $"sub")
+    val idx = enc
+      .select($"doc_id".as("id_short"), $"n".as("l"), explode(expr(
+        """transform(sequence(0, 2), i -> named_struct(
+          |  'seg', i,
+          |  'sub', substring(enc, (i*n div 3) + 1, ((i+1)*n div 3) - (i*n div 3))))""".stripMargin))
+        .as("sg"))
+      .select($"id_short", $"l", $"sg.seg".as("seg"), $"sg.sub".as("sub"))
+      .withColumn("rn", row_number().over(bucketW.orderBy($"id_short")))
+      .filter($"rn" <= MinhashBucketCap).drop("rn")
+    val probe = enc
+      .select($"doc_id".as("id_long"), $"n", $"enc", explode(expr(
+        s"""flatten(flatten(transform(sequence(greatest(8, n - $k), n), l ->
+           |  transform(sequence(0, 2), i ->
+           |    transform(sequence(${-k}, $k), sh -> named_struct(
+           |      'l', l, 'seg', i,
+           |      'pos0', (i*l div 3) + sh,
+           |      'slen', ((i+1)*l div 3) - (i*l div 3)))))))""".stripMargin)).as("c"))
+      .filter($"c.pos0" >= 0 && $"c.pos0" + $"c.slen" <= $"n")
+      .select($"id_long", $"c.l".as("l"), $"c.seg".as("seg"),
+        expr("substring(enc, c.pos0 + 1, c.slen)").as("sub"))
+      .withColumn("rn", row_number().over(bucketW.orderBy($"id_long")))
+      .filter($"rn" <= MinhashBucketCap).drop("rn")
+    val cand = idx.join(probe, Seq("l", "seg", "sub"))
+      .filter($"id_short" =!= $"id_long")
+      .select(least($"id_short", $"id_long").as("doc_a"),
+        greatest($"id_short", $"id_long").as("doc_b"))
+      .distinct()
+    cand
+      .join(enc.select($"doc_id", $"enc".as("enc_a"), $"n".as("tokens_a")),
+        $"doc_a" === $"doc_id").drop("doc_id")
+      .join(enc.select($"doc_id", $"enc".as("enc_b"), $"n".as("tokens_b")),
+        $"doc_b" === $"doc_id").drop("doc_id")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"enc_a", $"enc_b").cast("long").as("ed"),
+        $"tokens_a".cast("long"), $"tokens_b".cast("long"))
+      .filter($"ed" <= k)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The dedup funnel: raw corpus → exact dedup (fingerprint
     * canonicals) → near-dup removal (greedy: drop the larger id of
     * every verified minhash pair — deterministic, the standard
@@ -1115,6 +1197,7 @@ object TextOps {
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_ngram_jaccard" -> qNgramJaccard,
+    "q_token_edit_pairs" -> qTokenEditPairs,
   )
 
   /** The minhash candidate/verify pipeline as reusable CTEs — shared
@@ -1213,6 +1296,22 @@ object TextOps {
         |FROM lab GROUP BY l ORDER BY component_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // Deliberately NOT the Spark plan: a length-banded brute force.
+    // Green here proves the PassJoin pigeonhole candidates were
+    // COMPLETE (every ed<=2 pair found), not merely self-consistent.
+    "q_token_edit_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         list_aggregate(list_transform(${Hashing.wordHashListSql},
+         |           h -> chr(CAST(33 + h % 94 AS INT))), 'string_agg', '') AS enc
+         |  FROM documents),
+         |f AS (SELECT doc_id, enc, length(enc) AS n FROM d WHERE length(enc) >= 8)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       levenshtein(a.enc, b.enc) AS ed,
+         |       a.n AS tokens_a, b.n AS tokens_b
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= 2
+         |WHERE levenshtein(a.enc, b.enc) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // DuckDB states the spec directly (one global row_number); the
     // Spark side must reproduce it from the two-phase plan.
     "q_rank_global" ->

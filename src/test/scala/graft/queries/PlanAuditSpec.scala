@@ -104,6 +104,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q_token_edit_pairs: candidates from a segment equi-join, cap windows partitioned") {
+    // The PassJoin pigeonhole must stay an equi-join on
+    // (l, seg, substring) — a degradation to all-pairs would surface
+    // as a CartesianProduct/BNLJ — and both bucket-cap rank windows
+    // must partition by the join key, never run global.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = executed(TextOps.qTokenEditPairs(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    val windows = collectNodes(p).collect { case w: WindowExec => w }
+    assert(windows.size >= 2, s"expected both bucket-cap rank windows:\n$s")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+  }
+
   test("q_winnow_fingerprint: selection is per-row HOF arithmetic — no join, no explode") {
     // The winnowing rule runs inside one projection (packed-key
     // array_min); the only exchange is the final orderBy.
