@@ -160,6 +160,51 @@ object PipelineOps {
       .orderBy($"stop_decile")
   }
 
+  /** Token-budget quality selection per source — "keep the best 60%
+    * of each source's tokens" — WITHOUT a per-group document sort.
+    * The naive plan (rank docs by quality within source, cumulative
+    * token window, cut at the budget) needs an ordered window over
+    * every document of a source: with a handful of sources that is a
+    * handful of reducers sorting corpus-sized runs — the plan that
+    * dies first at 100 TB. This is the histogram form instead: docs
+    * roll up into a (source × quality-bp) TOKEN histogram (map-side
+    * partial agg; ≤ sources × 10001 rows regardless of corpus size),
+    * the budget cutoff is derived by a cumulative window over that
+    * result-sized histogram, and what ships back to the corpus is
+    * only a threshold. Selection is level-granular (a quality level
+    * is kept whole iff the running total through it fits the budget)
+    * so the answer is integer-exact and partition-invariant — no
+    * tie-splitting rule that depends on row order. Per source: the
+    * token budget, the quality bar the budget buys (min kept
+    * stop-ratio bp), docs/tokens kept, and budget fill in bp.
+    * Quality metric = stopword-ratio basis points, shared verbatim
+    * with [[qQualityScore]]'s arithmetic. */
+  def qBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopArr = "array('the','a','of','and','to','in','is','it')"
+    val perDoc = docs(s, dir)
+      .select($"source",
+        size(split($"text", "\\s+")).cast("long").as("nw"),
+        expr(s"CAST(size(filter(split(text, '\\\\s+'), x -> array_contains($stopArr, x))) AS BIGINT)")
+          .as("nstop"))
+      .select($"source", $"nw", expr("(10000 * nstop) DIV nw").as("stop_bp"))
+    val hist = perDoc.groupBy($"source", $"stop_bp")
+      .agg(sum($"nw").as("lvl_tokens"), count(lit(1)).as("lvl_docs"))
+    val srcW = Window.partitionBy($"source")
+    val cumW = srcW.orderBy($"stop_bp".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("budget", expr("sum(lvl_tokens) OVER (PARTITION BY source) * 6 DIV 10"))
+      .withColumn("cum", sum($"lvl_tokens").over(cumW))
+      .filter($"cum" <= $"budget")
+      .groupBy($"source", $"budget")
+      .agg(min($"stop_bp").as("q_threshold_bp"),
+        sum($"lvl_docs").as("n_docs_kept"),
+        sum($"lvl_tokens").as("tokens_kept"))
+      .withColumn("fill_bp", expr("tokens_kept * 10000 DIV budget"))
+      .orderBy($"source")
+  }
+
   /** Per-word 32-bit hash (md5 prefix) — the rolling-hash alphabet,
     * shared via [[Hashing]] (single cross-engine source of truth). */
   private val wordHashSql = Hashing.wordHashSql
@@ -842,6 +887,7 @@ object PipelineOps {
     "q_source_overlap" -> qSourceOverlap,
     "q_shared_spans" -> qSharedSpans,
     "q_filter_funnel" -> qFilterFunnel,
+    "q_budget_select" -> qBudgetSelect,
   )
 
   private val bucketSql =
@@ -1010,6 +1056,30 @@ object PipelineOps {
         |-- ~2000 (same documented bound as the shingle oracles)
         |WHERE i <= (nw + 63) // 64 - 1
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Same stopword-bp arithmetic as q_quality_score; the cutoff is
+    // derived over the (source x bp) token histogram, level-granular.
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS nw,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS nstop
+        |  FROM documents),
+        |pd AS (SELECT source, nw, (10000 * nstop) // nw AS stop_bp FROM d),
+        |hist AS (SELECT source, stop_bp, CAST(sum(nw) AS BIGINT) AS lvl_tokens,
+        |                count(*) AS lvl_docs
+        |         FROM pd GROUP BY 1, 2),
+        |c AS (SELECT source, stop_bp, lvl_tokens, lvl_docs,
+        |        CAST(sum(lvl_tokens) OVER (PARTITION BY source) AS BIGINT) * 6 // 10 AS budget,
+        |        CAST(sum(lvl_tokens) OVER (PARTITION BY source ORDER BY stop_bp DESC
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM hist)
+        |SELECT source, budget, min(stop_bp) AS q_threshold_bp,
+        |  CAST(sum(lvl_docs) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(lvl_tokens) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(lvl_tokens) AS BIGINT) * 10000 // budget AS fill_bp
+        |FROM c WHERE cum <= budget
+        |GROUP BY source, budget ORDER BY source""".stripMargin,
     "q_quality_score" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -118,6 +118,25 @@ class PlanAuditSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
   }
 
+  test("q_budget_select: cutoff windows run over the histogram, never the corpus") {
+    // The whole point of the histogram form: every ordered window sits
+    // ABOVE the (source, stop_bp) aggregate — its input is bounded by
+    // sources × 10001 levels, not document count — and every window is
+    // source-partitioned (a global sort would be the 100 TB killer).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val p = executed(PipelineOps.qBudgetSelect(spark, dir))
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+    val windows = collectNodes(p).collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the budget/cumsum windows")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w")
+      assert(collectNodes(w.child).exists(n =>
+        n.isInstanceOf[HashAggregateExec] || n.isInstanceOf[SortAggregateExec]),
+        s"window reads the raw corpus, not the histogram:\n$w")
+    }
+  }
+
   test("q_winnow_fingerprint: selection is per-row HOF arithmetic — no join, no explode") {
     // The winnowing rule runs inside one projection (packed-key
     // array_min); the only exchange is the final orderBy.
