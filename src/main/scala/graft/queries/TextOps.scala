@@ -527,6 +527,52 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Leakage-safe train/val/test assignment — the evaluation-integrity
+    * operator: hashing each DOC id into a split (the q_dataset_split
+    * rule) lets near-duplicate pairs straddle the train/test boundary,
+    * and a test doc whose near-twin was trained on is contamination no
+    * downstream decontamination catches (the pair is near, not exact).
+    * The fix is structural: assign by the hash of the doc's dedup
+    * CLUSTER representative (min doc id of its minhash component;
+    * singletons are their own rep), so a cluster lands in ONE split by
+    * construction. Output is the one-row audit a data lead signs off
+    * on: cluster/doc counts, leaky clusters under the naive doc-hash
+    * rule vs under the rep rule (computed, not asserted — the zero is
+    * measured), and the safe rule's split sizes (still ≈ 80/10/10:
+    * reps hash like ids). Shapes: the pair/component machinery is
+    * [[qDedupClusters]]'s verbatim; after it, one left equi-join at
+    * doc cardinality attaches labels, one partial-agg groupBy per
+    * cluster, one 1-row combine. The oracle recomputes TRUE components
+    * with a recursive CTE, so a green row also re-proves convergence. */
+  def qLeakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def splitOf(c: Column): Column = {
+      val b = conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+      when(b < 10, "test").when(b < 20, "val").otherwise("train")
+    }
+    val pairs = nearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val (labels, _) = connectedComponents(s, pairs)
+    val perCluster = docs(s, dir).select($"doc_id")
+      .join(labels.select($"v".as("doc_id"), $"l"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"l", $"doc_id").as("rep"))
+      .select($"doc_id", $"rep",
+        splitOf($"doc_id").as("naive_split"), splitOf($"rep").as("safe_split"))
+      .groupBy($"rep")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"naive_split").as("ns_naive"),
+        countDistinct($"safe_split").as("ns_safe"),
+        min($"safe_split").as("safe_split"))
+    perCluster.agg(
+      count(lit(1)).as("n_clusters"),
+      sum($"n_docs").as("n_docs"),
+      sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_multidoc_clusters"),
+      sum(when($"ns_naive" > 1, 1L).otherwise(0L)).as("leaky_clusters_naive"),
+      sum(when($"ns_safe" > 1, 1L).otherwise(0L)).as("leaky_clusters_safe"),
+      sum(when($"safe_split" === "train", $"n_docs").otherwise(0L)).as("train_docs"),
+      sum(when($"safe_split" === "val", $"n_docs").otherwise(0L)).as("val_docs"),
+      sum(when($"safe_split" === "test", $"n_docs").otherwise(0L)).as("test_docs"))
+  }
+
   /** The dedup funnel: raw corpus → exact dedup (fingerprint
     * canonicals) → near-dup removal (greedy: drop the larger id of
     * every verified minhash pair — deterministic, the standard
@@ -1198,6 +1244,7 @@ object TextOps {
     "q_simhash_pairs" -> qSimhashPairs,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_token_edit_pairs" -> qTokenEditPairs,
+    "q_leak_safe_split" -> qLeakSafeSplit,
   )
 
   /** The minhash candidate/verify pipeline as reusable CTEs — shared
@@ -1254,6 +1301,43 @@ object TextOps {
          |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
          |SELECT l AS cluster_id, count(*) AS n_docs, max(v) AS max_doc
          |FROM lab GROUP BY l ORDER BY cluster_id""".stripMargin) +
+    // Same true-components CTE, then the split arithmetic over reps:
+    // the leaky-cluster zero is recomputed by the oracle, not assumed.
+    ("q_leak_safe_split" -> {
+      def splitCase(c: String) =
+        s"""CASE WHEN CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 10 THEN 'test'
+           |     WHEN CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 20 THEN 'val'
+           |     ELSE 'train' END""".stripMargin
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM (${baseOracles("q_minhash_pairs")})),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v),
+         |rep AS (SELECT d.doc_id, COALESCE(lab.l, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN lab ON lab.v = d.doc_id),
+         |sp AS (SELECT doc_id, rep,
+         |         ${splitCase("doc_id")} AS naive_split,
+         |         ${splitCase("rep")} AS safe_split
+         |       FROM rep),
+         |pc AS (SELECT rep, count(*) AS n_docs,
+         |         count(DISTINCT naive_split) AS ns_naive,
+         |         count(DISTINCT safe_split) AS ns_safe,
+         |         min(safe_split) AS safe_split
+         |       FROM sp GROUP BY rep)
+         |SELECT count(*) AS n_clusters,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multidoc_clusters,
+         |  CAST(sum(CASE WHEN ns_naive > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_clusters_naive,
+         |  CAST(sum(CASE WHEN ns_safe > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaky_clusters_safe,
+         |  CAST(sum(CASE WHEN safe_split = 'train' THEN n_docs ELSE 0 END) AS BIGINT) AS train_docs,
+         |  CAST(sum(CASE WHEN safe_split = 'val' THEN n_docs ELSE 0 END) AS BIGINT) AS val_docs,
+         |  CAST(sum(CASE WHEN safe_split = 'test' THEN n_docs ELSE 0 END) AS BIGINT) AS test_docs
+         |FROM pc""".stripMargin
+    }) +
     // True components of the block-chained user path graph — the same
     // recursive-CTE shape, over the same deterministic edge derivation
     // the Spark side builds.
