@@ -482,10 +482,14 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = 2
+    // Min-length on the TOKEN COUNT (cheap split), not on length(enc):
+    // enc's per-token md5s would otherwise also run inside the scan's
+    // pushed data filter — doubling the encoding work in all branches.
+    // The two are equivalent (one char per split element, always).
     val enc = docs(s, dir)
+      .filter(size(split($"text", "\\s+")) >= 8)
       .select($"doc_id", expr(
         s"array_join(transform(${Hashing.wordHashSql}, h -> chr(33 + h % 94)), '')").as("enc"))
-      .filter(length($"enc") >= 8)
       .select($"doc_id", $"enc", length($"enc").as("n"))
     val bucketW = Window.partitionBy($"l", $"seg", $"sub")
     val idx = enc
