@@ -905,6 +905,37 @@ object Connector {
       |FROM (SELECT * FROM axfr UNION ALL SELECT * FROM adds UNION ALL SELECT * FROM dels)
       |ORDER BY action, fqdn""".stripMargin
 
+  /** COUNT(*) pushdown (`SupportsPushDownAggregates`) under the oracle
+    * gate, both accepted shapes in one result: the per-zone census is
+    * COMPLETE pushdown (one partition IS one zone, so the scan's rows
+    * ARE the final groups — no aggregate node survives in that branch,
+    * asserted in ReadConnectorSpec) and the TOTAL row is the PARTIAL
+    * form (the scan ships one count per zone, Spark sums them). Wire
+    * cost drops from every record to one row per zone; the fixture's
+    * formulaic counts (zone j → 10 + j records) make a wrong or
+    * double-counted partition an oracle mismatch, not a flake. */
+  def qDnsPushedCount(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_pushed_count")
+    seedReadFixture(port)
+    def load() = s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+    val byZone = load().groupBy(col("zone")).agg(expr("count(*)").as("n_records"))
+    val total = load().agg(expr("count(*)").as("n_records"))
+      .select(lit("TOTAL").as("zone"), col("n_records"))
+    byZone.unionAll(total).orderBy("zone")
+  }
+
+  private val qDnsPushedCountOracle: String =
+    """SELECT 'z'||j||'.graft.' AS zone, CAST(10 + j AS BIGINT) AS n_records
+      |FROM (SELECT unnest(generate_series(0, 3)) AS j)
+      |UNION ALL SELECT 'TOTAL', CAST(46 AS BIGINT)
+      |ORDER BY zone""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_zone_pruned" -> qDnsZonePruned,
@@ -923,6 +954,7 @@ object Connector {
     "q_dns_metadata_cols" -> qDnsMetadataCols,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
     "q_dns_sql_delete" -> qDnsSqlDelete,
+    "q_dns_pushed_count" -> qDnsPushedCount,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -945,5 +977,6 @@ object Connector {
     "q_dns_metadata_cols" -> qDnsMetadataColsOracle,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
     "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
+    "q_dns_pushed_count" -> qDnsPushedCountOracle,
   )
 }

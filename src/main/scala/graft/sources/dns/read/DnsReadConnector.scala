@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,16 +95,65 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead
   * IXFR (reference DnsZoneRDD.java:76-80).
   */
 final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var zones: Seq[String] = opts.zones
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DnsSchemas.read
+  private var pushedAgg: Option[PushedCountAgg] = None
+
+  /** COUNT(*) pushdown (`SupportsPushDownAggregates`): a zone-level
+    * record census — the monitoring query a DNS estate runs all day —
+    * ships ONE row per zone instead of every record. The transfer
+    * itself still runs (the protocol has no server-side count), but
+    * row materialization, the scan→agg exchange, and the aggregate
+    * hash table all disappear. Accepted shapes: COUNT(*) grouped by
+    * `zone`, or globally. Grouping by `zone` is COMPLETE pushdown —
+    * an InputPartition IS one zone, so per-partition counts are final
+    * group rows (guarded on the zone list being duplicate-free);
+    * the global form stays PARTIAL (Spark sums the per-partition
+    * counts), and every partition emits a row — count 0 included, the
+    * ignore-failures "empty zone" semantic — so the final sum is
+    * never null. An empty static zone list refuses pushdown (zero
+    * partitions would sum to NULL where COUNT must return 0). */
+  private def acceptableAgg(agg: Aggregation): Boolean = {
+    val countsOnly = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    val groupOk = agg.groupByExpressions.isEmpty ||
+      (agg.groupByExpressions.length == 1 && (agg.groupByExpressions()(0) match {
+        case n: NamedReference => n.fieldNames.sameElements(Array("zone"))
+        case _ => false
+      }))
+    countsOnly && groupOk && zones.nonEmpty
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    acceptableAgg(agg) && agg.groupByExpressions.nonEmpty &&
+      zones.distinct.lengthCompare(zones.length) == 0
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!acceptableAgg(agg)) false
+    else {
+      val byZone = agg.groupByExpressions.nonEmpty
+      pushedAgg = Some(PushedCountAgg(byZone))
+      required = StructType(
+        (if (byZone) Seq(StructField("zone", StringType, nullable = false)) else Nil) ++
+          agg.aggregateExpressions.indices
+            .map(i => StructField(s"count$i", LongType, nullable = false)))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (zoneFilters, rest) = filters.partition {
       case EqualTo("zone", _: String) => true
       case In("zone", _) => true
+      // `zone` is populated on every row the reader emits, so the
+      // null check Spark adds around a zone equality/grouping is a
+      // no-op — accepting it matters because a residual filter node
+      // between scan and aggregate would veto COUNT(*) pushdown.
+      case org.apache.spark.sql.sources.IsNotNull("zone") => true
       case _ => false
     }
     // Exact-match semantics: values are compared verbatim against the
@@ -121,6 +171,10 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // After aggregate pushdown the scan's output IS the aggregation
+    // schema (set in pushAggregation); column pruning no longer
+    // applies to it.
+    if (pushedAgg.isDefined) return
     // Preserve the connector's canonical column order; a referenced
     // metadata column (`_serial`/`_xfr_kind`) arrives appended to the
     // required schema and stays appended, in its own canonical order.
@@ -130,10 +184,16 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
         DnsSchemas.metadata.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new DnsScan(opts, zones, required)
+  override def build(): Scan = new DnsScan(opts, zones, required, pushedAgg)
 }
 
-final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType)
+/** Marker for a pushed-down COUNT(*): `byZone` = grouped by `zone`
+  * (complete pushdown — one final row per zone) vs global (partial —
+  * Spark sums the per-partition counts). */
+final case class PushedCountAgg(byZone: Boolean)
+
+final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
+                    pushedAgg: Option[PushedCountAgg] = None)
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
@@ -149,7 +209,9 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 
   override def description(): String =
     s"DnsScan(server=${opts.common.server}, zones=${runtimeZones.mkString(",")}, " +
-      s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}])"
+      s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}]" +
+      pushedAgg.map(a => s", PushedAggregation=[COUNT(*)${if (a.byZone) " GROUP BY zone" else ""}]")
+        .getOrElse("") + ")"
 
   /** DPP handshake: declare `zone` runtime-filterable. Spark's
     * PartitionPruning rule then plants a DynamicPruningSubquery on any
@@ -206,7 +268,7 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 
   override def toBatch: Batch =
     new DnsBatch(opts, runtimeZones, schema,
-      runtimeZones.map(z => z -> opts.serial).toMap, accs)
+      runtimeZones.map(z => z -> opts.serial).toMap, accs, pushedAgg)
 
   override def toMicroBatchStream(checkpointLocation: String) =
     new DnsMicroBatchStream(opts, zones, schema, checkpointLocation)
@@ -215,7 +277,8 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 /** Batch at a fixed per-zone serial snapshot. */
 final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
                      serials: Map[String, Long],
-                     accs: Map[String, ZoneVersion]) extends Batch {
+                     accs: Map[String, ZoneVersion],
+                     pushedAgg: Option[PushedCountAgg] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     zones.zipWithIndex.map { case (zone, i) =>
@@ -224,7 +287,7 @@ final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructT
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, schema, accs)
+    new DnsReaderFactory(opts, schema, accs, pushedAgg)
 }
 
 /** One partition per zone (reference DnsZonePartition.java:11-19). */
@@ -232,12 +295,13 @@ final case class DnsZoneInputPartition(index: Int, zone: String, serial: Long)
   extends InputPartition
 
 final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
-                             accs: Map[String, ZoneVersion])
+                             accs: Map[String, ZoneVersion],
+                             pushedAgg: Option[PushedCountAgg] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DnsZoneInputPartition]
-    new DnsPartitionReader(opts, schema, p, accs.get(p.zone))
+    new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg)
   }
 }
 
@@ -249,7 +313,8 @@ final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
   */
 final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
                                p: DnsZoneInputPartition,
-                               acc: Option[ZoneVersion])
+                               acc: Option[ZoneVersion],
+                               pushedAgg: Option[PushedCountAgg] = None)
   extends PartitionReader[InternalRow] {
 
   // Configuration errors (unknown client name) must always propagate;
@@ -285,24 +350,43 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
       } catch {
         case _: Exception if opts.ignoreFailures => Nil // swallow → empty zone (DnsZoneRDD.java:83-92)
       }
-    // Only the pruned columns are materialized (SupportsPushDownRequiredColumns).
-    val fieldWriters: Array[(InternalRow, Int, String, ARecord) => Unit] =
-      schema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
-        case "action" => (row, i, action, _) => row.update(i, UTF8String.fromString(action))
-        case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase(java.util.Locale.ROOT)))
-        case "ip" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.ip))
-        case "organization" => (row, i, _, _) => row.update(i, UTF8String.fromString(opts.organization))
-        case "timestamp" => (row, i, _, _) => row.setLong(i, tsMicros)
-        case "zone" => (row, i, _, _) => row.update(i, UTF8String.fromString(p.zone))
-        case "_serial" => (row, i, _, _) => row.setLong(i, xferSerial)
-        case "_xfr_kind" => (row, i, _, _) => row.update(i, UTF8String.fromString(xferKind))
-        case other => throw new IllegalStateException(s"unknown dns column '$other'")
-      }
-    changes.iterator.map { case (action, rec) =>
-      val row = new GenericInternalRow(fieldWriters.length)
-      var i = 0
-      while (i < fieldWriters.length) { fieldWriters(i)(row, i, action, rec); i += 1 }
-      row.asInstanceOf[InternalRow]
+    // Pushed COUNT(*): the transfer ran above; ship count rows, not
+    // record rows. Grouped-by-zone (complete pushdown) emits a group
+    // row only when records exist — matching the row path, where an
+    // empty or swallowed-failure zone contributes no group. The global
+    // (partial) form always emits, count 0 included, so Spark's final
+    // sum is never null.
+    pushedAgg match {
+      case Some(PushedCountAgg(byZone)) =>
+        val n = changes.length.toLong
+        if (byZone && n == 0L) Iterator.empty
+        else {
+          val row = new GenericInternalRow(schema.length)
+          var i = 0
+          if (byZone) { row.update(0, UTF8String.fromString(p.zone)); i = 1 }
+          while (i < schema.length) { row.setLong(i, n); i += 1 }
+          Iterator.single(row.asInstanceOf[InternalRow])
+        }
+      case None =>
+        // Only the pruned columns are materialized (SupportsPushDownRequiredColumns).
+        val fieldWriters: Array[(InternalRow, Int, String, ARecord) => Unit] =
+          schema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
+            case "action" => (row, i, action, _) => row.update(i, UTF8String.fromString(action))
+            case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase(java.util.Locale.ROOT)))
+            case "ip" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.ip))
+            case "organization" => (row, i, _, _) => row.update(i, UTF8String.fromString(opts.organization))
+            case "timestamp" => (row, i, _, _) => row.setLong(i, tsMicros)
+            case "zone" => (row, i, _, _) => row.update(i, UTF8String.fromString(p.zone))
+            case "_serial" => (row, i, _, _) => row.setLong(i, xferSerial)
+            case "_xfr_kind" => (row, i, _, _) => row.update(i, UTF8String.fromString(xferKind))
+            case other => throw new IllegalStateException(s"unknown dns column '$other'")
+          }
+        changes.iterator.map { case (action, rec) =>
+          val row = new GenericInternalRow(fieldWriters.length)
+          var i = 0
+          while (i < fieldWriters.length) { fieldWriters(i)(row, i, action, rec); i += 1 }
+          row.asInstanceOf[InternalRow]
+        }
     }
   }
 

@@ -231,6 +231,56 @@ class ReadConnectorSpec extends AnyFunSuite {
       == Seq(("example.acme.", "red.example.acme.")))
   }
 
+  test("COUNT(*) GROUP BY zone pushes down COMPLETELY: no aggregate node survives") {
+    seeded(5320)
+    val df = read(5320, "xfr" -> "AXFR")
+      .groupBy(col("zone")).agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*) GROUP BY zone]"), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete pushdown must leave no aggregate node:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      == Seq(("another.zone.", 2L), ("example.acme.", 3L)))
+  }
+
+  test("global COUNT(*) pushes down PARTIALLY: scan ships per-zone counts, Spark sums") {
+    seeded(5321)
+    val df = read(5321, "xfr" -> "AXFR")
+      .agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*)]"), plan)
+    assert(plan.contains("Aggregate"), s"partial pushdown keeps the final sum:\n$plan")
+    assert(df.collect().head.getLong(0) == 5L)
+  }
+
+  test("aggregate pushdown refuses unsupported shapes and the row path answers") {
+    seeded(5322)
+    // grouping by a non-zone column: partition != group, so no pushdown
+    val byFqdn = read(5322, "xfr" -> "AXFR")
+      .groupBy(col("fqdn")).agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+    val plan = byFqdn.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregation"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(byFqdn.collect().length == 5)
+    // non-count aggregate: same refusal
+    val maxTs = read(5322, "xfr" -> "AXFR")
+      .groupBy(col("zone")).agg(org.apache.spark.sql.functions.max("fqdn").as("m"))
+    assert(!maxTs.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(maxTs.collect().length == 2)
+  }
+
+  test("pushed count composes with zone-filter pushdown (pruned THEN counted)") {
+    seeded(5323)
+    val df = read(5323, "xfr" -> "AXFR")
+      .filter(col("zone") === "example.acme.")
+      .groupBy(col("zone")).agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation=[COUNT(*) GROUP BY zone]"), plan)
+    assert(plan.contains("zones=example.acme."), s"static prune must precede the count:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("example.acme.", 3L)))
+  }
+
   test("typed Dataset[DnsRecordChange] view over the connector read") {
     seeded(5313)
     import spark.implicits._
