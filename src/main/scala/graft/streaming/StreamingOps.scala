@@ -129,6 +129,51 @@ object StreamingOps {
         col("p_ts"), col("e_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the missing row-kind of
+    * [[purchaseErrorJoin]]: purchases with NO error in their following
+    * hour must also emit (null-extended), and in a stream that answer
+    * is only knowable once the watermark proves no future error can
+    * land in the window. Spark emits the null-joined row when the
+    * watermark passes the end of the purchase's join window and evicts
+    * its state — so unlike the inner key, this replay KEEPS the
+    * trailing no-data micro-batch enabled: it is what advances the
+    * watermark after the data and flushes the outer rows (disabling it
+    * would silently drop every unmatched purchase — the config is
+    * correctness here, not overhead). Purchases inside the final
+    * watermark horizon (p_ts + 1h ≥ max ts − 2h) terminate still
+    * buffered and do NOT emit; the oracle states that horizon rule
+    * explicitly, making the eviction frontier part of the gated
+    * result. Unmatched legs are coalesced to −1 (not NULL) so both
+    * engines hash identical integers. */
+  def qStreamingOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = replaySession(s)
+    val events = eventsStream(s2, s"$dir/events.parque[t]")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val q = joined
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        coalesce(col("error_id"), lit(-1L)).as("error_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        coalesce(unix_micros(col("e_ts")), lit(-1L)).as("e_ts_us"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_stream_outer_join").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "outer interval-join stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
+    s2.table("graft_stream_outer_join")
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
   final case class Ev(event_id: Long, user_id: Long, event_type: String, tsMicros: Long)
   final case class FirstSeen(user_id: Long, event_type: String,
                              first_event_id: Long, first_ts_micros: Long)
@@ -1101,6 +1146,7 @@ object StreamingOps {
     "q_streaming_dedup" -> qStreamingDedup,
     "q_streaming_late" -> qStreamingLate,
     "q_streaming_join" -> qStreamingJoin,
+    "q_streaming_outer_join" -> qStreamingOuterJoin,
     "q_cdc_stream" -> qCdcStream,
     "q_tws_profile" -> qTwsProfile,
     "q_tws_sessions" -> qTwsSessions,
@@ -1162,6 +1208,30 @@ object StreamingOps {
         |  ON p.user_id = e.user_id
         | AND p.event_type = 'purchase' AND e.event_type = 'error'
         | AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // Matched rows = the inner oracle; unmatched purchases emit ONLY
+    // if the final watermark proved their window closed. The global
+    // watermark is the MIN across the two per-stream watermarks (each
+    // sees only its filtered side), tracked in MILLISECONDS — the
+    // oracle states that eviction frontier explicitly.
+    "q_streaming_outer_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id AS e_user, event_id AS error_id, ts AS e_ts
+        |      FROM events WHERE event_type = 'error'),
+        |w AS (SELECT ((epoch_us(least((SELECT max(p_ts) FROM p),
+        |                              (SELECT max(e_ts) FROM e))) // 1000)
+        |              - 7200000) * 1000 AS wm_us),
+        |m AS (SELECT p.user_id, purchase_id, error_id,
+        |        epoch_us(p_ts) AS p_ts_us, epoch_us(e_ts) AS e_ts_us
+        |      FROM p JOIN e ON p.user_id = e_user
+        |        AND e_ts >= p_ts AND e_ts <= p_ts + INTERVAL 1 HOUR),
+        |um AS (SELECT p.user_id, p.purchase_id, CAST(-1 AS BIGINT) AS error_id,
+        |         epoch_us(p.p_ts) AS p_ts_us, CAST(-1 AS BIGINT) AS e_ts_us
+        |       FROM p, w
+        |       WHERE p.purchase_id NOT IN (SELECT purchase_id FROM m)
+        |         AND epoch_us(p.p_ts) + 3600000000 < w.wm_us)
+        |SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM um)
         |ORDER BY 1, 2, 3""".stripMargin,
     // Batch truth for the transformWithState profile: the final
     // emission per key must equal the one-shot aggregation over the

@@ -160,6 +160,79 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LEFT OUTER interval join: outer rows flush on watermark advance, frontier exact") {
+    import spark.implicits._
+    // Two time-ordered files so the watermark ADVANCES between data
+    // batches: early unmatched purchases must flush as null-extended
+    // rows in a LATER batch (eviction), and purchases inside the final
+    // watermark horizon must terminate buffered and unemitted.
+    val d = java.nio.file.Files.createTempDirectory("events-ssjoin-outer")
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    val splitUs = 1705708800L * 1000000L // 2024-01-20T00:00Z
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("ssjoin-outer-half")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = d.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dest)
+      dest.toFile.setLastModified(mtime): Unit
+    }
+    stage(raw.filter(unix_micros($"ts") < splitUs), "f1_early.parquet", 1700000000000L)
+    stage(raw.filter(unix_micros($"ts") >= splitUs), "f2_late.parquet", 1700000060000L)
+
+    val events = spark.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val errors = events.filter($"event_type" === "error")
+      .select($"user_id".as("e_user"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    val q = purchases.join(errors,
+        $"p_user" === $"e_user" && $"e_ts" >= $"p_ts" &&
+          $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select($"p_user".as("user_id"), $"purchase_id",
+        coalesce($"error_id", lit(-1L)).as("error_id"),
+        unix_micros($"p_ts").as("p_ts_us"),
+        coalesce(unix_micros($"e_ts"), lit(-1L)).as("e_ts_us"))
+      .writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate within 120s")
+
+    val progress = q.recentProgress.toSeq
+    assert(progress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum > 0,
+      "no state eviction — the outer semantics were never exercised")
+    val streamed = spark.table("ssjoin_outer").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed.exists(_._3 == -1L), "no null-extended row ever flushed")
+
+    // Exact expectation from the batch side + the eviction frontier:
+    // global watermark = min(per-stream max) - 2h, ms-truncated.
+    val ev = graft.queries.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("u"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"user_id".as("eu"), $"event_id".as("error_id"), $"ts".as("e_ts"))
+    val maxP = p.agg(max(unix_micros($"p_ts"))).head.getLong(0)
+    val maxE = e.agg(max(unix_micros($"e_ts"))).head.getLong(0)
+    val wmUs = (math.min(maxP, maxE) / 1000L - 2L * 3600 * 1000L) * 1000L
+    val matched = p.join(e, $"u" === $"eu" && $"e_ts" >= $"p_ts" &&
+        $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"u", $"purchase_id", $"error_id",
+        unix_micros($"p_ts").as("pus"), unix_micros($"e_ts").as("eus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val matchedIds = matched.map(_._2).toSet
+    val unmatched = p.select($"u", $"purchase_id", unix_micros($"p_ts").as("pus"))
+      .collect()
+      .filter(r => !matchedIds.contains(r.getLong(1)))
+      .filter(_.getLong(2) + 3600000000L < wmUs)
+      .map(r => (r.getLong(0), r.getLong(1), -1L, r.getLong(2), -1L))
+    assert(streamed == (matched ++ unmatched).toSet,
+      s"streamed=${streamed.size} expected=${matched.length + unmatched.length}")
+  }
+
   test("stream-stream interval join matches the batch join") {
     import spark.implicits._
     val src = StreamingOps.eventsStream(spark, streamDir)
