@@ -531,6 +531,83 @@ object Relational {
     * EXCEPT as hash semi/anti joins over distinct inputs — same scale
     * shape as [[qSemiAntiJoin]]; the three 1-row counts combine by
     * broadcast crossJoin (never a shuffle). */
+  /** One-pass column profiling (the Deequ/ingest-audit shape): per
+    * column of `orders` — row/null/distinct counts and min/max — from
+    * a single unpivot. Every value is first rendered to an
+    * engine-exact fixed-width decimal string (cents via the
+    * DECIMAL(18,2) money convention, timestamps as epoch micros,
+    * 20-digit zero-pad), so lexicographic MIN/MAX ≡ numeric min/max
+    * and both engines hash identical bytes — never float formatting.
+    * Scale shape: the unpivot is a codegen'd constant-factor explode
+    * (rows × 6), the rollup is two partial-aggregated phases keyed by
+    * (column, value) whose shuffle is bounded by per-column DISTINCT
+    * counts, not row count. The profile a data lead reads before
+    * admitting a new drop into the corpus. */
+  def qColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pad = (c: String) => s"lpad(CAST($c AS STRING), 20, '0')"
+    val repr = t(s, dir, "orders").selectExpr(
+      s"${pad("o_orderkey")} AS o_orderkey",
+      s"${pad("o_custkey")} AS o_custkey",
+      "o_orderstatus",
+      s"${pad("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")} AS o_totalprice",
+      // o_orderdate arrives NTZ; timestampdiff between two NTZ values
+      // is pure local arithmetic — zone-free, unlike a cast to LTZ
+      // (session-zone dependent, would fail the timezone matrix cell).
+      s"${pad("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")} AS o_orderdate",
+      "o_orderpriority")
+    repr.select(expr(
+      """stack(6,
+        |  'o_orderkey', o_orderkey, 'o_custkey', o_custkey,
+        |  'o_orderstatus', o_orderstatus, 'o_totalprice', o_totalprice,
+        |  'o_orderdate', o_orderdate, 'o_orderpriority', o_orderpriority)
+        |AS (column_name, v)""".stripMargin))
+      .groupBy($"column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct($"v").as("n_distinct"),
+        min($"v").as("min_repr"),
+        max($"v").as("max_repr"))
+      .orderBy($"column_name")
+  }
+
+  /** Constraint gate (the other Deequ half): assertions AS DATA, one
+    * row per rule with the violation count and a PASS/FAIL verdict —
+    * what an ingest pipeline evaluates before a drop is admitted.
+    * Uniqueness and domain rules are conditional aggregates;
+    * referential integrity is a LEFT ANTI join at key cardinality.
+    * The `orderstatus_legacy_domain` rule FAILS deliberately (the
+    * fixture's 'P' pending status sits outside the legacy {O, F}
+    * domain) — the gate must prove it reports failure honestly, not
+    * only that green rows stay green. */
+  def qDataConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    def verdict(df: DataFrame): DataFrame =
+      df.select($"constraint", $"violations",
+        when($"violations" === 0L, "PASS").otherwise("FAIL").as("status"))
+    val unique = orders.agg(
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("violations"))
+      .select(lit("orderkey_unique").as("constraint"), $"violations")
+    val complete = orders.agg(
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("violations"))
+      .select(lit("custkey_complete").as("constraint"), $"violations")
+    val referential = orders
+      .join(t(s, dir, "customer").select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("custkey_referential").as("constraint"), $"violations")
+    val positive = orders.agg(
+      sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L)).as("violations"))
+      .select(lit("totalprice_positive").as("constraint"), $"violations")
+    val domain = orders.agg(
+      sum(when(!$"o_orderstatus".isin("O", "F"), 1L).otherwise(0L)).as("violations"))
+      .select(lit("orderstatus_legacy_domain").as("constraint"), $"violations")
+    verdict(unique.unionAll(complete).unionAll(referential)
+        .unionAll(positive).unionAll(domain))
+      .orderBy($"constraint")
+  }
+
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "events").select($"user_id").distinct()
@@ -732,6 +809,8 @@ object Relational {
     "q_ntile_deciles" -> qNtileDeciles,
     "q_full_outer_join" -> qFullOuterJoin,
     "q_set_ops" -> qSetOps,
+    "q_column_profile" -> qColumnProfile,
+    "q_data_constraints" -> qDataConstraints,
     "q_sessionize" -> qSessionize,
     "q_rollup_orders" -> qRollupOrders,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -875,6 +954,45 @@ object Relational {
         |SELECT side, count(*) AS n_users, CAST(sum(n_orders) AS BIGINT) AS total_orders,
         |  CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same fixed-width decimal renderings, so lexicographic min/max
+    // and distinct counts agree byte-for-byte.
+    "q_column_profile" ->
+      """WITH r AS (
+        |  SELECT lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS o_orderkey,
+        |         lpad(CAST(o_custkey AS VARCHAR), 20, '0') AS o_custkey,
+        |         o_orderstatus,
+        |         lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 20, '0') AS o_totalprice,
+        |         lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 20, '0') AS o_orderdate,
+        |         o_orderpriority
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS column_name, o_orderkey AS v FROM r UNION ALL
+        |  SELECT 'o_custkey', o_custkey FROM r UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM r UNION ALL
+        |  SELECT 'o_totalprice', o_totalprice FROM r UNION ALL
+        |  SELECT 'o_orderdate', o_orderdate FROM r UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM r)
+        |SELECT column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT v) AS n_distinct,
+        |  min(v) AS min_repr, max(v) AS max_repr
+        |FROM u GROUP BY column_name ORDER BY column_name""".stripMargin,
+    "q_data_constraints" ->
+      """WITH c AS (
+        |  SELECT 'orderkey_unique' AS "constraint",
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations FROM orders
+        |  UNION ALL SELECT 'custkey_complete',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'custkey_referential',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c2 WHERE c2.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'totalprice_positive',
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orderstatus_legacy_domain',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |SELECT "constraint", violations,
+        |  CASE WHEN violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM c ORDER BY "constraint"""".stripMargin,
     "q_set_ops" ->
       """WITH e AS (SELECT DISTINCT user_id FROM events),
         |c AS (SELECT DISTINCT c_custkey AS user_id FROM customer),
