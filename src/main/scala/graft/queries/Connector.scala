@@ -936,6 +936,37 @@ object Connector {
       |UNION ALL SELECT 'TOTAL', CAST(46 AS BIGINT)
       |ORDER BY zone""".stripMargin
 
+  /** LIMIT pushdown (`SupportsPushDownLimit`) under the oracle gate.
+    * Deterministic by construction: the zone filter statically prunes
+    * to ONE partition, whose reader yields records in the zone's
+    * serve order (h0..h11), so the pushed `LIMIT 5` materializes
+    * exactly h0..h4 before Spark's global limit confirms it — the
+    * rows, not just the count, are part of the hash. The re-sort
+    * ABOVE the limit only canonicalizes output order. The partial
+    * contract (reader stops early, Spark keeps the global limit) and
+    * the agg-composition refusal are spec-asserted. */
+  def qDnsLimit(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_limit")
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .filter(col("zone") === "z2.graft.")
+      .select("action", "fqdn", "ip", "zone")
+      .limit(5)
+      .orderBy("fqdn")
+  }
+
+  private val qDnsLimitOracle: String =
+    """SELECT 'AXFR' AS action, 'h'||i||'.z2.graft.' AS fqdn,
+      |  '10.2.0.'||i AS ip, 'z2.graft.' AS zone
+      |FROM (SELECT unnest(generate_series(0, 4)) AS i)
+      |ORDER BY fqdn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_zone_pruned" -> qDnsZonePruned,
@@ -955,6 +986,7 @@ object Connector {
     "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
     "q_dns_sql_delete" -> qDnsSqlDelete,
     "q_dns_pushed_count" -> qDnsPushedCount,
+    "q_dns_limit" -> qDnsLimit,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -978,5 +1010,6 @@ object Connector {
     "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
     "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
     "q_dns_pushed_count" -> qDnsPushedCountOracle,
+    "q_dns_limit" -> qDnsLimitOracle,
   )
 }

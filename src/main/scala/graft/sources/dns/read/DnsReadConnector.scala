@@ -96,12 +96,26 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead
   */
 final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var zones: Seq[String] = opts.zones
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = DnsSchemas.read
   private var pushedAgg: Option[PushedCountAgg] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown — PARTIAL by contract (`isPartiallyPushed`): each
+    * partition's reader stops materializing after `n` rows and Spark
+    * keeps the global limit above the scan. The zone transfer itself
+    * still runs (the protocol has no partial-transfer form), so what
+    * the pushdown saves is row materialization and scan→limit traffic
+    * on wide zones — and it composes with aggregate pushdown by
+    * refusing: a LIMIT under a pushed COUNT would change the count. */
+  override def pushLimit(n: Int): Boolean =
+    if (pushedAgg.isDefined) false
+    else { limit = Some(n); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** COUNT(*) pushdown (`SupportsPushDownAggregates`): a zone-level
     * record census — the monitoring query a DNS estate runs all day —
@@ -184,7 +198,7 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
         DnsSchemas.metadata.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new DnsScan(opts, zones, required, pushedAgg)
+  override def build(): Scan = new DnsScan(opts, zones, required, pushedAgg, limit)
 }
 
 /** Marker for a pushed-down COUNT(*): `byZone` = grouped by `zone`
@@ -193,7 +207,8 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
 final case class PushedCountAgg(byZone: Boolean)
 
 final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
-                    pushedAgg: Option[PushedCountAgg] = None)
+                    pushedAgg: Option[PushedCountAgg] = None,
+                    pushedLimit: Option[Int] = None)
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
@@ -211,7 +226,8 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
     s"DnsScan(server=${opts.common.server}, zones=${runtimeZones.mkString(",")}, " +
       s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}]" +
       pushedAgg.map(a => s", PushedAggregation=[COUNT(*)${if (a.byZone) " GROUP BY zone" else ""}]")
-        .getOrElse("") + ")"
+        .getOrElse("") +
+      pushedLimit.map(n => s", PushedLimit=LIMIT $n").getOrElse("") + ")"
 
   /** DPP handshake: declare `zone` runtime-filterable. Spark's
     * PartitionPruning rule then plants a DynamicPruningSubquery on any
@@ -268,7 +284,7 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 
   override def toBatch: Batch =
     new DnsBatch(opts, runtimeZones, schema,
-      runtimeZones.map(z => z -> opts.serial).toMap, accs, pushedAgg)
+      runtimeZones.map(z => z -> opts.serial).toMap, accs, pushedAgg, pushedLimit)
 
   override def toMicroBatchStream(checkpointLocation: String) =
     new DnsMicroBatchStream(opts, zones, schema, checkpointLocation)
@@ -278,7 +294,8 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
                      serials: Map[String, Long],
                      accs: Map[String, ZoneVersion],
-                     pushedAgg: Option[PushedCountAgg] = None) extends Batch {
+                     pushedAgg: Option[PushedCountAgg] = None,
+                     pushedLimit: Option[Int] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     zones.zipWithIndex.map { case (zone, i) =>
@@ -287,7 +304,7 @@ final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructT
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, schema, accs, pushedAgg)
+    new DnsReaderFactory(opts, schema, accs, pushedAgg, pushedLimit)
 }
 
 /** One partition per zone (reference DnsZonePartition.java:11-19). */
@@ -296,12 +313,13 @@ final case class DnsZoneInputPartition(index: Int, zone: String, serial: Long)
 
 final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
                              accs: Map[String, ZoneVersion],
-                             pushedAgg: Option[PushedCountAgg] = None)
+                             pushedAgg: Option[PushedCountAgg] = None,
+                             pushedLimit: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DnsZoneInputPartition]
-    new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg)
+    new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg, pushedLimit)
   }
 }
 
@@ -314,7 +332,8 @@ final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
 final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
                                p: DnsZoneInputPartition,
                                acc: Option[ZoneVersion],
-                               pushedAgg: Option[PushedCountAgg] = None)
+                               pushedAgg: Option[PushedCountAgg] = None,
+                               pushedLimit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   // Configuration errors (unknown client name) must always propagate;
@@ -381,7 +400,9 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
             case "_xfr_kind" => (row, i, _, _) => row.update(i, UTF8String.fromString(xferKind))
             case other => throw new IllegalStateException(s"unknown dns column '$other'")
           }
-        changes.iterator.map { case (action, rec) =>
+        // Partial limit: stop materializing past the pushed bound —
+        // Spark's global limit above the scan finishes the job.
+        pushedLimit.foldLeft(changes.iterator)((it, n) => it.take(n)).map { case (action, rec) =>
           val row = new GenericInternalRow(fieldWriters.length)
           var i = 0
           while (i < fieldWriters.length) { fieldWriters(i)(row, i, action, rec); i += 1 }

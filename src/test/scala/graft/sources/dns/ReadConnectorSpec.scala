@@ -281,6 +281,23 @@ class ReadConnectorSpec extends AnyFunSuite {
       == Seq(("example.acme.", 3L)))
   }
 
+  test("LIMIT pushes down partially; refused under a pushed aggregate") {
+    seeded(5324)
+    val lim = read(5324, "xfr" -> "AXFR").limit(3)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit=LIMIT 3"), plan)
+    assert(plan.contains("Limit"), s"partial contract keeps Spark's global limit:\n$plan")
+    assert(lim.collect().length == 3)
+    // limit ABOVE a pushed count must not reach the reader: a LIMIT
+    // under the COUNT would change the count
+    val aggThenLimit = read(5324, "xfr" -> "AXFR")
+      .groupBy(col("zone")).agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+      .limit(1)
+    val p2 = aggThenLimit.queryExecution.executedPlan.toString
+    assert(p2.contains("PushedAggregation") && !p2.contains("PushedLimit"), p2)
+    assert(aggThenLimit.collect().length == 1)
+  }
+
   test("typed Dataset[DnsRecordChange] view over the connector read") {
     seeded(5313)
     import spark.implicits._
