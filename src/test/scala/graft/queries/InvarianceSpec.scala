@@ -44,7 +44,12 @@ class InvarianceSpec extends AnyFunSuite {
     "q_containment",      // shared band rows + sized verify
     "q_source_overlap",   // bottom-64 sketch + exact-join matrix
     "q_shared_spans",     // diagonal islands + rare-window guard
-    "q_filter_funnel")    // CASE attribution + lang share window
+    "q_filter_funnel",    // CASE attribution + lang share window
+    "q_token_edit_pairs", // PassJoin segment join + bucket-cap rank windows
+    "q_budget_select",    // level-granular histogram cutoff windows
+    "q_leak_safe_split",  // CC labels + rep-hash split + countDistinct rollup
+    "q_column_profile",   // unpivot + (column, value) two-phase distinct
+    "q_data_constraints") // conditional aggs + anti-join count
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
