@@ -967,6 +967,61 @@ object Connector {
       |FROM (SELECT unnest(generate_series(0, 4)) AS i)
       |ORDER BY fqdn""".stripMargin
 
+  /** Storage-partitioned join (`SupportsReportPartitioning` +
+    * `HasPartitionKey`) under the oracle gate: every record joined to
+    * its zone's record census — two scans of the same estate, both
+    * key-grouped by zone, so with v2 bucketing enabled the whole plan
+    * runs transfer-local with ZERO hash exchanges (spec-asserted; the
+    * `merge` hint only forbids the broadcast the scan's own size
+    * statistics would otherwise win). The census counts `fqdn`, not
+    * `*`, deliberately: only COUNT(*) is pushable into the scan, and
+    * Spark's V2ScanPartitioningAndOrdering does not assign key-grouped
+    * partitioning to a pushed-aggregate scan (observed on 4.1 — its
+    * relation output is the rewritten agg columns), so a pushed census
+    * would re-shuffle. Kept on Spark, the aggregation fuses
+    * partial+final back-to-back over the key-grouped scan and the join
+    * is SortMergeJoin directly over both scans — at estate scale the
+    * difference between shuffling every record of every zone and
+    * joining transfer-local. Results are conf-independent; only the
+    * exchanges differ. */
+  def qDnsSpj(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_spj")
+    seedReadFixture(port)
+    spjJoin(s, port)
+  }
+
+  private[graft] def seedSpjFixture(): Int = {
+    val port = freshPort("q_dns_spj_audit")
+    seedReadFixture(port)
+    port
+  }
+
+  private[graft] def spjJoin(s: SparkSession, port: Int): DataFrame = {
+    def load() = s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+    val records = load().select(col("zone"), col("fqdn"), col("ip"))
+    val census = load().groupBy(col("zone")).agg(count(col("fqdn")).as("zone_records"))
+    records.hint("merge").join(census, Seq("zone"))
+      .select("zone", "fqdn", "ip", "zone_records")
+      .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsSpjOracle: String =
+    """WITH h AS (
+      |  SELECT j, i FROM (SELECT unnest(generate_series(0,3)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0,12)) AS i)
+      |  WHERE i <= 9 + j)
+      |SELECT 'z'||j||'.graft.' AS zone,
+      |  'h'||i||'.z'||j||'.graft.' AS fqdn,
+      |  '10.'||j||'.0.'||i AS ip,
+      |  CAST(10 + j AS BIGINT) AS zone_records
+      |FROM h ORDER BY zone, fqdn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dns_read" -> qDnsRead,
     "q_dns_zone_pruned" -> qDnsZonePruned,
@@ -987,6 +1042,7 @@ object Connector {
     "q_dns_sql_delete" -> qDnsSqlDelete,
     "q_dns_pushed_count" -> qDnsPushedCount,
     "q_dns_limit" -> qDnsLimit,
+    "q_dns_spj" -> qDnsSpj,
   )
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
@@ -1011,5 +1067,6 @@ object Connector {
     "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
     "q_dns_pushed_count" -> qDnsPushedCountOracle,
     "q_dns_limit" -> qDnsLimitOracle,
+    "q_dns_spj" -> qDnsSpjOracle,
   )
 }

@@ -209,7 +209,8 @@ final case class PushedCountAgg(byZone: Boolean)
 final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
                     pushedAgg: Option[PushedCountAgg] = None,
                     pushedLimit: Option[Int] = None)
-  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
     * already pruned `zones` at ScanBuilder time; this second stage
@@ -251,6 +252,29 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
       java.util.OptionalLong.of(
         runtimeZones.length.toLong * opts.estimatedZoneBytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** Output partitioning (`SupportsReportPartitioning`): the scan IS
+    * key-grouped by `zone` — an InputPartition is exactly one zone and
+    * every row it emits carries that zone (the pushed-COUNT-by-zone
+    * form included: its group rows are per-partition too). Reporting
+    * it (each partition exposes its zone via [[DnsZoneInputPartition]]
+    * `HasPartitionKey`) lets Catalyst drop the exchanges a zone-keyed
+    * join or aggregation would otherwise plan: two dns scans joined on
+    * `zone` become a storage-partitioned join — at estate scale, the
+    * difference between shuffling every record of every zone and
+    * joining transfer-local. Recognized when
+    * `spark.sql.sources.v2.bucketing.enabled` is true (set in the
+    * session builders); inert otherwise — results never change, only
+    * the exchanges. Guarded on `zone` surviving projection: a scan
+    * that pruned `zone` away has nothing to key-group on. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (runtimeZones.nonEmpty && schema.fieldNames.contains("zone"))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("zone")),
+        runtimeZones.length)
+    else new UnknownPartitioning(runtimeZones.length)
   }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -307,9 +331,15 @@ final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructT
     new DnsReaderFactory(opts, schema, accs, pushedAgg, pushedLimit)
 }
 
-/** One partition per zone (reference DnsZonePartition.java:11-19). */
+/** One partition per zone (reference DnsZonePartition.java:11-19).
+  * `HasPartitionKey` exposes that zone as the partition's key-grouped
+  * identity — the row-level half of the scan's
+  * [[DnsScan.outputPartitioning]] contract. */
 final case class DnsZoneInputPartition(index: Int, zone: String, serial: Long)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(zone)))
+}
 
 final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
                              accs: Map[String, ZoneVersion],

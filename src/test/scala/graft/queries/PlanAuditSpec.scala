@@ -91,6 +91,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"build side is not the dns scan: $build")
   }
 
+  test("q_dns_spj: zone-keyed join of two dns scans is storage-partitioned — zero hash exchanges") {
+    // The scan reports KeyGroupedPartitioning(zone) and every
+    // InputPartition exposes its zone via HasPartitionKey, so with
+    // v2 bucketing enabled the records ⋈ census join (and the census
+    // groupBy feeding it) must plan with NO hash shuffle at all — the
+    // only exchange in the whole plan is the final orderBy's range
+    // partitioning. A regression in the partitioning report would
+    // surface here as hash exchanges under the join.
+    val port = Connector.seedSpjFixture()
+    val nodes = collectNodes(executed(Connector.spjJoin(spark, port)))
+    val hashExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty,
+      s"expected a storage-partitioned join (0 hash exchanges), got ${hashExchanges.size}:\n${hashExchanges.mkString("\n")}")
+    val smj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "expected a SortMergeJoin (merge hint) over the key-grouped scans")
+  }
+
   test("q_dns_metadata_cols: requested metadata columns reach the pruned scan schema") {
     val s = planString(Connector.qDnsMetadataCols(spark, dir))
     assert(s.contains("_serial") && s.contains("_xfr_kind"), s)
