@@ -1011,6 +1011,28 @@ object Connector {
       .orderBy("zone", "fqdn")
   }
 
+  /** The estate-reconciliation composition, spec-only (PlanAuditSpec):
+    * census restricted to a zone SUBSET. Catalyst propagates the zone
+    * predicate across the inner join's equi-condition to the records
+    * side, so BOTH scans statically prune to the two zones (two
+    * transfers each, not four) and the join still plans
+    * storage-partitioned — pruning and SPJ compose. */
+  private[graft] def spjSubsetJoin(s: SparkSession, port: Int): DataFrame = {
+    def load() = s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+    val records = load().select(col("zone"), col("fqdn"), col("ip"))
+    val census = load()
+      .filter(col("zone").isin("z1.graft.", "z3.graft."))
+      .groupBy(col("zone")).agg(count(col("fqdn")).as("zone_records"))
+    records.hint("merge").join(census, Seq("zone"))
+      .select("zone", "fqdn", "ip", "zone_records")
+  }
+
   private val qDnsSpjOracle: String =
     """WITH h AS (
       |  SELECT j, i FROM (SELECT unnest(generate_series(0,3)) AS j)

@@ -113,6 +113,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(smj.nonEmpty, "expected a SortMergeJoin (merge hint) over the key-grouped scans")
   }
 
+  test("spj subset: zone pruning composes with the storage-partitioned join") {
+    // Census filtered to 2 of 4 zones: the predicate propagates across
+    // the join's equi-condition, so BOTH scans statically prune to the
+    // two zones (2 transfers each side, not 4) AND the join still runs
+    // storage-partitioned — the estate-reconciliation-over-a-subset
+    // shape. Matched partition values after pruning mean zero hash
+    // exchanges, same as the full join.
+    val port = Connector.seedSpjFixture()
+    val df = Connector.spjSubsetJoin(spark, port)
+    df.collect()
+    assert(df.count() == 24, s"expected 11+13 rows for z1/z3, got ${df.count()}")
+    val nodes = collectNodes(executed(df))
+    val scans = nodes.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 2, s"expected 2 dns scans, got ${scans.size}")
+    scans.foreach { sc =>
+      val desc = sc.scan.description()
+      assert(desc.contains("zones=z1.graft.,z3.graft."),
+        s"scan not pruned to the census subset: $desc")
+    }
+    val hashExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.isEmpty, s"pruned SPJ re-shuffled: ${hashExchanges.mkString("\n")}")
+  }
+
   test("q_dns_metadata_cols: requested metadata columns reach the pruned scan schema") {
     val s = planString(Connector.qDnsMetadataCols(spark, dir))
     assert(s.contains("_serial") && s.contains("_xfr_kind"), s)
