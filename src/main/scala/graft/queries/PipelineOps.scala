@@ -59,6 +59,40 @@ object PipelineOps {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** Quality-weighted Poisson sampling: every document is accepted
+    * independently with probability proportional to an integer quality
+    * weight — the importance-sampling primitive a corpus build uses to
+    * up-weight wanted text without a global sort or a fixed-K
+    * reservoir (each of which serializes a stratum; this is a pure
+    * map). The weight here is the capped word count (stand-in for any
+    * integer quality score — the mechanism, not the metric, is the
+    * operator). Acceptance is an INTEGER comparison: a 52-bit md5 draw
+    * against w·2^45, so p = w/128 exactly — bit-reproducible across
+    * engines and re-derivable at audit time, which rand() can never
+    * be. The draw is salted (":ws") so it is independent of the
+    * split die's hash. Output is the per-source acceptance audit
+    * (totals, accepted count, accepted weight mass, order-free xor of
+    * accepted ids) — the shape that verifies a 100 TB sample without
+    * materializing it. Pure map + partial agg on a low-cardinality
+    * key: nothing here is corpus-order- or partition-dependent. */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h52 = conv(substring(md5(concat($"doc_id".cast("string"), lit(":ws"))), 1, 13), 16, 10)
+      .cast("long")
+    val w = least(size(split($"text", "\\s+")).cast("long"), lit(128L))
+    docs(s, dir)
+      .select($"source", $"doc_id", w.as("w"), h52.as("h52"))
+      .withColumn("accepted", $"h52" < $"w" * lit(1L << 45))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"accepted", 1L).otherwise(0L)).as("n_sampled"),
+        sum(when($"accepted", $"w").otherwise(0L)).as("w_sampled"),
+        sum($"w").as("w_total"),
+        expr("bit_xor(CASE WHEN accepted THEN doc_id ELSE 0 END)").as("sample_xor"))
+      .orderBy($"source")
+  }
+
   /** Top-5 terms per source by tf/df: tf = occurrences within the
     * source, df = number of distinct docs containing the term
     * (corpus-wide). The idf log is monotone in 1/df, so ranking by the
@@ -870,6 +904,7 @@ object PipelineOps {
     "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
+    "q_weighted_sample" -> qWeightedSample,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_doc_chunks" -> qDocChunks,
     "q_chunk_overlap" -> qChunkOverlap,
@@ -1022,6 +1057,18 @@ object PipelineOps {
          |  FROM documents)
          |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    least(len(string_split_regex(text, '\s+')), 128) AS w,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13) AS BIGINT) AS h52
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN h52 < w * 35184372088832 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN h52 < w * 35184372088832 THEN w ELSE 0 END) AS BIGINT) AS w_sampled,
+        |  CAST(sum(w) AS BIGINT) AS w_total,
+        |  bit_xor(CASE WHEN h52 < w * 35184372088832 THEN doc_id ELSE 0 END) AS sample_xor
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, source, rnk, doc_id FROM (
         |  SELECT lang, source, doc_id,

@@ -38,6 +38,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_cms_heavy_hitters", // sketch linearity + TakeOrdered ties
     "q_k_anonymity",      // broadcast class stats + left-join rollup
     "q_winnow_fingerprint", // packed-key array_min winnowing + xor checksum
+    "q_weighted_sample",  // integer acceptance compare + bit_xor rollup
     "q_ngram_novelty",    // split die + train-gram membership join
     "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
     "q_rp_recall",        // broadcast sign matrix + pdot/cid ties
