@@ -59,6 +59,38 @@ object PipelineOps {
       .orderBy($"lang", $"source", $"rnk")
   }
 
+  /** Sequence-length bucketing dial: the padding-waste audit that
+    * sizes a batch-formation strategy. For each bucket count B in
+    * {1,2,4,8,16,32} over the 0-128-token range, documents are routed
+    * to fixed-width length buckets and every document pays padding up
+    * to its bucket's observed max — the cost model of "batch within
+    * length buckets" with unbounded batch size, i.e. the LOWER bound
+    * padding a B-bucket scheme can reach. One row per B (buckets used,
+    * real tokens, padded tokens, waste in basis points) shows the
+    * dial's diminishing returns; B=1 is the no-bucketing worst case.
+    * All-integer arithmetic end to end (max/sum/count + integer DIV),
+    * so the audit is engine-exact and partition-invariant. Shape: one
+    * scan exploded 6× on a constant array, then two partial-agg
+    * rollups whose key cardinalities are B-bounded (≤ 63 and 6 rows of
+    * state), never corpus-bounded. */
+  def qPaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(least(size(split($"text", "\\s+")).cast("long"), lit(128L)).as("nw"))
+      .select($"nw", explode(lit(Array(1L, 2L, 4L, 8L, 16L, 32L))).as("b"))
+      // width = 128/B; least() pins nw=128 into the top bucket
+      .select($"b", least(expr("(nw * b) DIV 128"), $"b" - 1L).cast("long").as("bucket"), $"nw")
+      .groupBy($"b", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("tok"), max($"nw").as("mx"))
+      .groupBy($"b")
+      .agg(
+        count(lit(1)).as("buckets_used"),
+        sum($"tok").as("real_tokens"),
+        sum($"mx" * $"n_docs" - $"tok").as("padded_tokens"),
+        expr("sum(mx * n_docs - tok) * 10000 DIV sum(mx * n_docs)").as("waste_bp"))
+      .orderBy($"b")
+  }
+
   /** Quality-weighted Poisson sampling: every document is accepted
     * independently with probability proportional to an integer quality
     * weight — the importance-sampling primitive a corpus build uses to
@@ -905,6 +937,7 @@ object PipelineOps {
     "q_dataset_split" -> qDatasetSplit,
     "q_stratified_sample" -> qStratifiedSample,
     "q_weighted_sample" -> qWeightedSample,
+    "q_padding_waste" -> qPaddingWaste,
     "q_tfidf_top_terms" -> qTfidfTopTerms,
     "q_doc_chunks" -> qDocChunks,
     "q_chunk_overlap" -> qChunkOverlap,
@@ -1057,6 +1090,22 @@ object PipelineOps {
          |  FROM documents)
          |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_padding_waste" ->
+      """WITH nw AS (
+        |  SELECT least(len(string_split_regex(text, '\s+')), 128) AS nw
+        |  FROM documents),
+        |e AS (
+        |  SELECT b, least((nw * b) // 128, b - 1) AS bucket, nw
+        |  FROM nw CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16, 32]) AS b)),
+        |per_bucket AS (
+        |  SELECT b, bucket, count(*) AS n_docs, sum(nw) AS tok, max(nw) AS mx
+        |  FROM e GROUP BY b, bucket)
+        |SELECT CAST(b AS BIGINT) AS b,
+        |  count(*) AS buckets_used,
+        |  CAST(sum(tok) AS BIGINT) AS real_tokens,
+        |  CAST(sum(mx * n_docs - tok) AS BIGINT) AS padded_tokens,
+        |  CAST(sum(mx * n_docs - tok) * 10000 // sum(mx * n_docs) AS BIGINT) AS waste_bp
+        |FROM per_bucket GROUP BY b ORDER BY b""".stripMargin,
     "q_weighted_sample" ->
       """WITH d AS (
         |  SELECT source, doc_id,
