@@ -128,6 +128,41 @@ object Relational {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Field-level survivorship merge (MDM "golden record"): one profile
+    * row per user whose fields each carry the LATEST value from the
+    * event type that feeds them — click/view props and purchase cents
+    * merge independently, null where the user never emitted that type.
+    * This is NOT [[qLwwMaxBy]] (one whole-row winner per (key, type)):
+    * survivorship resolves each FIELD separately via
+    * `max_by(...) FILTER (WHERE type = ...)`, so ONE aggregation pass
+    * holds ≤ 1 value per field per key — map-side partial (plans as
+    * SortAggregate: the struct-ordered max_by buffer is not
+    * fixed-width, so each partition sorts by user_id first — the
+    * partial/final split is unchanged), no window, no self-join of
+    * per-type extracts. The 100 TB shape for
+    * building a profile store from an event log: one shuffle at user
+    * cardinality regardless of history length. Same struct(ts_ns,
+    * event_id) tiebreak as the LWW keys; cents via round-then-cast
+    * (double→long truncation diverges between engines). */
+  def qSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", $"event_type", $"ts_ns", $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("max(ts_ns div 1000)").as("last_seen_micros"),
+        expr("max_by(k, struct(ts_ns, event_id)) FILTER (WHERE event_type = 'click')").as("click_k"),
+        expr("max_by(k, struct(ts_ns, event_id)) FILTER (WHERE event_type = 'view')").as("view_k"),
+        // conditional field: latest BIG purchase (>= $200) — null for
+        // most users at gate SF, so the merge's null-preservation is
+        // exercised by the oracle compare, not just claimed
+        expr("max_by(cents, struct(ts_ns, event_id)) FILTER (WHERE event_type = 'purchase' AND cents >= 20000)").as("big_purchase_cents"))
+      .orderBy($"user_id")
+  }
+
   /** LWW dedup in aggregation form — same contract as
     * [[qLwwDedupEvents]] but via `max_by` (reference's
     * groupingBy+maxBy shape, DnsUpdate.java:46-54): one hash aggregate
@@ -820,6 +855,7 @@ object Relational {
     "q_window_topk_parts" -> qWindowTopkParts,
     "q_lww_dedup_events" -> qLwwDedupEvents,
     "q_lww_maxby" -> qLwwMaxBy,
+    "q_survivorship" -> qSurvivorship,
     "q_union_changes" -> qUnionChanges,
     "q_zone_derive" -> qZoneDerive,
     "q_json_roundtrip" -> qJsonRoundtrip,
@@ -1077,6 +1113,36 @@ object Relational {
     // DuckDB arg_max has no composite-key overload, so the oracle pins
     // the same (ts DESC, event_id DESC) winner with a window — the
     // contract is row-identical to the Spark max_by(struct, struct).
+    "q_survivorship" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM base) WHERE rn = 1),
+        |prof AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN k END) AS click_k,
+        |    max(CASE WHEN event_type = 'view' THEN k END) AS view_k
+        |  FROM latest GROUP BY user_id),
+        |bigp AS (
+        |  SELECT user_id, cents AS big_purchase_cents FROM (
+        |    SELECT user_id, cents, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM base WHERE event_type = 'purchase' AND cents >= 20000)
+        |  WHERE rn = 1),
+        |tot AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_micros
+        |  FROM events GROUP BY user_id)
+        |SELECT t.user_id, t.n_events, t.last_seen_micros,
+        |  p.click_k, p.view_k, b.big_purchase_cents
+        |FROM tot t LEFT JOIN prof p USING (user_id)
+        |LEFT JOIN bigp b USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_lww_maxby" ->
       """SELECT user_id, event_type, event_id, value FROM (
            SELECT user_id, event_type, event_id, value,

@@ -40,6 +40,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_winnow_fingerprint", // packed-key array_min winnowing + xor checksum
     "q_weighted_sample",  // integer acceptance compare + bit_xor rollup
     "q_padding_waste",    // per-bucket max under partial agg
+    "q_survivorship",     // max_by FILTER tiebreaks under partial agg
     "q_ngram_novelty",    // split die + train-gram membership join
     "q_sq8_recall",       // sorted-struct stats arrays + adc/cid ties
     "q_rp_recall",        // broadcast sign matrix + pdot/cid ties

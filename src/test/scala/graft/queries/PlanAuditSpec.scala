@@ -148,6 +148,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("organization"), s)
   }
 
+  test("q_survivorship: golden record is ONE hash aggregate — no window, no join") {
+    // The survivorship claim vs the oracle's window+join form: every
+    // field resolves inside a single partial-aggregated hash aggregate
+    // (max_by FILTER), so profile state is <= 1 value per field per key
+    // and the only wide node is the final orderBy.
+    val nodes = collectNodes(executed(Relational.qSurvivorship(spark, dir)))
+    assert(nodes.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "survivorship must not plan a window")
+    assert(nodes.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isEmpty
+      && nodes.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      "survivorship must not plan a join")
+    // struct-ordered max_by buffers aren't mutable-fixed-width, so the
+    // aggregate plans as SortAggregate — the partial/final split (map-
+    // side state per key) is the property, not the exec flavor
+    val partials = nodes.collect {
+      case h: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if h.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => h
+    }
+    assert(partials.nonEmpty, "expected a map-side partial aggregate")
+  }
+
   test("q_ngram_novelty: train-gram membership is an equi-join, never a nested loop") {
     val p = executed(PipelineOps.qNgramNovelty(spark, dir))
     val s = p.toString
