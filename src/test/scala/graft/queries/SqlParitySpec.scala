@@ -36,6 +36,30 @@ class SqlParitySpec extends AnyFunSuite {
     assert(sql.collect().toSeq == df.collect().toSeq)
   }
 
+  test("survivorship is SQL-drivable: max_by FILTER through spark.sql matches the DataFrame plan") {
+    views
+    // The golden-record merge's whole surface — per-field max_by with a
+    // FILTER clause and a struct tiebreak — must be reachable from SQL
+    // text, not just the DataFrame API (the oracle itself is DuckDB
+    // dialect, so this is the Spark-SQL twin rather than the verbatim
+    // oracle).
+    val sql = spark.sql(
+      """SELECT user_id, count(1) AS n_events,
+        |  max(ts_ns div 1000) AS last_seen_micros,
+        |  max_by(k, struct(ts_ns, event_id)) FILTER (WHERE event_type = 'click') AS click_k,
+        |  max_by(k, struct(ts_ns, event_id)) FILTER (WHERE event_type = 'view') AS view_k,
+        |  max_by(cents, struct(ts_ns, event_id))
+        |    FILTER (WHERE event_type = 'purchase' AND cents >= 20000) AS big_purchase_cents
+        |FROM (
+        |  SELECT user_id, event_type, ts_ns, event_id,
+        |    CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    val df = Relational.qSurvivorship(spark, dir)
+    assert(sql.collect().toSeq == df.collect().toSeq)
+  }
+
   test("IN subquery plans as a semi join, not a cartesian") {
     views
     val q = spark.sql(
