@@ -121,9 +121,23 @@ object Bench {
       // rounds running). A second copy at the repo root is a COMMITTED
       // artifact: each round's official map rides the round commit and
       // tools/anchors.py folds it into the ANCHORS.json series without
-      // tail archaeology.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_OFFICIAL.json").toAbsolutePath, line + "\n")
+      // tail archaeology. The repo root is found by walking up from the
+      // CWD to the nearest build.sbt (a bench launched from a subdir
+      // must not scatter the official map), and an ad-hoc/experimental
+      // run opts out of touching the committed copy with
+      // SPARK_GRAFT_BENCH_UNOFFICIAL=1.
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_UNOFFICIAL")) {
+        val repoRoot = Iterator.iterate(
+            java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        repoRoot match {
+          case Some(root) => java.nio.file.Files.writeString(
+            root.resolve("BENCH_OFFICIAL.json"), line + "\n")
+          case None => System.err.println(
+            "[bench] no build.sbt above CWD; skipping BENCH_OFFICIAL.json")
+        }
+      }
     } catch { case e: Throwable => // the file is a convenience channel;
       System.err.println(s"[bench] bench.json write failed: ${e.getMessage}") }
     spark.stop()

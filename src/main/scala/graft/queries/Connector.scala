@@ -201,16 +201,11 @@ object Connector {
     * (and z2 has no dim row at all). */
   private def stageRuntimePruneDim(s: SparkSession, dir: String): Unit = {
     import s.implicits._
-    val base = Scratch.dir("dns_rtp_dim", dir)
-    val dimPath = new java.io.File(base, "dim")
-    val marker = new java.io.File(base, "_STAGED")
-    if (!marker.exists()) {
-      Scratch.deleteRecursively(new java.io.File(base))
+    Scratch.staged("dns_rtp_dim", dir) { b =>
       Seq(("z1.graft.", 1), ("z3.graft.", 1), ("z0.graft.", 0))
         .toDF("zone", "wanted").coalesce(1)
-        .write.mode("overwrite").parquet(dimPath.toString)
-      marker.createNewFile(): Unit
-    }
+        .write.mode("overwrite").parquet(new java.io.File(b, "dim").toString)
+    }: Unit
   }
 
   private val qDnsRuntimePruneOracle: String =
@@ -760,16 +755,21 @@ object Connector {
     srv.addZone("dz.graft.",
       (0 to 7).map(k => ARecord(s"d$k.dz.graft.", s"10.9.0.$k")) ++
         Seq(ARecord("d1.dz.graft.", "10.9.1.1"), ARecord("d3.dz.graft.", "10.9.1.3")))
-    s.sql("DROP TABLE IF EXISTS graft_dns_del")
+    // Table name carries the fixture port: two sessions sharing a
+    // metastore (or concurrent invocations of this key) each get a
+    // self-contained table aimed at their own live server, never a
+    // DELETE against a stale port.
+    val tbl = s"graft_dns_del_$port"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
     s.sql(
-      s"""CREATE TABLE graft_dns_del USING dns_update
+      s"""CREATE TABLE $tbl USING dns_update
          |OPTIONS (server '$Host', port '$port')""".stripMargin)
     // unnormalized relative names on purpose: DELETE values normalize
     // like every other connector entry point
     s.sql(
-      "DELETE FROM graft_dns_del WHERE fqdn IN ('d1.dz.graft', 'd5.dz.graft')")
+      s"DELETE FROM $tbl WHERE fqdn IN ('d1.dz.graft', 'd5.dz.graft')")
     s.sql(
-      "DELETE FROM graft_dns_del WHERE fqdn = 'd3.dz.graft' AND ip = '10.9.0.3'")
+      s"DELETE FROM $tbl WHERE fqdn = 'd3.dz.graft' AND ip = '10.9.0.3'")
     s.read.format("dns")
       .option("server", Host).option("port", port.toString)
       .option("organization", "graft").option("zones", "dz.graft")

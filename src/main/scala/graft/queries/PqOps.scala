@@ -145,18 +145,14 @@ object PqOps {
     * stage their own copy under their own session conf. */
   private def stagedIndex(s: SparkSession, dir: String,
                           variant: String = "raw"): (DataFrame, DataFrame) = {
-    val base = Scratch.dir(s"pq_index_$variant", dir)
-    val marker = new java.io.File(base, "_STAGED")
-    if (!marker.exists()) {
-      Scratch.deleteRecursively(new java.io.File(base))
+    val base = Scratch.staged(s"pq_index_$variant", dir) { b =>
       val (c1, enc) = variant match {
         case "raw" => trainEncode(s, dir)
         case "residual" => trainEncodeOf(s, subRowsOf(s,
           residualBaseFrom(s, dir, EmbeddingOps.ivfCells(s, dir))), initLo = 16)
       }
-      c1.write.mode("overwrite").parquet(s"$base/codebook")
-      enc.write.mode("overwrite").parquet(s"$base/codes")
-      marker.createNewFile(): Unit
+      c1.write.mode("overwrite").parquet(s"$b/codebook")
+      enc.write.mode("overwrite").parquet(s"$b/codes")
     }
     val c1r = s.read.parquet(s"$base/codebook")
     (s.createDataFrame(java.util.Arrays.asList(c1r.collect(): _*), c1r.schema),

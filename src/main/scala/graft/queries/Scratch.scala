@@ -31,6 +31,32 @@ object Scratch {
     d
   }
 
+  /** Marker-gated once-per-JVM staging under [[dir]], serialized by a
+    * JVM-wide per-path lock: two concurrent first callers (parallel
+    * test suites, a future parallel bench runner) can never interleave
+    * the wipe/stage/read — the second blocks until the first's marker
+    * lands, then sees the finished artifact. Paths are pid-scoped, so
+    * JVM-wide synchronization is complete (no cross-process writers).
+    * `stage` runs exactly once per (name, sfDir) per JVM against the
+    * wiped base dir; every reader goes through this call, so a read
+    * can never observe a half-written artifact. */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def staged(name: String, sfDir: String)(stage: java.io.File => Unit): java.io.File = {
+    val base = new java.io.File(dir(name, sfDir))
+    val lock = stageLocks.computeIfAbsent(base.getPath, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(base, "_STAGED")
+      if (!marker.exists()) {
+        deleteRecursively(base)
+        base.mkdirs()
+        stage(base)
+        marker.createNewFile(): Unit
+      }
+    }
+    base
+  }
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val children = f.listFiles()

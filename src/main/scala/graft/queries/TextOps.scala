@@ -292,12 +292,8 @@ object TextOps {
     * consumer's oracle still replays the full composition), and the
     * pid-scoped [[Scratch]] root keeps sessions isolated. */
   private def stagedBandRows(s: SparkSession, dir: String): DataFrame = {
-    val base = Scratch.dir("minhash_bands", dir)
-    val marker = new java.io.File(base, "_STAGED")
-    if (!marker.exists()) {
-      Scratch.deleteRecursively(new java.io.File(base))
-      minhashBandRows(s, dir).write.mode("overwrite").parquet(s"$base/bands")
-      marker.createNewFile(): Unit
+    val base = Scratch.staged("minhash_bands", dir) { b =>
+      minhashBandRows(s, dir).write.mode("overwrite").parquet(s"$b/bands")
     }
     s.read.parquet(s"$base/bands")
   }
@@ -796,7 +792,16 @@ object TextOps {
     * rewire edges themselves — large-star hangs every
     * larger-than-center neighbor under the neighborhood minimum,
     * small-star does the same for the smaller side — so convergence
-    * is O(log² n) regardless of what the ids look like. Everything is
+    * is O(log² n) regardless of what the ids look like. One deliberate
+    * variant: small-star hangs the ≤u side under m = min(Γ(u) ∪ {u}),
+    * the min of the FULL neighborhood, not Kiveris et al.'s min over
+    * the ≤u side alone. Connectivity is preserved (the (m, u) edge is
+    * always emitted) and ComponentsSpec pins exact labels on both
+    * layouts, but the published O(log² n) bound is proven for the
+    * exact operators — for this variant the bound is EMPIRICAL, and
+    * [[MaxStarRounds]] is the only guarantee on adversarial graphs
+    * (the loop throws loudly rather than mislabeling: worst case is
+    * availability, not correctness). Everything is
     * hash equi-joins and partial-agg mins over edge-cardinality
     * frames (never a collected neighborhood list — the per-node min
     * comes from a groupBy, so a 100 TB-scale high-degree node costs a
@@ -962,14 +967,10 @@ object TextOps {
     * concrete partitioning. */
   private def stagedRankedUsers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Scratch.dir("ranked_users", dir)
-    val marker = new java.io.File(base, "_STAGED")
-    if (!marker.exists()) {
-      Scratch.deleteRecursively(new java.io.File(base))
+    val base = Scratch.staged("ranked_users", dir) { b =>
       val users = Tables.events(s, dir).select($"user_id").distinct()
       rankPhase2(s, rankPhase1(users).localCheckpoint())
-        .write.mode("overwrite").parquet(s"$base/ranked")
-      marker.createNewFile(): Unit
+        .write.mode("overwrite").parquet(s"$b/ranked")
     }
     s.read.parquet(s"$base/ranked")
   }
