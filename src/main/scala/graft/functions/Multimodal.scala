@@ -12,14 +12,19 @@ import org.apache.spark.sql.functions._
   * Scala analogue of `mapInPandas` (one decoder init per partition,
   * streaming through rows, no collect, no per-row UDF dispatch).
   *
-  * ==== STUB BOUNDARY ====
-  * This container has no image/audio codecs, so [[MediaDecoder.decode]]
-  * is a clearly-marked deterministic fake: "decoding" hashes the bytes
-  * and "frame sampling" is arithmetic on the byte length. Swapping in a
-  * real codec changes ONLY the body of `decode`; the engine-side
-  * contract — schema, encoders, partition batching, aggregation — is
-  * real and tested, and every stub output is integer-exact so the
-  * DuckDB oracle can replay it.
+  * ==== CODEC BOUNDARY ====
+  * IMAGES decode for real: [[ImageCodec]] rides the JDK's own
+  * `javax.imageio` (BMP and PNG readers/writers ship with every JVM —
+  * no external dependency), so `q_image_decode`'s width/height/pixel
+  * sums come from genuinely parsed image bytes, DEFLATE decompression
+  * included on the PNG half. Audio/video codecs do NOT ship with the
+  * JVM and aren't in this container, so [[MediaDecoder.decode]] for
+  * those stays a clearly-marked deterministic byte-level fake
+  * (checksum + length arithmetic). Swapping in a real audio codec
+  * changes ONLY the body of `decode`; the engine-side contract —
+  * schema, encoders, partition batching, aggregation — is identical
+  * to the proven image path, and every output is integer-exact so
+  * the DuckDB oracle can replay it.
   */
 object Multimodal {
 
@@ -71,6 +76,117 @@ object Multimodal {
       else MediaResize(b.doc_id, b.media_type, w, h,
         math.max(w * MaxSide / m, 1L), math.max(h * MaxSide / m, 1L))
     }
+  }
+
+  /** One real image payload: genuine BMP/PNG bytes + which container. */
+  final case class ImageBlob(doc_id: Long, fmt: String, bytes: Array[Byte])
+
+  /** Facts read from the DECODED raster (not the payload bytes):
+    * dimensions and exact per-channel pixel sums. */
+  final case class ImageFacts(doc_id: Long, fmt: String, width: Long,
+                              height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** The REAL codec seam: JDK `javax.imageio` BMP/PNG encode + decode.
+    *
+    * The pixel pattern is a closed form of (doc_id, x, y) — so the
+    * DuckDB oracle can compute the expected channel sums INDEPENDENTLY
+    * (it never sees the bytes), which makes the gate a true round-trip
+    * proof: a decoder that misread BMP's bottom-up row order, its BGR
+    * byte order, its 4-byte row padding, or PNG's DEFLATE stream
+    * would shift pixels between rows/channels and break the sums. */
+  object ImageCodec {
+    /** Dims and per-channel values as closed forms of (doc_id, x, y).
+      * Sides 8..16 keep payloads small while exercising BMP row
+      * padding (odd widths → 4-byte pad) and non-square rasters. */
+    def widthOf(id: Long): Int = (8 + id % 9).toInt
+    def heightOf(id: Long): Int = (8 + id % 7).toInt
+    def r(id: Long, x: Int, y: Int): Int = ((31 * id + 7 * x + 13 * y) % 256).toInt
+    def g(id: Long, x: Int, y: Int): Int = ((17 * id + 5 * x + 11 * y) % 256).toInt
+    def b(id: Long, x: Int, y: Int): Int = ((23 * id + 3 * x + 19 * y) % 256).toInt
+
+    /** Render the pattern and ENCODE it through the JDK's real BMP or
+      * PNG writer — the bytes are genuine container files any image
+      * tool opens. */
+    def encode(id: Long, fmt: String): Array[Byte] = {
+      val (w, h) = (widthOf(id), heightOf(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (r(id, x, y) << 16) | (g(id, x, y) << 8) | b(id, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, out),
+        s"no ImageIO writer for format $fmt")
+      out.toByteArray
+    }
+
+    /** DECODE real bytes with the JDK reader and fold the raster to
+      * integer-exact facts. Both containers are lossless, so the
+      * decoded raster must reproduce the closed-form pattern exactly
+      * regardless of which writer produced the bytes. */
+    def decode(blob: ImageBlob): ImageFacts = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(blob.bytes))
+      require(img != null, s"no ImageIO reader decoded doc ${blob.doc_id} (${blob.fmt})")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFacts(blob.doc_id, blob.fmt,
+        img.getWidth.toLong, img.getHeight.toLong, sr, sg, sb)
+    }
+  }
+
+  /** Synthesize the image corpus: every 5th document carries a real
+    * image payload, BMP and PNG alternating. Encoding happens in the
+    * same iterator-to-iterator mapPartitions shape as decoding — one
+    * codec context per partition, payload bytes never leave the
+    * partition that made them. */
+  def imageBlobs(s: SparkSession, dir: String): Dataset[ImageBlob] = {
+    import s.implicits._
+    graft.queries.Tables.t(s, dir, "documents")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no tmp spill
+        it.map { id =>
+          val fmt = if (id % 2 == 0) "bmp" else "png"
+          ImageBlob(id, fmt, ImageCodec.encode(id, fmt))
+        }
+      }
+  }
+
+  /** Batch image decode, same shape as [[extractFeatures]]: reader
+    * init per partition, rows stream through. */
+  def decodeImages(blobs: Dataset[ImageBlob]): Dataset[ImageFacts] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(ImageCodec.decode)
+    }
+  }
+
+  /** CORRECTNESS query over the REAL codec path: encode → decode →
+    * per-doc raster facts. The oracle recomputes every expected value
+    * from the closed-form pattern without ever seeing the bytes, so a
+    * hash match proves the JDK round-trip preserved every pixel. */
+  def qImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeImages(imageBlobs(s, dir)).toDF()
+      .orderBy($"doc_id")
   }
 
   /** Batch feature extraction: the decoder is instantiated per
@@ -152,6 +268,7 @@ object Multimodal {
     "q_multimodal_features" -> qMultimodalFeatures,
     "q_frame_sample" -> qFrameSample,
     "q_media_resize" -> qMediaResize,
+    "q_image_decode" -> qImageDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +305,24 @@ object Multimodal {
         |  CAST(sum(in_w * in_h) AS BIGINT) AS in_px, CAST(sum(out_w * out_h) AS BIGINT) AS out_px,
         |  CAST(sum(out_w * out_h) * 10000 // sum(in_w * in_h) AS BIGINT) AS reduction_bp
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Recomputes the closed-form pattern's dims and channel sums
+    // WITHOUT the bytes: the only way Spark's answer matches is if
+    // the JDK encode→decode round-trip (BMP bottom-up BGR rows with
+    // 4-byte padding; PNG DEFLATE) reproduced every pixel exactly.
+    "q_image_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS height
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |dx AS (SELECT *, unnest(generate_series(0, width - 1)) AS x FROM dims),
+        |px AS (SELECT *, unnest(generate_series(0, height - 1)) AS y FROM dx)
+        |SELECT doc_id, fmt, width, height,
+        |  CAST(sum((31 * doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((17 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((23 * doc_id + 3 * x + 19 * y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH feat AS (
         |  SELECT doc_id,
