@@ -87,6 +87,29 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Token counting on a REAL byte-pair-merge vocabulary
+    * ([[graft.functions.BpeTokenizer]] — the merge table is data, the
+    * encode is a codegen'd replace chain, no UDF): per document, the
+    * word count, the exact BPE token count, and the letter count the
+    * compression is measured against. The oracle replays the merge
+    * loop itself — its SQL is GENERATED from the same ranked table —
+    * so a single mis-ordered or mis-bounded merge anywhere in the
+    * chain shifts token counts and breaks the hash. */
+  def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.BpeTokenizer
+    val words = regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))
+    docs(s, dir)
+      .select($"doc_id",
+        size(words).cast("long").as("n_words"),
+        aggregate(
+          transform(words, w => BpeTokenizer.tokenCount(BpeTokenizer.encode(w))),
+          lit(0L), (acc, x) => acc + x).as("n_tokens"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
   /** Language-ID by marker-n-gram scoring: count occurrences of a tiny
     * per-language marker set, argmax wins, ties/zero → 'und'. On this
     * synthetic corpus (shared vocabulary across langs) most docs score
@@ -1238,6 +1261,7 @@ object TextOps {
     "q_rank_global" -> qRankGlobal,
     "q_text_stats" -> qTextStats,
     "q_token_count" -> qTokenCount,
+    "q_bpe_tokens" -> qBpeTokens,
     "q_lang_id" -> qLangId,
     "q_repetition_ratio" -> qRepetitionRatio,
     "q_length_percentiles" -> qLengthPercentiles,
@@ -1444,6 +1468,21 @@ object TextOps {
         |  CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  CAST(sum(nd) AS DOUBLE) / sum(nw) AS diversity
         |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // GENERATED oracle: the nested replace() chain is built from the
+    // same ranked merge table the Spark expression folds over — the
+    // merge loop is replayed, not re-implemented.
+    "q_bpe_tokens" -> {
+      val enc = graft.functions.BpeTokenizer.oracleEncodeSql("w")
+      val tc = graft.functions.BpeTokenizer.oracleTokenCountSql(enc)
+      s"""WITH ws AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(l, w -> $tc)), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(l, w -> length(w))), 0) AS BIGINT) AS n_chars
+         |FROM ws ORDER BY doc_id""".stripMargin
+    },
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
