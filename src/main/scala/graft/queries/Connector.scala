@@ -788,6 +788,55 @@ object Connector {
       |SELECT fqdn, ip, 'dz.graft.' AS zone, CAST(3 AS BIGINT) AS "_serial"
       |FROM remaining ORDER BY fqdn, ip""".stripMargin
 
+  /** `SaveMode.Overwrite` on the sink under the gate: zone-scoped
+    * wipe+add in ONE atomic RFC 2136 message (`DnsTruncateWrite` —
+    * fixes reference quirk §2.3, DnsSinkRelation.java:33-42 silently
+    * appends). The fixture seeds TWO zones; the overwrite's rows
+    * target only one of them, and the read-back proves three facts at
+    * once: the target zone holds exactly the new content (seeded
+    * records gone), the untouched zone is bit-identical at its seed
+    * serial, and the target's serial is seed+1 — the wipe and the
+    * adds landed in a single message, not a wipe message plus an add
+    * message. */
+  def qDnsOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_overwrite")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("oz.graft.", (0 to 5).map(k => ARecord(s"o$k.oz.graft.", s"10.8.0.$k")))
+    srv.addZone("keep.graft.", (0 to 2).map(k => ARecord(s"k$k.keep.graft.", s"10.8.1.$k")))
+    import s.implicits._
+    s.range(4).select(
+        lit(DnsAction.IxfrAdd).as("action"),
+        concat(lit("n"), $"id", lit(".oz.graft")).as("fqdn"),
+        concat(lit("10.8.2."), $"id").as("ip"),
+        timestamp_micros(lit(TsMicros) + $"id").as("timestamp"),
+        lit(300).as("ttl"))
+      .write.format("dns_update")
+      .option("server", Host).option("port", port.toString)
+      .mode("overwrite").save()
+
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "oz.graft,keep.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select(col("fqdn"), col("ip"), col("zone"), col("_serial"))
+      .orderBy("fqdn", "ip")
+  }
+
+  private val qDnsOverwriteOracle: String =
+    """WITH oz AS (
+      |  SELECT 'n'||i||'.oz.graft.' AS fqdn, '10.8.2.'||i AS ip,
+      |    'oz.graft.' AS zone, CAST(2 AS BIGINT) AS "_serial"
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS i)),
+      |keep AS (
+      |  SELECT 'k'||i||'.keep.graft.' AS fqdn, '10.8.1.'||i AS ip,
+      |    'keep.graft.' AS zone, CAST(1 AS BIGINT) AS "_serial"
+      |  FROM (SELECT unnest(generate_series(0, 2)) AS i))
+      |SELECT * FROM (SELECT * FROM oz UNION ALL SELECT * FROM keep)
+      |ORDER BY fqdn, ip""".stripMargin
+
   /** The NATIVE streaming sink under the gate: a formulaic update log
     * replayed through the file-stream source into
     * `writeStream.format("dns_update")` (the V2 StreamingWrite — no
@@ -1062,6 +1111,7 @@ object Connector {
     "q_dns_metadata_cols" -> qDnsMetadataCols,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
     "q_dns_sql_delete" -> qDnsSqlDelete,
+    "q_dns_overwrite" -> qDnsOverwrite,
     "q_dns_pushed_count" -> qDnsPushedCount,
     "q_dns_limit" -> qDnsLimit,
     "q_dns_spj" -> qDnsSpj,
@@ -1087,6 +1137,7 @@ object Connector {
     "q_dns_metadata_cols" -> qDnsMetadataColsOracle,
     "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
     "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
+    "q_dns_overwrite" -> qDnsOverwriteOracle,
     "q_dns_pushed_count" -> qDnsPushedCountOracle,
     "q_dns_limit" -> qDnsLimitOracle,
     "q_dns_spj" -> qDnsSpjOracle,

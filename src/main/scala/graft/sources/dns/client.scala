@@ -30,6 +30,15 @@ trait UpdateEmitter extends Serializable {
     * deterministic order (SURVEY §2.3.5, documented divergence).
     * Throws if the server rejects (rcode != 0). */
   def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit
+
+  /** Zone-scoped overwrite as ONE atomic RFC 2136 message: the update
+    * section leads with a §2.5.2 delete-all-RRsets for every name in
+    * `wipeNames`, followed by the adds — operations apply in message
+    * order, so the zone's observable state jumps from old content to
+    * new content in a single serial bump (the Overwrite semantics the
+    * reference advertises but ignores — DnsSinkRelation.java:33-42,
+    * SURVEY §2.3). */
+  def overwrite(zone: String, wipeNames: Seq[String], adds: Seq[DnsUpdateRecord]): Unit
 }
 
 object DnsClients {
@@ -108,17 +117,41 @@ final class InMemoryDnsServer {
     * message order (RFC 2136 §3.4.2), one serial bump per message.
     * Unknown zone rejects the whole message (rcode != 0 in the
     * reference — DnsUpdate.java:76-81). */
-  def update(zone: String, changes: Seq[ZoneChange]): Unit = synchronized {
+  def update(zone: String, changes: Seq[ZoneChange]): Unit =
+    applyOps(zone, changes.map(c =>
+      if (c.delete) DeleteOp(c.record) else AddOp(c.record)))
+
+  /** The general update-section form: §2.5.1 adds, §2.5.4 specific
+    * deletes, §2.5.2 whole-name RRset wipes — one atomic message, one
+    * serial bump. A [[DeleteNameOp]] expands, at its position in the
+    * sequence, to deletes of every record the name holds RIGHT THEN
+    * (so a wipe followed by adds of the same name keeps the adds —
+    * the overwrite shape), and the expansion lands in the IXFR journal
+    * as concrete record deletes, keeping incremental transfers exact. */
+  def applyOps(zone: String, ops: Seq[ZoneOp]): Unit = synchronized {
     val st = state(zone)
-    val applied = changes.map(c => c.copy(record = ARecord(c.record.fqdn.toLowerCase(java.util.Locale.ROOT), c.record.ip)))
-    applied.foreach { c =>
-      if (c.delete) st.records -= c.record else st.records += c.record
+    def canon(r: ARecord) = ARecord(r.fqdn.toLowerCase(java.util.Locale.ROOT), r.ip)
+    val adds = mutable.ArrayBuffer.empty[ARecord]
+    val deletes = mutable.ArrayBuffer.empty[ARecord]
+    ops.foreach {
+      case AddOp(r0) =>
+        val r = canon(r0); st.records += r; adds += r
+      case DeleteOp(r0) =>
+        val r = canon(r0); st.records -= r; deletes += r
+      case DeleteNameOp(fqdn0) =>
+        val name = Fqdn.normalize(fqdn0).toLowerCase(java.util.Locale.ROOT)
+        val gone = st.records.filter(_.fqdn == name).toVector
+        gone.foreach(st.records -= _)
+        deletes ++= gone
     }
     val from = st.serial
     st.serial += 1
-    st.journal += IxfrDelta(from, st.serial,
-      adds = applied.filterNot(_.delete).map(_.record),
-      deletes = applied.filter(_.delete).map(_.record))
+    st.journal += IxfrDelta(from, st.serial, adds = adds.toSeq, deletes = deletes.toSeq)
+  }
+
+  /** All record-holding names of a zone (for the overwrite wipe set). */
+  def namesOf(zone: String): Seq[String] = synchronized {
+    state(zone).records.iterator.map(_.fqdn).toVector.distinct
   }
 
   /** Convenience for tests: adds then deletes. */
@@ -175,13 +208,22 @@ final class InMemoryTransferClient(host: String, port: Int) extends ZoneTransfer
   * only observable semantic is the failure matrix's timeout=0 ⇒
   * immediate timeout, mirroring the transfer client. */
 final class InMemoryUpdateEmitter(host: String, port: Int, timeoutSec: Int) extends UpdateEmitter {
-  override def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit = {
+  private def server(zone: String): InMemoryDnsServer = {
     if (timeoutSec == 0)
       throw new java.net.SocketTimeoutException(s"update of '$zone' timed out (timeout=0)")
     if (!InMemoryDnsServer.exists(host, port))
       throw new java.net.ConnectException(s"no DNS server at $host:$port")
-    InMemoryDnsServer.at(host, port).update(zone, changes.map { u =>
+    InMemoryDnsServer.at(host, port)
+  }
+
+  override def update(zone: String, changes: Seq[DnsUpdateRecord]): Unit =
+    server(zone).update(zone, changes.map { u =>
       ZoneChange(ARecord(u.fqdn, u.ip), delete = u.action == DnsAction.IxfrDelete)
     })
-  }
+
+  override def overwrite(zone: String, wipeNames: Seq[String],
+                         adds: Seq[DnsUpdateRecord]): Unit =
+    server(zone).applyOps(zone,
+      wipeNames.map(DeleteNameOp(_)) ++
+        adds.map(u => AddOp(ARecord(u.fqdn, u.ip))))
 }

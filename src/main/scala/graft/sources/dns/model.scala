@@ -105,6 +105,16 @@ object Fqdn {
 /** One ordered change inside an RFC 2136 update message. */
 case class ZoneChange(record: ARecord, delete: Boolean)
 
+/** One ordered update-section operation, covering the RFC 2136 §2.5
+  * forms the connector uses: §2.5.1 add, §2.5.4 delete a specific RR,
+  * §2.5.2 delete the whole RRset at a name (CLASS ANY, empty RDATA —
+  * the wipe half of overwrite). Operations apply sequentially in
+  * message order (§3.4.2); the whole message is atomic. */
+sealed trait ZoneOp
+case class AddOp(record: ARecord) extends ZoneOp
+case class DeleteOp(record: ARecord) extends ZoneOp
+case class DeleteNameOp(fqdn: String) extends ZoneOp
+
 object Ipv4 {
   /** Strict dotted-quad check: exactly 4 numeric octets in 0-255. */
   def isValid(ip: String): Boolean = {

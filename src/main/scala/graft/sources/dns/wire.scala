@@ -24,7 +24,8 @@ object DnsWire {
   val TypeIxfr = 251
   val TypeAxfr = 252
   val ClassIn = 1
-  val ClassNone = 254 // RFC 2136: delete specific RR
+  val ClassNone = 254 // RFC 2136 §2.5.4: delete specific RR
+  val ClassAny = 255 // RFC 2136 §2.5.2: delete the RRset at a name (empty RDATA)
 
   val OpcodeQuery = 0
   val OpcodeUpdate = 5 // RFC 2136
@@ -38,6 +39,8 @@ object DnsWire {
   sealed trait Rdata
   case class AData(ip: String) extends Rdata
   case class SoaData(serial: Long) extends Rdata
+  /** RDLENGTH 0 — the §2.5.2 delete-RRset form carries no RDATA. */
+  case object EmptyData extends Rdata
   case class Rr(name: String, rtype: Int, rclass: Int, ttl: Long, rdata: Rdata)
 
   case class Question(name: String, qtype: Int, qclass: Int)
@@ -89,6 +92,8 @@ object DnsWire {
           require(v >= 0 && v <= 255, s"IPv4 octet out of range in '$ip'")
           out.writeByte(v)
         }
+      case EmptyData =>
+        out.writeShort(0)
       case SoaData(serial) =>
         // MNAME/RNAME are irrelevant to transfer/update semantics;
         // root-encode them (1 byte each) and zero the timers.
@@ -157,6 +162,7 @@ object DnsWire {
       val rtype = u16(); val rclass = u16(); val ttl = u32(); val rdlen = u16()
       val end = pos + rdlen
       val rdata = rtype match {
+        case TypeA if rdlen == 0 => EmptyData // §2.5.2 delete-RRset form
         case TypeA =>
           require(rdlen == 4, s"A rdata length $rdlen")
           AData(s"${u8()}.${u8()}.${u8()}.${u8()}")
@@ -281,14 +287,13 @@ final class WireDnsServer(val backing: InMemoryDnsServer = new InMemoryDnsServer
     case OpcodeUpdate =>
       val zone = req.questions.headOption.map(_.name).getOrElse(
         throw new IOException("update without zone section"))
-      val changes = req.authority.map {
-        case Rr(name, TypeA, ClassIn, _, AData(ip)) =>
-          ZoneChange(ARecord(name, ip), delete = false)
-        case Rr(name, TypeA, ClassNone, _, AData(ip)) =>
-          ZoneChange(ARecord(name, ip), delete = true)
+      val ops = req.authority.map {
+        case Rr(name, TypeA, ClassIn, _, AData(ip)) => AddOp(ARecord(name, ip))
+        case Rr(name, TypeA, ClassNone, _, AData(ip)) => DeleteOp(ARecord(name, ip))
+        case Rr(name, TypeA, ClassAny, _, EmptyData) => DeleteNameOp(name)
         case rr => throw new IOException(s"unsupported update RR: $rr")
       }
-      backing.update(zone, changes) // throws on unknown zone → NOTAUTH
+      backing.applyOps(zone, ops) // throws on unknown zone → NOTAUTH
       Seq(Message(req.id, responseFlags(OpcodeUpdate, RcodeNoError), req.questions, Nil, Nil, Nil))
     case other => throw new IOException(s"unsupported opcode $other")
   }
@@ -518,5 +523,20 @@ final class WireUpdateEmitter(host: String, port: Int, timeoutSec: Int) extends 
       val resp = readFramed(in)
       if (resp.rcode != RcodeNoError)
         throw new IOException(s"update of '$zone' rejected: rcode ${resp.rcode}")
+    }
+
+  /** One atomic overwrite message: §2.5.2 delete-RRset RRs (CLASS ANY,
+    * TTL 0, empty RDATA) for every wiped name, then the adds. */
+  override def overwrite(zone: String, wipeNames: Seq[String],
+                         adds: Seq[DnsUpdateRecord]): Unit =
+    WireSocket.withSocket(host, port, timeoutSec, s"overwrite of '$zone'") { (in, out) =>
+      val z = Fqdn.normalize(zone)
+      val rrs = wipeNames.map(n => Rr(n, TypeA, ClassAny, 0, EmptyData)) ++
+        adds.map(u => Rr(u.fqdn, TypeA, ClassIn, u.ttl.toLong, AData(u.ip)))
+      writeFramed(out, Message(1, queryFlags(OpcodeUpdate),
+        Seq(Question(z, TypeSoa, ClassIn)), Nil, rrs, Nil))
+      val resp = readFramed(in)
+      if (resp.rcode != RcodeNoError)
+        throw new IOException(s"overwrite of '$zone' rejected: rcode ${resp.rcode}")
     }
 }

@@ -144,7 +144,7 @@ final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrit
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.BATCH_READ, // analyzer precondition for DELETE FROM; see newScanBuilder
-      TableCapability.TRUNCATE, // accept SaveMode.Overwrite as plain append (ref ignores the flag — DnsSinkRelation.java:33-42)
+      TableCapability.TRUNCATE, // SaveMode.Overwrite / INSERT OVERWRITE → zone-scoped wipe+add (ref ignores the flag — DnsSinkRelation.java:33-42; fixed here, SURVEY §2.3)
       TableCapability.ACCEPT_ANY_SCHEMA).asJava // columns are matched by name; extras ignored like the ref's bean decode
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -154,12 +154,53 @@ final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrit
 final class DnsWriteBuilder(opts: DnsSinkOptions, inputSchema: StructType)
   extends WriteBuilder with SupportsTruncate {
 
-  // Overwrite semantics are "just append" in the reference; truncate is a no-op.
-  override def truncate(): WriteBuilder = this
+  // SaveMode.Overwrite / INSERT OVERWRITE: zone-scoped wipe+add (the
+  // reference advertises the mode but silently appends —
+  // DnsSinkRelation.java:33-42; divergence documented in SURVEY §2.3).
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new DnsBatchWrite(opts, inputSchema)
-    override def toStreaming: StreamingWrite = new DnsStreamingWrite(opts, inputSchema)
+  override def build(): Write =
+    if (truncating) new DnsTruncateWrite(opts, inputSchema)
+    else new Write {
+      override def toBatch: BatchWrite = new DnsBatchWrite(opts, inputSchema)
+      override def toStreaming: StreamingWrite = new DnsStreamingWrite(opts, inputSchema)
+    }
+}
+
+/** The overwrite Write. Every zone touched by the input is wiped and
+  * refilled in ONE atomic RFC 2136 message (§2.5.2 delete-RRset per
+  * existing name, then the adds — message order is apply order, so
+  * readers only ever see old content or new content, never a
+  * half-wiped zone). The wipe must happen exactly once per zone, so
+  * the Write DEMANDS a single input partition through Spark's own
+  * `RequiresDistributionAndOrdering` contract rather than trusting the
+  * caller to repartition: Catalyst inserts the shuffle when needed.
+  * This is not the scale bottleneck it looks like — a zone's new
+  * content must fit one update message anyway, so an overwrite is
+  * small by construction; bulk ingest stays on the append path with
+  * free parallelism ([[DnsWrites.repartitionByZone]]). */
+final class DnsTruncateWrite(opts: DnsSinkOptions, schema: StructType)
+  extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  // numPartitions = 1 needs a concrete distribution to ride on
+  // (unspecified may not carry a partition count, and clustered-on-
+  // nothing degenerates to unspecified); with ONE partition the
+  // clustering key itself is irrelevant — fqdn is just a column the
+  // write schema is already required to have.
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("fqdn")))
+  override def requiredNumPartitions(): Int = 1
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new DnsWriterFactory(opts, FieldIndices(schema), truncating = true)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
@@ -206,14 +247,15 @@ object FieldIndices {
   }
 }
 
-final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices)
+final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices,
+                             truncating: Boolean = false)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DnsDataWriter(opts, idx)
+    new DnsDataWriter(opts, idx, truncating)
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DnsDataWriter(opts, idx)
+    new DnsDataWriter(opts, idx, truncating)
 }
 
 /** Executor-side writer. Buffers validated updates per derived zone;
@@ -224,7 +266,8 @@ final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices)
   * whole partition. DNS updates are set-semantic (add/delete of a
   * concrete record), so the retry is idempotent — at-least-once task
   * execution yields exactly-once observable zone state. */
-final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
+final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices,
+                          truncating: Boolean = false)
   extends DataWriter[InternalRow] {
 
   // Configuration errors must propagate at task start, not mid-buffer.
@@ -255,6 +298,12 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
           s"fqdn=${fqdnOpt.orNull}, ip=${ipOpt.orNull}, ttl=${ttlOpt.map(_.toString).getOrElse("null")}")
     }
     val action = actionOpt.get
+    // Overwrite input is the zone's NEW CONTENT — a delete row inside
+    // it is contradictory (the wipe already removes everything), so it
+    // fails loudly instead of being silently swallowed by the wipe.
+    if (truncating && action == DnsAction.IxfrDelete)
+      throw new IllegalArgumentException(
+        s"dns_update overwrite input must not contain delete rows (got action=$action for fqdn=${fqdnOpt.orNull})")
     val ip = ipOpt.get
     val tsMicros = row.getLong(idx.timestamp)
     val ttl = ttlOpt.get
@@ -271,7 +320,19 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices)
   override def commit(): WriterCommitMessage = {
     perZone.foreach { case (zone, updates) =>
       val deduped = LwwDedup(updates.toSeq)
-      if (deduped.nonEmpty) emitter.update(zone, deduped)
+      if (truncating) {
+        // Wipe set = the zone's CURRENT names, read over the same
+        // transfer protocol any client would use (AXFR); the wipe and
+        // the adds then travel as one atomic message. The single
+        // partition DnsTruncateWrite demands means this runs once per
+        // zone.
+        val current = DnsClients.transferClient(opts.common)
+          .transfer(zone, 0L, XfrType.AXFR, opts.common.timeoutSec) match {
+          case AxfrResult(_, records) => records.map(_.fqdn).distinct
+          case IxfrResult(_, deltas) => deltas.flatMap(_.adds).map(_.fqdn).distinct
+        }
+        emitter.overwrite(zone, current, deduped)
+      } else if (deduped.nonEmpty) emitter.update(zone, deduped)
     }
     perZone.clear()
     DnsWriteCommitted

@@ -45,9 +45,10 @@ class WriteConnectorSpec extends AnyFunSuite {
     assert(srv.serialOf("example.acme.") >= 1)
   }
 
-  test("SaveMode.Overwrite behaves as plain append (truncate is a no-op)") {
-    // the reference ignores the overwrite flag (DnsSinkRelation.java:33-42):
-    // DNS has no "truncate zone" — updates always apply incrementally
+  test("SaveMode.Overwrite wipes the zone and lands the new content atomically") {
+    // the reference ignores the overwrite flag (DnsSinkRelation.java:33-42,
+    // silently appends); this build maps it to a zone-scoped wipe+add in
+    // ONE RFC 2136 message — serial advances by exactly 1 per overwrite.
     val srv = fresh(5516, "ow.test.")
     import spark.implicits._
     def save(host: String, ip: String) =
@@ -55,11 +56,78 @@ class WriteConnectorSpec extends AnyFunSuite {
         .toDF("action", "fqdn", "ip", "timestamp", "ttl")
         .write.format("dns_update").option("server", "t").option("port", "5516")
         .mode("overwrite").save()
+    val serial0 = srv.serialOf("ow.test.")
     save("a.ow.test", "1.1.1.1")
     save("b.ow.test", "2.2.2.2")
-    // both survive: the second overwrite did NOT clear the zone
-    assert(srv.lookup("a.ow.test.") == Seq("1.1.1.1"))
+    // the second overwrite REPLACED the zone's content
+    assert(srv.lookup("a.ow.test.").isEmpty)
     assert(srv.lookup("b.ow.test.") == Seq("2.2.2.2"))
+    // one atomic message per overwrite: wipe+add share a serial bump
+    assert(srv.serialOf("ow.test.") == serial0 + 2)
+  }
+
+  test("overwrite only wipes zones the input touches; re-added names survive the wipe") {
+    val srv = fresh(5517, "owa.test.", "owb.test.")
+    srv.update("owa.test.", adds = Seq(ARecord("keepname.owa.test.", "9.9.9.9"),
+      ARecord("gone.owa.test.", "8.8.8.8")), deletes = Nil)
+    srv.update("owb.test.", adds = Seq(ARecord("other.owb.test.", "7.7.7.7")), deletes = Nil)
+    import spark.implicits._
+    Seq((DnsAction.IxfrAdd, "keepname.owa.test", "9.9.9.10", new Timestamp(1L), 60))
+      .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+      .write.format("dns_update").option("server", "t").option("port", "5517")
+      .mode("overwrite").save()
+    // owa: wiped then refilled — the re-added name holds ONLY the new ip
+    assert(srv.lookup("keepname.owa.test.") == Seq("9.9.9.10"))
+    assert(srv.lookup("gone.owa.test.").isEmpty)
+    // owb untouched (no rows targeted it)
+    assert(srv.lookup("other.owb.test.") == Seq("7.7.7.7"))
+  }
+
+  test("SQL INSERT OVERWRITE reaches the same truncate path") {
+    val srv = fresh(5518, "owsql.test.")
+    srv.update("owsql.test.", adds = Seq(ARecord("old.owsql.test.", "1.2.3.4")), deletes = Nil)
+    spark.sql("DROP TABLE IF EXISTS graft_dns_ow_5518")
+    spark.sql(
+      """CREATE TABLE graft_dns_ow_5518 USING dns_update
+        |OPTIONS (server 't', port '5518')""".stripMargin)
+    spark.sql(
+      """INSERT OVERWRITE graft_dns_ow_5518
+        |SELECT 'IXFR_ADD' AS action, 'new.owsql.test' AS fqdn, '4.3.2.1' AS ip,
+        |  timestamp_micros(1723400000000000) AS timestamp, 60 AS ttl""".stripMargin)
+    assert(srv.lookup("old.owsql.test.").isEmpty)
+    assert(srv.lookup("new.owsql.test.") == Seq("4.3.2.1"))
+  }
+
+  test("overwrite input with delete rows is rejected loudly") {
+    fresh(5519, "owdel.test.")
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((DnsAction.IxfrDelete, "x.owdel.test", "1.1.1.1", new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update").option("server", "t").option("port", "5519")
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("overwrite over the wire client: §2.5.2 delete-RRset RRs + adds in one message") {
+    val wire = WireDnsServer.start()
+    try {
+      wire.backing.addZone("oww.test.", Seq(ARecord("seed0.oww.test.", "10.1.1.1"),
+        ARecord("seed1.oww.test.", "10.1.1.2")))
+      import spark.implicits._
+      Seq((DnsAction.IxfrAdd, "fresh.oww.test", "10.2.2.2", new Timestamp(1L), 60))
+        .toDF("action", "fqdn", "ip", "timestamp", "ttl")
+        .write.format("dns_update")
+        .option("server", wire.host).option("port", wire.port.toString)
+        .option("client", "wire")
+        .mode("overwrite").save()
+      assert(wire.backing.lookup("seed0.oww.test.").isEmpty)
+      assert(wire.backing.lookup("seed1.oww.test.").isEmpty)
+      assert(wire.backing.lookup("fresh.oww.test.") == Seq("10.2.2.2"))
+      // wipe + adds shared one message: serial went 1 (seed) -> 2
+      assert(wire.backing.serialOf("oww.test.") == 2L)
+    } finally WireDnsServer.stop(wire.port)
   }
 
   test("rows route to the zone derived from each fqdn") {
