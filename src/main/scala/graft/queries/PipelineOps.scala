@@ -600,6 +600,70 @@ object PipelineOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** ExactSubstr SCRUB — the acting half of [[qSharedSpans]] (Lee et
+    * al. 2022's dedup policy: don't drop duplicated documents, CUT the
+    * duplicated substrings out of them): every maximal corpus-shared
+    * region covering ≥ 16 words is removed, and the rewrite itself is
+    * gated — per doc, before/after word accounting plus the md5 of the
+    * scrubbed text, which only matches if both engines cut exactly the
+    * same word positions. A window is "shared" iff it occurs in ≥ 2
+    * DISTINCT documents (min ≠ max doc_id over one whash exchange —
+    * no pair join anywhere, so the scrub is strictly cheaper than the
+    * span REPORT and survives any corpus size the same way); covered
+    * word intervals then merge by the standard sort + running-max
+    * sweep (overlapping and back-to-back shared regions coalesce, so
+    * nothing double-cuts) before the ≥ 16 threshold picks what to
+    * drop. The rewrite is per-doc HOF arithmetic against the doc's
+    * own (few) cut spans — the expensive global work is one window
+    * shuffle, same as any dedup pass. */
+  def qExactsubstrScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select($"doc_id",
+      split($"text", "\\s+").as("ws"), expr(s"$wordHashSql").as("hs"))
+    val win = base
+      .filter(size($"hs") >= 8)
+      .select($"doc_id", posexplode(expr(
+        """transform(sequence(0, size(hs) - 8),
+          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        .as(Seq("pos", "whash")))
+    val dup = win
+      .withColumn("mn", min($"doc_id").over(Window.partitionBy($"whash")))
+      .withColumn("mx", max($"doc_id").over(Window.partitionBy($"whash")))
+      .filter($"mn" =!= $"mx")
+      .select($"doc_id", $"pos".cast("long").as("st"),
+        ($"pos" + 7L).cast("long").as("en"))
+    val cutSpans = dup
+      .withColumn("prev_en", max($"en").over(
+        Window.partitionBy($"doc_id").orderBy($"st")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newg",
+        when($"prev_en".isNull || $"st" > $"prev_en" + 1L, 1L).otherwise(0L))
+      .withColumn("grp", sum($"newg").over(
+        Window.partitionBy($"doc_id").orderBy($"st")))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"st").as("st"), max($"en").as("en"))
+      .withColumn("len", $"en" - $"st" + 1L)
+      .filter($"len" >= 16L)
+    val cuts = cutSpans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_cut_spans"), sum($"len").as("n_cut_words"),
+        sort_array(collect_list(struct($"st", $"en"))).as("cuts"))
+    base.join(cuts, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_words"),
+        coalesce($"n_cut_spans", lit(0L)).as("n_cut_spans"),
+        coalesce($"n_cut_words", lit(0L)).as("n_cut_words"),
+        expr(
+          """transform(
+            |  filter(transform(ws, (w, i) -> struct(w AS w, CAST(i AS BIGINT) AS i)),
+            |         p -> cuts IS NULL OR NOT exists(cuts, c -> p.i >= c.st AND p.i <= c.en)),
+            |  p -> p.w)""".stripMargin).as("kept"))
+      .select($"doc_id", $"n_words", $"n_cut_spans", $"n_cut_words",
+        size($"kept").cast("long").as("n_words_after"),
+        md5(concat_ws(" ", $"kept")).as("scrub_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality-filter funnel with per-rule ATTRIBUTION — not just how
     * many documents survive the C4/Gopher-style screen but WHICH rule
     * each casualty died on (first-failing-rule semantics, the way a
@@ -954,6 +1018,7 @@ object PipelineOps {
     "q_ngram_novelty" -> qNgramNovelty,
     "q_source_overlap" -> qSourceOverlap,
     "q_shared_spans" -> qSharedSpans,
+    "q_exactsubstr_scrub" -> qExactsubstrScrub,
     "q_filter_funnel" -> qFilterFunnel,
     "q_budget_select" -> qBudgetSelect,
   )
@@ -1370,6 +1435,47 @@ object PipelineOps {
          |FROM sp GROUP BY doc_a, doc_b
          |HAVING max(n_win) + 7 >= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_exactsubstr_scrub" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
+         |            $wordHashListSql AS hs FROM documents),
+         |w AS (SELECT doc_id, i AS pos,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 8]),
+         |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
+         |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |      WHERE len(hs) >= 8 AND i <= len(hs) - 8),
+         |dw AS (SELECT doc_id, CAST(pos AS BIGINT) AS st, CAST(pos + 7 AS BIGINT) AS en
+         |       FROM (SELECT w.*, min(doc_id) OVER (PARTITION BY whash) AS mn,
+         |                    max(doc_id) OVER (PARTITION BY whash) AS mx FROM w)
+         |       WHERE mn <> mx),
+         |m AS (SELECT doc_id, st, en,
+         |        max(en) OVER (PARTITION BY doc_id ORDER BY st
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_en
+         |      FROM dw),
+         |g AS (SELECT *, sum(CASE WHEN prev_en IS NULL OR st > prev_en + 1
+         |                         THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY doc_id ORDER BY st) AS grp FROM m),
+         |sp AS (SELECT doc_id, min(st) AS st, max(en) AS en,
+         |         max(en) - min(st) + 1 AS len
+         |       FROM g GROUP BY doc_id, grp
+         |       HAVING max(en) - min(st) + 1 >= 16),
+         |cutagg AS (SELECT doc_id, count(*) AS n_cut_spans, sum(len) AS n_cut_words
+         |           FROM sp GROUP BY doc_id),
+         |posns AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, ws[i + 1] AS w
+         |          FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
+         |          WHERE i < len(ws)),
+         |kept AS (SELECT p.doc_id, p.idx, p.w FROM posns p
+         |         WHERE NOT EXISTS (SELECT 1 FROM sp
+         |           WHERE sp.doc_id = p.doc_id AND p.idx BETWEEN sp.st AND sp.en)),
+         |ka AS (SELECT doc_id, count(*) AS n_after,
+         |         md5(string_agg(w, ' ' ORDER BY idx)) AS scrub_md5
+         |       FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_words,
+         |  CAST(coalesce(c.n_cut_spans, 0) AS BIGINT) AS n_cut_spans,
+         |  CAST(coalesce(c.n_cut_words, 0) AS BIGINT) AS n_cut_words,
+         |  CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_words_after,
+         |  coalesce(k.scrub_md5, md5('')) AS scrub_md5
+         |FROM d LEFT JOIN cutagg c USING (doc_id) LEFT JOIN ka k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_filter_funnel" ->
       """WITH f AS (
         |  SELECT lang,
