@@ -241,15 +241,17 @@ object TextOps {
     * carried as `hm` = md5 hex (the minhash chunk source). Hashing
     * BEFORE distinct keeps every downstream shuffle key fixed-width;
     * raw shingle text never leaves the map stage. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    docs(s, dir)
-      .select($"doc_id", wordsCol.as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(docs(s, dir))
+
+  private def shinglesOf(docsDf: DataFrame): DataFrame = {
+    docsDf
+      .select(col("doc_id"), wordsCol.as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
         .as("s"))
-      .select($"doc_id", md5($"s").as("hm"))
+      .select(col("doc_id"), md5(col("s")).as("hm"))
     // NOT distinct'd: dedup here would cost a full (doc_id, hm) shuffle
     // of the widest intermediate in the pipeline. Every consumer is
     // duplicate-insensitive instead — min() aggregates ignore repeats
@@ -321,6 +323,43 @@ object TextOps {
     s.read.parquet(s"$base/bands")
   }
 
+  /** The band index as a persisted, MERGEABLE artifact under the
+    * oracle gate. Construction is a pure per-doc map (doc → 4 band
+    * rows + verify payload) followed by a per-bucket
+    * keep-the-cap-smallest-ids selection — a min-k semilattice, so
+    * the merge law
+    *
+    *   cap(index(A) ∪ index(B)) ≡ index(A ∪ B)
+    *
+    * holds EXACTLY: any id inside the union's cap ranks at least as
+    * high within its own side, so nothing the merged view needs was
+    * lost when each increment was capped and persisted. That is what
+    * lets incremental ingest compose across runs at 100 TB — index
+    * today's shard, write parquet, union with yesterday's artifact,
+    * re-cap; never re-shingle the full corpus. This key PERFORMS the
+    * merge (two half-corpus indexes built independently, written to
+    * parquet, read back, unioned, re-capped) and emits the merged
+    * index — band membership, per-doc shingle count, and an md5 over
+    * the sorted verify payload, so payload corruption anywhere in
+    * write→read→merge breaks the hash. The oracle builds index(A∪B)
+    * from scratch; a green row IS the identity. */
+  def qIndexMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val halves = Scratch.staged("band_index_halves", dir) { b =>
+      bandRowsOf(s, docs(s, dir).filter($"doc_id" % 2 === 0))
+        .write.parquet(s"$b/even")
+      bandRowsOf(s, docs(s, dir).filter($"doc_id" % 2 === 1))
+        .write.parquet(s"$b/odd")
+    }
+    val merged = Banding.capBuckets(
+      s.read.parquet(s"$halves/even").unionByName(s.read.parquet(s"$halves/odd")),
+      "doc_id", MinhashBucketCap)
+    merged.select($"band", $"doc_id", $"n",
+        md5(concat_ws(",", transform(sort_array($"hs"),
+          x => x.cast("string")))).as("payload_md5"))
+      .orderBy($"band", $"doc_id")
+  }
+
   /** The verified near-dup pair set OFF the staged index — what every
     * pair CONSUMER reads (funnel, clusters, cross-modal, the corpus
     * pipeline). Identical rows to [[qMinhashPairs]] minus its
@@ -332,9 +371,16 @@ object TextOps {
   /** The capped minhash band rows WITH the verify payload (n, hs) —
     * the candidate-generation half shared by the Jaccard and
     * containment keys. */
-  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame =
+    bandRowsOf(s, docs(s, dir))
+
+  /** The band-index construction over an arbitrary document slice —
+    * the INCREMENT an ingest run indexes ([[qIndexMerge]] proves two
+    * increments' persisted indexes merge into exactly the full-corpus
+    * index). */
+  private def bandRowsOf(s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    val hs = shingles(s, dir)
+    val hs = shinglesOf(docsDf)
 
     // ONE per-doc aggregation carries the minhash signature, the
     // shingle count, AND the shingle-hash set as an array, and the
@@ -1268,6 +1314,7 @@ object TextOps {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_fingerprint_dedup" -> qFingerprintDedup,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_index_merge" -> qIndexMerge,
     "q_containment" -> qContainment,
     "q_simhash" -> qSimhash,
     "q_simhash_pairs" -> qSimhashPairs,
@@ -1603,6 +1650,17 @@ object TextOps {
         |FROM bi b JOIN ux ON ux.wd = b.w1 JOIN uy ON uy.wd = b.w2
         |WHERE b.n_xy >= 20
         |ORDER BY lift_bp DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
+    // Rebuilds index(A ∪ B) from scratch over the whole corpus — the
+    // merge-law gate: Spark's answer came from union+re-cap of two
+    // independently persisted half-corpus indexes.
+    "q_index_merge" ->
+      s"""WITH $minhashCteSql,
+         |sets AS (SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n,
+         |           md5(array_to_string(list_sort(list(DISTINCT h)), ',')) AS payload_md5
+         |         FROM sh GROUP BY doc_id)
+         |SELECT band, doc_id, n, payload_md5
+         |FROM capped JOIN sets USING (doc_id)
+         |ORDER BY band, doc_id""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $minhashCteSql
          |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
