@@ -44,6 +44,28 @@ class ReadConnectorSpec extends AnyFunSuite {
     assert(df.filter(col("fqdn") === "blue.example.acme.").count() == 1)
   }
 
+  test("persist(): cached dns frame re-reads consistently with no second transfer") {
+    // ref test parity: DnsSourceRelationProviderTest.java:89 persists
+    // the dns read. The cache must pin the transferred rows — repeat
+    // reads serve from InMemoryRelation (transfer counter frozen), and
+    // a server-side update after materialization is invisible until
+    // unpersist.
+    val srv = seeded(5317)
+    val df = read(5317, "xfr" -> "AXFR").persist()
+    try {
+      assert(df.count() == 5) // materializes: one transfer per zone
+      val transfersAfterFirst = srv.transferCount
+      assert(transfersAfterFirst == 2)
+      srv.update("example.acme.",
+        adds = Seq(ARecord("late.example.acme.", "10.1.0.9")), deletes = Nil)
+      assert(df.count() == 5) // cache serves; the new record is absent
+      assert(df.filter(col("fqdn") === "late.example.acme.").count() == 0)
+      assert(df.filter(col("zone") === "example.acme.").count() == 3)
+      assert(srv.transferCount == transfersAfterFirst,
+        "persisted frame must not re-run zone transfers")
+    } finally df.unpersist()
+  }
+
   test("one input partition per zone") {
     seeded(5302)
     val df = read(5302, "xfr" -> "AXFR")
