@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamScale {
   def main(args: Array[String]): Unit = {
+    // Measure REPLAYS: the gate keys stage their replay once per JVM
+    // and read back (bench/Verify discipline); this tool exists to
+    // time the replay itself at scale, so every call re-runs it.
+    System.setProperty("graft.fresh.replays", "1"): Unit
     val dir = args(0)
     val keys = args.drop(1).toSeq
     require(keys.nonEmpty, "usage: StreamScale <sfDir> <key> [key...]")
