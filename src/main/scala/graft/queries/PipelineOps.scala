@@ -664,6 +664,50 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** PII detection + redaction with per-type accounting — the scrub
+    * every training-data pipeline runs before text leaves the trust
+    * boundary. The corpus itself carries no PII (plain lowercase
+    * words), so the key first CONSTRUCTS a PII-bearing view with
+    * formulaic contact lines (an email for 2/3 of docs, one IP always
+    * plus a second for every 5th doc, a phone for every 4th — closed
+    * forms of doc_id, so the oracle rebuilds the identical input),
+    * then counts each PII type on the raw text and rewrites it with
+    * typed placeholders. The gate hash-matches BOTH halves: the
+    * per-type counts (detection) and the md5 of the redacted text
+    * (the rewrite — a regex that over- or under-matched anywhere
+    * breaks it). Patterns stay in the Java∩RE2 common subset so both
+    * engines compile the same automaton; redaction order
+    * (email → ip → phone) is fixed and stated, since the output is
+    * order-sensitive. Pure per-row regex work — codegen'd, no
+    * shuffle, embarrassingly parallel at any scale. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+    val withPii = docs(s, dir).select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 3 > 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+          .otherwise(lit("")),
+        lit(" from 10."), $"doc_id" % 256, lit("."), $"doc_id" % 7,
+        lit("."), $"doc_id" % 13,
+        when($"doc_id" % 5 === 0,
+          concat(lit(" via 192.168."), $"doc_id" % 31, lit("."), $"doc_id" % 11))
+          .otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          concat(lit(" call +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    withPii.select($"doc_id",
+        size(regexp_extract_all($"text", lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all($"text", lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all($"text", lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"text",
+          emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+          .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Quality-filter funnel with per-rule ATTRIBUTION — not just how
     * many documents survive the C4/Gopher-style screen but WHICH rule
     * each casualty died on (first-failing-rule semantics, the way a
@@ -1019,6 +1063,7 @@ object PipelineOps {
     "q_source_overlap" -> qSourceOverlap,
     "q_shared_spans" -> qSharedSpans,
     "q_exactsubstr_scrub" -> qExactsubstrScrub,
+    "q_pii_redact" -> qPiiRedact,
     "q_filter_funnel" -> qFilterFunnel,
     "q_budget_select" -> qBudgetSelect,
   )
@@ -1435,6 +1480,30 @@ object PipelineOps {
          |FROM sp GROUP BY doc_a, doc_b
          |HAVING max(n_win) + 7 >= 16
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Rebuilds the same formulaic PII view, counts, and redacts with
+    // the same patterns in the same order — detection AND rewrite
+    // both hash-gated.
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 > 0
+        |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    ' from 10.' || (doc_id % 256) || '.' || (doc_id % 7) || '.' || (doc_id % 13) ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' via 192.168.' || (doc_id % 31) || '.' || (doc_id % 11) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_exactsubstr_scrub" ->
       s"""WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws,
          |            $wordHashListSql AS hs FROM documents),
