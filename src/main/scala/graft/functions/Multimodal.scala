@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * schema, encoders, partition batching, aggregation — is identical
   * to the proven image path, and every output is integer-exact so
   * the DuckDB oracle can replay it.
+  *
+  * AUDIO also decodes for real as of round 14: [[AudioCodec]] rides
+  * the JDK's own `javax.sound.sampled` (the RIFF/WAVE reader and
+  * writer ship with every JVM), so `q_audio_decode`'s sample counts,
+  * amplitude sums, and zero-crossing counts come from genuinely
+  * parsed PCM bytes inside a genuine WAVE container. Only VIDEO
+  * remains behind the fake seam (no video codec ships with the JVM
+  * or this container).
   */
 object Multimodal {
 
@@ -189,6 +197,114 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** One real audio payload: genuine RIFF/WAVE bytes (JDK-encoded). */
+  final case class AudioBlob(doc_id: Long, bytes: Array[Byte])
+
+  /** Facts read from the DECODED sample stream (not the payload
+    * bytes): all integer-exact so DuckDB can replay them. */
+  final case class AudioFacts(doc_id: Long, n_samples: Long, sample_rate: Long,
+                              channels: Long, sum_abs: Long, peak_abs: Long,
+                              zero_cross: Long)
+
+  /** The REAL audio codec seam: JDK `javax.sound.sampled` WAVE
+    * encode + decode (the RIFF parser ships with every JVM — no
+    * external dependency, and file I/O needs no audio device, so it
+    * works headless).
+    *
+    * The PCM samples are a closed form of (doc_id, t) — a sawtooth
+    * that wraps every ~24 samples — so the DuckDB oracle computes the
+    * expected sums INDEPENDENTLY, never seeing the bytes. A decoder
+    * that misread the RIFF chunk layout, the 16-bit sample width, the
+    * little-endian byte order, or the data-chunk length would shift
+    * or truncate samples and break sum_abs / peak_abs / zero_cross. */
+  object AudioCodec {
+    /** 8 kHz mono signed 16-bit little-endian PCM. */
+    val Rate = 8000
+    def nSamplesOf(id: Long): Int = (400 + id % 257).toInt
+    /** Sample in [-2048, 2047]; stride 173 wraps the 4096-wide ramp
+      * every ~24 samples, so zero_cross genuinely discriminates. */
+    def sampleAt(id: Long, t: Int): Int =
+      (((37 * id + 173 * t) % 4096) - 2048).toInt
+
+    /** Render the waveform and ENCODE it through the JDK's real WAVE
+      * writer — the bytes are a genuine RIFF container any audio tool
+      * opens. */
+    def encode(id: Long): Array[Byte] = {
+      val n = nSamplesOf(id)
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val v = sampleAt(id, t)
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(Rate.toFloat, 16, 1,
+        /* signed = */ true, /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+      out.toByteArray
+    }
+
+    /** DECODE real bytes with the JDK's RIFF/WAVE reader and fold the
+      * sample stream to integer-exact facts. PCM is lossless, so the
+      * decoded stream must reproduce the closed-form waveform exactly. */
+    def decode(blob: AudioBlob): AudioFacts = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob.bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1, s"doc ${blob.doc_id}: unexpected WAVE format $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      var sumAbs = 0L
+      var peak = 0L
+      var zc = 0L
+      var prevNeg = false
+      var t = 0
+      while (t < n) {
+        val v = (((pcm(2 * t + 1) & 0xff) << 8) | (pcm(2 * t) & 0xff)).toShort.toInt
+        val a = math.abs(v).toLong
+        sumAbs += a
+        if (a > peak) peak = a
+        val neg = v < 0
+        if (t > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        t += 1
+      }
+      AudioFacts(blob.doc_id, n.toLong, fmt.getSampleRate.toLong,
+        fmt.getChannels.toLong, sumAbs, peak, zc)
+    }
+  }
+
+  /** Synthesize the audio corpus: the doc_id % 5 == 1 slice (disjoint
+    * from the image slice) carries a real WAVE payload. Same
+    * iterator-to-iterator shape as the image path — payload bytes
+    * never leave the partition that made them. */
+  def audioBlobs(s: SparkSession, dir: String): Dataset[AudioBlob] = {
+    import s.implicits._
+    graft.queries.Tables.t(s, dir, "documents")
+      .filter($"doc_id" % 5 === 1)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => AudioBlob(id, AudioCodec.encode(id))))
+  }
+
+  /** CORRECTNESS query over the REAL audio path: encode → decode →
+    * per-doc waveform facts. The oracle recomputes every expected
+    * value from the closed-form waveform without ever seeing the
+    * bytes, so a hash match proves the JDK WAVE round-trip preserved
+    * every sample. */
+  def qAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioBlobs(s, dir)
+      .mapPartitions(_.map(AudioCodec.decode))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   /** Batch feature extraction: the decoder is instantiated per
     * partition (cheap here, expensive for a real codec — which is why
     * mapPartitions, not map) and rows stream through it. */
@@ -269,6 +385,7 @@ object Multimodal {
     "q_frame_sample" -> qFrameSample,
     "q_media_resize" -> qMediaResize,
     "q_image_decode" -> qImageDecode,
+    "q_audio_decode" -> qAudioDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +440,25 @@ object Multimodal {
         |  CAST(sum((17 * doc_id + 5 * x + 11 * y) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((23 * doc_id + 3 * x + 19 * y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    // Recomputes the closed-form waveform's facts WITHOUT the bytes:
+    // a match proves the JDK WAVE encode→decode round-trip (RIFF
+    // chunks, 16-bit little-endian PCM) reproduced every sample.
+    "q_audio_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(400 + doc_id % 257 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 5 = 1),
+        |tt AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM ids),
+        |sv AS (SELECT doc_id, n, t,
+        |    (37 * doc_id + 173 * t) % 4096 - 2048 AS v FROM tt),
+        |z AS (SELECT doc_id, n, t, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM sv)
+        |SELECT doc_id, max(n) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_frame_sample" ->
       """WITH feat AS (
         |  SELECT doc_id,

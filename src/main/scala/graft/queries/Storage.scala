@@ -227,12 +227,55 @@ object Storage {
     nBefore.crossJoin(after)
   }
 
+  /** Stage the two bucketed fact tables once per (session, SF):
+    * catalog names are session-scoped (in-memory catalog per JVM) and
+    * file paths pid-scoped via [[Scratch]], so concurrent JVMs never
+    * collide, and repeat calls (bench warmup + timed passes) reuse the
+    * written layout instead of re-shuffling — which is the POINT of
+    * bucketing: pay the shuffle once at write time. */
+  private val bucketedLock = new Object
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedLock.synchronized {
+      import s.implicits._
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (lt, ot) = (s"graft_bkt_lineitem_$slug", s"graft_bkt_orders_$slug")
+      if (!s.catalog.tableExists(lt)) {
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+          .write.mode("overwrite").option("path", scratch(dir, "bkt_lineitem"))
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+          .write.mode("overwrite").option("path", scratch(dir, "bkt_orders"))
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      }
+      (lt, ot)
+    }
+
+  /** Bucketed co-located join: both fact tables written bucketed by
+    * the join key, then the fact-to-fact join reads matching buckets
+    * directly — ZERO exchanges on either join side (plan pinned in
+    * BucketedJoinSpec; the only shuffle left is the tiny per-status
+    * rollup). At 100 TB this is THE tool for repeated fact-to-fact
+    * joins: bucket counts in the thousands keep per-bucket files
+    * executor-sized and every later join/groupBy on the key rides the
+    * layout for free. The layout must be result-invisible, so the
+    * oracle joins the RAW tables. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (lt, ot) = bucketedTables(s, dir)
+    s.table(lt).join(s.table(ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_prune" -> qPartitionedPrune,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_zorder_prune" -> qZorderPrune,
     "q_replica_checksum" -> qReplicaChecksum,
-    "q_compaction" -> qCompaction)
+    "q_compaction" -> qCompaction,
+    "q_bucketed_join" -> qBucketedJoin)
 
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
@@ -292,5 +335,12 @@ object Storage {
         |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 15) AS BIGINT) AS h
         |  FROM orders)
         |SELECT bucket, count(*) AS n_rows, bit_xor(h) AS checksum
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The bucketed layout must be result-invisible: the oracle joins
+    // the RAW tables.
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -45,4 +45,40 @@ class BucketedJoinSpec extends AnyFunSuite {
     spark.sql("DROP TABLE li_bucketed")
     spark.sql("DROP TABLE ord_bucketed")
   }
+
+  test("q_bucketed_join gate key: join side is exchange-free and matches the raw rollup") {
+    import spark.implicits._
+    // force the sort-merge path: with broadcast allowed, tiny SF tables
+    // plan BHJ and the auto-bucketed-scan logic may skip the bucketed
+    // read entirely (the gate query is correct either way; this test
+    // pins the layout's scale shape)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (rows, plan) =
+      try {
+        val d = Storage.qBucketedJoin(spark, dir)
+        val r = d.collect()
+        (r, d.queryExecution.executedPlan.toString)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+      }
+    // the staged bucketed layout serves the join: bucket-pruned scans,
+    // no exchange keyed on either join key (the rollup's status
+    // exchange is the only one left)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    // layout is result-invisible: identical to the raw-table rollup
+    val expected = Tables.t(spark, dir, "lineitem")
+      .join(Tables.t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"),
+        org.apache.spark.sql.functions.sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy($"o_orderstatus").collect()
+    assert(rows.toSeq == expected.toSeq)
+  }
 }
