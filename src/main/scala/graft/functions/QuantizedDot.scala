@@ -201,6 +201,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "pq_gather expects exactly 2 arguments")
         PqGather(children.head, children(1), SQLConf.get.ansiEnabled)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalize(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -218,6 +225,9 @@ object GraftFunctions {
 
   def pqGather(lut: Column, code: Column): Column =
     call_function("pq_gather", lut, code)
+
+  def nfcNormalize(s: Column): Column =
+    call_function("nfc_normalize", s)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

@@ -52,6 +52,45 @@ object TextOps {
 
   // ---------------------------------------------------------------- stats
 
+  /** Unicode NFC normalization over the corpus — the text-cleaning
+    * step that must precede every equality-shaped operation (dedup,
+    * grouping, joining, fingerprinting): "café" precomposed and
+    * "cafe" + COMBINING ACUTE are different byte strings that render
+    * identically. Runs the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression through the
+    * registered SQL surface (`nfc_normalize`), so the gate also
+    * proves the extension wiring.
+    *
+    * The corpus is ASCII, so each doc gets a formulaic decomposed
+    * suffix (combining-mark sequences selected by doc_id % 4, one
+    * variant already-NFC) that the DuckDB oracle rebuilds with chr()
+    * and normalizes with ITS OWN independent `nfc_normalize` — two
+    * unrelated normalizer implementations must agree on every
+    * codepoint, pinned per doc by an md5 fingerprint of the
+    * normalized text. Pure per-row map work: no shuffle below the
+    * ORDER BY, codegen end to end, embarrassingly parallel at 100 TB. */
+  def qUnicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // decomposed on purpose — e/A/o/u + combining acute / ring /
+    // diaeresis, written as escapes so no source-encoding step can
+    // silently precompose them; NFC composes each. The % 4 == 3
+    // variant is already normalized, so the identity fast path is
+    // under the gate too.
+    val dec = when($"doc_id" % 4 === 0, lit("e\u0301"))
+      .when($"doc_id" % 4 === 1, lit("A\u030A"))
+      .when($"doc_id" % 4 === 2, lit("o\u0308u\u0308"))
+      .otherwise(lit("ascii"))
+    docs(s, dir)
+      .select($"doc_id", concat($"text", lit(" "), dec).as("raw"))
+      .withColumn("norm", graft.functions.GraftFunctions.nfcNormalize($"raw"))
+      .select($"doc_id",
+        length($"raw").cast("long").as("len_raw"),
+        length($"norm").cast("long").as("len_norm"),
+        ($"norm" =!= $"raw").cast("long").as("changed"),
+        conv(substring(md5($"norm"), 1, 15), 16, 10).cast("long").as("h"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus quality stats per (lang, source): doc/word/char volumes and
     * lexical-diversity ratio. Partial-aggregate-friendly groupBy on a
     * low-cardinality key — the canonical 100 TB-safe shape. */
@@ -1306,6 +1345,7 @@ object TextOps {
     "q_cc_hashed_ids" -> qCcHashedIds,
     "q_rank_global" -> qRankGlobal,
     "q_text_stats" -> qTextStats,
+    "q_unicode_normalize" -> qUnicodeNormalize,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
     "q_lang_id" -> qLangId,
@@ -1504,6 +1544,22 @@ object TextOps {
         |  CAST(sum(length(ticket) - length(scrubbed)) AS BIGINT) AS redacted_chars,
         |  bit_xor(CAST('0x' || substring(md5(scrubbed), 1, 15) AS BIGINT)) AS checksum
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB rebuilds the decomposed suffixes with chr() and runs ITS
+    // OWN nfc_normalize — two independent normalizer implementations
+    // must agree on every codepoint (md5-pinned per doc).
+    "q_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' || CASE
+        |    WHEN doc_id % 4 = 0 THEN 'e' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN 'A' || chr(778)
+        |    WHEN doc_id % 4 = 2 THEN 'o' || chr(776) || 'u' || chr(776)
+        |    ELSE 'ascii' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM d)
+        |SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm,
+        |  CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST('0x' || substring(md5(norm), 1, 15) AS BIGINT) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH per AS (
         |  SELECT lang, source,
