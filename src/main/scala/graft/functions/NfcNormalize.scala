@@ -61,3 +61,54 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Diacritic stripping — the aggressive sibling of [[NfcNormalize]]
+  * for search keys and fuzzy dedup: canonical-decompose (NFD), drop
+  * every non-spacing combining mark, keep the bases. Handles
+  * precomposed input (é → e) and raw mark sequences alike, because
+  * the decomposition runs first. ASCII input returns the input
+  * object — no allocation on clean data. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = child.dataType
+
+  override def prettyName: String = "strip_accents"
+
+  override protected def nullSafeEval(v: Any): Any =
+    StripAccents.strip(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.StripAccents.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  def strip(u: UTF8String): UTF8String = {
+    val s = u.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) return u
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var j = 0
+    while (j < d.length) {
+      val cp = d.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

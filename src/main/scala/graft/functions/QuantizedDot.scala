@@ -208,6 +208,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "nfc_normalize expects exactly 1 argument")
         NfcNormalize(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "strip_accents expects exactly 1 argument")
+        StripAccents(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -228,6 +235,9 @@ object GraftFunctions {
 
   def nfcNormalize(s: Column): Column =
     call_function("nfc_normalize", s)
+
+  def stripAccents(s: Column): Column =
+    call_function("strip_accents", s)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

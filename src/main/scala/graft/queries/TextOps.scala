@@ -91,6 +91,33 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Diacritic stripping over the corpus — the aggressive search-key
+    * sibling of [[qUnicodeNormalize]]: NFD-decompose, drop combining
+    * marks, keep bases ("café" → "cafe" whether the é arrived
+    * precomposed or as e + mark). Runs the native codegen'd
+    * [[graft.functions.StripAccents]] through the registered SQL
+    * surface; the oracle answers with DuckDB's OWN independent
+    * `strip_accents` — two unrelated implementations must agree,
+    * md5-pinned per doc. Suffix variants plant BOTH arrival forms
+    * (decomposed marks AND precomposed letters) plus an ASCII
+    * identity case. Pure per-row map work, codegen end to end. */
+  def qStripAccents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = when($"doc_id" % 4 === 0, lit("é"))
+      .when($"doc_id" % 4 === 1, lit("éÅ"))
+      .when($"doc_id" % 4 === 2, lit("ñö"))
+      .otherwise(lit("ascii"))
+    docs(s, dir)
+      .select($"doc_id", concat($"text", lit(" "), dec).as("raw"))
+      .withColumn("stripped", graft.functions.GraftFunctions.stripAccents($"raw"))
+      .select($"doc_id",
+        length($"raw").cast("long").as("len_raw"),
+        length($"stripped").cast("long").as("len_stripped"),
+        ($"stripped" =!= $"raw").cast("long").as("changed"),
+        conv(substring(md5($"stripped"), 1, 15), 16, 10).cast("long").as("h"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus quality stats per (lang, source): doc/word/char volumes and
     * lexical-diversity ratio. Partial-aggregate-friendly groupBy on a
     * low-cardinality key — the canonical 100 TB-safe shape. */
@@ -1346,6 +1373,7 @@ object TextOps {
     "q_rank_global" -> qRankGlobal,
     "q_text_stats" -> qTextStats,
     "q_unicode_normalize" -> qUnicodeNormalize,
+    "q_strip_accents" -> qStripAccents,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
     "q_lang_id" -> qLangId,
@@ -1559,6 +1587,22 @@ object TextOps {
         |SELECT doc_id, length(raw) AS len_raw, length(norm) AS len_norm,
         |  CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
         |  CAST('0x' || substring(md5(norm), 1, 15) AS BIGINT) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // DuckDB's OWN strip_accents answers — two independent
+    // implementations must agree on both arrival forms.
+    "q_strip_accents" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' || CASE
+        |    WHEN doc_id % 4 = 0 THEN 'e' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN chr(233) || chr(197)
+        |    WHEN doc_id % 4 = 2 THEN 'n' || chr(771) || 'o' || chr(776)
+        |    ELSE 'ascii' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, strip_accents(raw) AS stripped FROM d)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  length(stripped) AS len_stripped,
+        |  CAST(CASE WHEN stripped <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST('0x' || substring(md5(stripped), 1, 15) AS BIGINT) AS h
         |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH per AS (

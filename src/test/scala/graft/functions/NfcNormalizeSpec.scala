@@ -41,6 +41,24 @@ class NfcNormalizeSpec extends AnyFunSuite {
     assert(NfcNormalize.normalize(clean) eq clean)
   }
 
+  test("strip_accents: both arrival forms strip to bases; ASCII is identity") {
+    import spark.implicits._
+    val out = Seq(
+      ("a", "café"),     // decomposed mark
+      ("b", "café"),      // precomposed
+      ("c", "Ångström"),
+      ("d", "plain")
+    ).toDF("id", "s")
+      .select($"id", GraftFunctions.stripAccents($"s").as("n"))
+      .orderBy($"id").collect()
+    assert(out(0).getString(1) == "cafe")
+    assert(out(1).getString(1) == "cafe")
+    assert(out(2).getString(1) == "Angstrom")
+    assert(out(3).getString(1) == "plain")
+    val clean = org.apache.spark.unsafe.types.UTF8String.fromString("plain")
+    assert(StripAccents.strip(clean) eq clean)
+  }
+
   test("registered SQL surface resolves; interpreted eval agrees") {
     val df = spark.sql("SELECT nfc_normalize('plain') AS n")
     assert(df.collect()(0).getString(0) == "plain")
