@@ -269,7 +269,68 @@ object Storage {
       .orderBy($"o_orderstatus")
   }
 
+  /** CSV ingest round-trip — the format pipelines actually receive.
+    * Writes orders as headered CSV with a PLANTED hazard column
+    * (embedded comma, double quote, and backslash, closed-form from
+    * o_orderpriority) so the writer must quote/escape and the reader
+    * must undo it exactly; reads back with an explicit schema (no
+    * inference job — at 100 TB schema inference is a full extra
+    * scan); proves losslessness with counts + an XOR fingerprint the
+    * oracle recomputes from the ORIGINAL parquet (it never sees the
+    * CSV). Timestamps ride as epoch-micros longs (the zone-free
+    * rendering, per q_column_profile) — and embedded NEWLINES are
+    * deliberately absent: those force multiLine=true, which kills
+    * line-split parallelism; JSONL (below) is the line-safe carrier
+    * for newline-bearing text. */
+  def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scratch(dir, "csv_roundtrip")
+    t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+          .as("o_date_us"),
+        concat(lit("v,\""), $"o_orderpriority", lit("\\x")).as("hazard"))
+      .write.mode("overwrite").option("header", "true").csv(base)
+    s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "o_date_us LONG, hazard STRING")
+      .option("header", "true").csv(base)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"),
+        expr("bit_xor(CAST(" +
+          "conv(substring(md5(concat_ws('|', CAST(o_orderkey AS STRING), " +
+          "CAST(o_date_us AS STRING), hazard)), 1, 15), 16, 10) AS BIGINT))")
+          .as("checksum"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** JSONL ingest round-trip — the line-splittable carrier for text
+    * WITH newlines/tabs/quotes/backslashes (JSON escapes them, so one
+    * record stays one line and a 100 TB file still splits cleanly —
+    * exactly what CSV cannot offer without multiLine). A hazard
+    * column plants all four; the reader must recover them exactly,
+    * proven per lang by counts + an XOR fingerprint the oracle
+    * rebuilds from the ORIGINAL parquet. Explicit schema, no
+    * inference scan. */
+  def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scratch(dir, "jsonl_roundtrip")
+    t(s, dir, "documents").select($"doc_id", $"lang",
+        concat(lit("l1\n\t\""), $"source", lit("\\end")).as("hazard"))
+      .write.mode("overwrite").json(base)
+    s.read.schema("doc_id LONG, lang STRING, hazard STRING").json(base)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(CAST(" +
+          "conv(substring(md5(concat_ws('|', CAST(doc_id AS STRING), hazard)), " +
+          "1, 15), 16, 10) AS BIGINT))").as("checksum"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_partitioned_prune" -> qPartitionedPrune,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_zorder_prune" -> qZorderPrune,
@@ -280,6 +341,23 @@ object Storage {
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
   val oracles: Map[String, String] = Map(
+    // Both ingest oracles read the ORIGINAL parquet and rebuild the
+    // hazard column from the same closed form — a quoting/escaping
+    // bug anywhere in write→parse flips the fingerprint.
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR),
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR),
+        |    'v,"' || o_orderpriority || '\x')), 1, 15) AS BIGINT)) AS checksum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n,
+        |  bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR),
+        |    'l1' || chr(10) || chr(9) || '"' || source || '\end')), 1, 15) AS BIGINT)) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partitioned_prune" ->
       """SELECT l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
