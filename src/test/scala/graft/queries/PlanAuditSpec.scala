@@ -711,4 +711,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s)
     assert(!s.contains("WindowExec"), s)
   }
+
+  test("q_mad_outliers: scan reads only the 3 referenced lineitem columns; fences broadcast") {
+    val s = planString(Relational.qMadOutliers(spark, dir))
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"), readSchema)
+    // the fence frames attach by broadcast — the raw rows never
+    // shuffle on the group key for a join
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(!s.contains("ShuffledHashJoin"), s)
+  }
+
+  test("unicode pair: pure map work — no exchange below the output sort") {
+    for (df <- Seq(TextOps.qUnicodeNormalize(spark, dir),
+                   TextOps.qStripAccents(spark, dir))) {
+      val p = executed(df)
+      val s = p.toString
+      // exactly the range-partitioning exchange of the final orderBy,
+      // nothing hash-partitioned (no groupBy/join anywhere)
+      assert(!s.contains("Exchange hashpartitioning"), s)
+      assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"), s)
+    }
+  }
+
+  test("q_bucketed_join: bucketed scans serve the join — no exchange keyed on the join key") {
+    val s = planString(Storage.qBucketedJoin(spark, dir))
+    assert(!s.contains("Exchange hashpartitioning(l_orderkey"), s)
+    assert(!s.contains("Exchange hashpartitioning(o_orderkey"), s)
+  }
 }
