@@ -52,7 +52,12 @@ class InvarianceSpec extends AnyFunSuite {
     "q_budget_select",    // level-granular histogram cutoff windows
     "q_leak_safe_split",  // CC labels + rep-hash split + countDistinct rollup
     "q_column_profile",   // unpivot + (column, value) two-phase distinct
-    "q_data_constraints") // conditional aggs + anti-join count
+    "q_data_constraints", // conditional aggs + anti-join count
+    "q_mad_outliers",     // two-phase quantile: bucket histogram + in-bucket rank ties
+    "q_bucketed_join",    // fixed 8-bucket layout under any shuffle partitioning
+    "q_csv_roundtrip",    // file count varies with partitions; XOR checksum must not
+    "q_jsonl_roundtrip",  // same, line-split carrier
+    "q_audio_decode")     // per-partition codec batches
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
