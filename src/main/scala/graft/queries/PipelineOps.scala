@@ -1035,7 +1035,71 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** Right-to-be-forgotten propagation: delete every record of an
+    * erased user from the event log, with per-type accounting and a
+    * survivor checksum. The operator is the delete-LIST-driven shape
+    * a real pipeline runs — the list arrives as a table (here derived
+    * from a closed form so the oracle can replay membership), gets
+    * BROADCAST (erasure requests are minuscule next to the corpus),
+    * and survivors come out of a left-anti join: per-row map work
+    * against a broadcast hash set, no shuffle of the 100 TB side.
+    * The XOR fingerprint over survivors proves the scrub removed
+    * exactly the erased users' rows and left every other row intact —
+    * over- or under-deletion flips it. (At 100 TB the accounting pass
+    * and the scrub share one scan exactly as written here; a
+    * bloom-fronted variant of the same join is q_bloom_gate.) */
+  def qGdprDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, dir).select($"event_id", $"user_id", $"event_type")
+    val erased = ev.select($"user_id").filter($"user_id" % 53 === 0).distinct()
+    val survivors = ev.join(broadcast(erased), Seq("user_id"), "left_anti")
+    val before = ev.groupBy($"event_type").agg(count(lit(1)).as("n_before"))
+    val after = survivors.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_after"),
+        expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', " +
+          "CAST(event_id AS STRING), CAST(user_id AS STRING))), 1, 15), " +
+          "16, 10) AS BIGINT))").as("survivor_checksum"))
+    before.join(after, Seq("event_type"))
+      .select($"event_type", $"n_before",
+        ($"n_before" - $"n_after").as("n_deleted"),
+        $"n_after", $"survivor_checksum")
+      .orderBy($"event_type")
+  }
+
+  /** Snapshot diff — the INVERSE of q_cdc_apply: given two table
+    * versions, derive the changelog (added / removed / changed /
+    * unchanged, with counts and per-class key fingerprints). This is
+    * the reconciliation/audit op every table format needs when the
+    * changelog was lost or distrusted. Version 2 is a formulaic
+    * evolution of orders (drops, cent-bumps, key-shifted inserts)
+    * both engines construct identically; the diff itself is ONE
+    * full-outer equi-join on the primary key + null/value
+    * classification — at 100 TB both snapshots are bucketed by key
+    * (q_bucketed_join's layout), making the join exchange-free, and
+    * the classification is map work. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders").select($"o_orderkey".as("k"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    val v2 = o.filter($"k" % 101 =!= 0)
+      .select($"k",
+        ($"cents" + when($"k" % 7 === 0, 1000L).otherwise(0L)).as("cents"))
+      .unionByName(o.filter($"k" % 89 === 0)
+        .select(($"k" + 100000000L).as("k"), ($"cents" + 7L).as("cents")))
+    o.select($"k", $"cents".as("c1"))
+      .join(v2.select($"k", $"cents".as("c2")), Seq("k"), "full_outer")
+      .select($"k",
+        when($"c1".isNull, "added").when($"c2".isNull, "removed")
+          .when($"c1" === $"c2", "unchanged").otherwise("changed")
+          .as("change_class"))
+      .groupBy($"change_class")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(k)").as("key_xor"))
+      .orderBy($"change_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gdpr_delete" -> qGdprDelete,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_sequence_pack" -> qSequencePack,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_mink_hash" -> qMinkHash,
@@ -1074,6 +1138,35 @@ object PipelineOps {
   private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
+    // one conditional-agg pass over events: membership is the closed
+    // form, the survivor XOR must equal the anti-join's output.
+    "q_gdpr_delete" ->
+      """SELECT event_type, count(*) AS n_before,
+        |  CAST(sum(CASE WHEN user_id % 53 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN user_id % 53 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |  bit_xor(CASE WHEN user_id % 53 <> 0 THEN
+        |    CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR))), 1, 15) AS BIGINT)
+        |    ELSE 0 END) AS survivor_checksum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both versions rebuilt from the same closed forms, diffed with
+    // the same full-outer classification.
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |v2 AS (
+        |  SELECT k, cents + CASE WHEN k % 7 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM o WHERE k % 101 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, cents + 7 FROM o WHERE k % 89 = 0),
+        |d AS (SELECT coalesce(o.k, v2.k) AS k,
+        |    CASE WHEN o.k IS NULL THEN 'added'
+        |         WHEN v2.k IS NULL THEN 'removed'
+        |         WHEN o.cents = v2.cents THEN 'unchanged'
+        |         ELSE 'changed' END AS change_class
+        |  FROM o FULL OUTER JOIN v2 ON o.k = v2.k)
+        |SELECT change_class, count(*) AS n, bit_xor(k) AS key_xor
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // stride-48 / window-64 chunk grid replayed with a range explode;
     // the per-doc rollup carries the duplicated-token accounting.
     "q_chunk_overlap" ->

@@ -57,7 +57,9 @@ class InvarianceSpec extends AnyFunSuite {
     "q_bucketed_join",    // fixed 8-bucket layout under any shuffle partitioning
     "q_csv_roundtrip",    // file count varies with partitions; XOR checksum must not
     "q_jsonl_roundtrip",  // same, line-split carrier
-    "q_audio_decode")     // per-partition codec batches
+    "q_audio_decode",     // per-partition codec batches
+    "q_gdpr_delete",      // broadcast anti-join + conditional-agg accounting
+    "q_snapshot_diff")    // full-outer null classification + key XORs
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
