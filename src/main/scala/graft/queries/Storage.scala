@@ -328,7 +328,46 @@ object Storage {
       .orderBy($"lang")
   }
 
+  /** Dynamic partition pruning over a Hive-partitioned parquet
+    * layout — the standard-Spark twin of the DNS connector's
+    * `SupportsRuntimeFiltering` key (q_dns_runtime_prune). The fact
+    * is partitioned by returnflag (layout staged once per JVM); the
+    * query filters a tiny broadcast DIMENSION, not the fact, so no
+    * static filter exists on the partition column — at plan time
+    * every partition is a candidate. DPP reuses the broadcast result
+    * as a runtime subquery on the fact scan's PartitionFilters
+    * (asserted in PlanAuditSpec), so only the matching directory is
+    * read. At 100 TB on a date-partitioned lake this is THE mechanism
+    * that turns "join fact to a filtered dim" from a full scan into a
+    * few partitions. The layout is result-invisible: the oracle joins
+    * the RAW table to the same VALUES dim. */
+  def qParquetDpp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = Scratch.staged("dpp_layout", dir) { b =>
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+        .repartition($"l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(s"$b/fact")
+      // the dim must be a real table: a local Seq gets its filter
+      // constant-folded into the LocalRelation, and with no Filter
+      // node on the dim side the DPP rule sees no pruning predicate
+      Seq(("A", "archive"), ("N", "normal"), ("R", "returns"))
+        .toDF("flag", "fclass")
+        .write.mode("overwrite").parquet(s"$b/dim")
+    }
+    val fact = s.read.parquet(s"$out/fact")
+    val dim = s.read.parquet(s"$out/dim")
+    fact.join(broadcast(dim), $"l_returnflag" === $"flag")
+      .filter($"fclass" === "returns")
+      .groupBy($"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("long")).as("sum_qty"))
+      .orderBy($"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parquet_dpp" -> qParquetDpp,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_partitioned_prune" -> qPartitionedPrune,
@@ -341,6 +380,16 @@ object Storage {
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
   val oracles: Map[String, String] = Map(
+    // the layout + runtime pruning must be result-invisible: the
+    // oracle joins the RAW table to the same dim.
+    "q_parquet_dpp" ->
+      """WITH dim(flag, fclass) AS (
+        |  VALUES ('A', 'archive'), ('N', 'normal'), ('R', 'returns'))
+        |SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN dim ON l_returnflag = flag
+        |WHERE fclass = 'returns'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Both ingest oracles read the ORIGINAL parquet and rebuild the
     // hazard column from the same closed form — a quoting/escaping
     // bug anywhere in write→parse flips the fingerprint.

@@ -735,6 +735,12 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_parquet_dpp: the runtime pruning subquery reaches the partitioned scan") {
+    val s = planString(Storage.qParquetDpp(spark, dir))
+    assert(s.contains("dynamicpruningexpression"), s)
+    assert(s.contains("PartitionFilters"), s)
+  }
+
   test("q_bucketed_join: bucketed scans serve the join — no exchange keyed on the join key") {
     val s = planString(Storage.qBucketedJoin(spark, dir))
     assert(!s.contains("Exchange hashpartitioning(l_orderkey"), s)
