@@ -141,6 +141,37 @@ object EmbeddingOps {
       .orderBy($"qid", $"rnk")
   }
 
+  /** Metadata-FILTERED vector search — the vector-DB "hard case": a
+    * predicate on vector metadata must compose with top-k, and the
+    * composition order is semantics, not implementation detail.
+    * PRE-filter is the correct contract (restrict the candidate set,
+    * THEN rank: post-filtering a top-k shortlist returns fewer than k
+    * results whenever the filter is selective, silently) and the gate
+    * pins it: per query, top-5 cosine among vectors whose label class
+    * matches the query's target class (a closed form of qid, so the
+    * oracle replays membership). Scale shape: the predicate lands on
+    * the corpus side BEFORE any dot product — selectivity cuts
+    * compute proportionally — and composes unchanged with the
+    * bucketed candidate sources (probe-time filter on q_ann_lsh /
+    * q_ivf_ann's candidate joins). */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir).select($"vec_id", $"label", $"q", $"nsq")
+    val queries = v.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("nq"),
+        ($"vec_id" % 4).as("want"))
+    val scored = v.join(broadcast(queries),
+        $"vec_id" =!= $"qid" && $"label" % 4 === $"want")
+      .select($"qid", $"vec_id".as("cid"),
+        dot(s, "qv", "q").as("dot"), $"nq", $"nsq".as("nc"))
+      .withColumn("cosine", $"dot" / sqrt(($"nq" * $"nc").cast("double")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"cid")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 5)
+      .select($"qid", $"rnk".cast("long").as("rnk"), $"cid", $"dot", $"nq", $"nc")
+      .orderBy($"qid", $"rnk")
+  }
+
   /** Bucketed ANN: candidates = corpus vectors sharing ANY band bucket
     * with the query (union over the band tables, deduped), capped per
     * bucket; exact cosine re-rank, top-5 per query. The only shuffles
@@ -596,6 +627,7 @@ object EmbeddingOps {
     "q_neardup_xmodal" -> qNeardupXmodal,
     "q_embed_stats" -> qEmbedStats,
     "q_knn_brute" -> qKnnBrute,
+    "q_ann_filtered" -> qAnnFiltered,
     "q_ann_lsh" -> qAnnLsh,
     "q_ivf_ann" -> qIvfAnn,
     "q_embed_neardup" -> qEmbedNearDup,
@@ -767,6 +799,27 @@ object EmbeddingOps {
          |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
          |  FROM scored)
          |SELECT qid, rnk, cid, dot, nq, nc FROM ranked WHERE rnk <= 10
+         |ORDER BY qid, rnk""".stripMargin,
+    // the same brute chain with the class predicate applied BEFORE
+    // ranking — pre-filter semantics pinned.
+    "q_ann_filtered" ->
+      s"""WITH v AS (SELECT vec_id, label, $qvecSql AS q FROM embeddings),
+         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
+         |terms AS (
+         |  SELECT qv.vec_id AS qid, cv.vec_id AS cid,
+         |         unnest(qv.q) AS a, unnest(cv.q) AS b
+         |  FROM v qv JOIN v cv
+         |    ON cv.vec_id <> qv.vec_id AND cv.label % 4 = qv.vec_id % 4
+         |  WHERE qv.vec_id % 100 = 0),
+         |dots AS (SELECT qid, cid, CAST(sum(a * b) AS BIGINT) AS dot FROM terms GROUP BY qid, cid),
+         |scored AS (
+         |  SELECT qid, cid, dot, nq.nsq AS nq, nc.nsq AS nc,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nq.nsq * nc.nsq AS DOUBLE)) AS cosine
+         |  FROM dots JOIN n nq ON nq.vec_id = qid JOIN n nc ON nc.vec_id = cid),
+         |ranked AS (SELECT qid, cid, dot, nq, nc,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rnk
+         |  FROM scored)
+         |SELECT qid, rnk, cid, dot, nq, nc FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "q_ann_lsh" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),

@@ -775,6 +775,30 @@ object TextOps {
       .orderBy($"cluster_id")
   }
 
+  /** Quality-aware survivor selection — the ACTING half of near-dup
+    * clustering: q_dedup_clusters finds the groups, this key decides
+    * which document SURVIVES each one. The policy is the common
+    * keep-the-longest-variant rule (near-dups are usually truncations
+    * or boilerplate-trimmed copies of one another; the longest member
+    * preserves the most content), tie → smallest doc_id. One
+    * `max_by(doc, (len, -doc))` partial-aggregated pass over the
+    * cluster labels joined to per-doc lengths — no window, no
+    * per-cluster sort; at 100 TB survivor election is one map-side-
+    * combined aggregation at cluster cardinality. */
+  def qClusterRepresentative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val (labels, _) = connectedComponents(s, pairs)
+    val lens = docs(s, dir)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    labels.join(lens, labels("v") === lens("doc_id"))
+      .groupBy($"l".as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("max_by(doc_id, struct(len, -doc_id))").as("rep_doc"),
+        max($"len").as("rep_len"))
+      .orderBy($"cluster_id")
+  }
+
   /** Min-label connected components over an undirected pair list (any
     * two columns; both edge directions are added here). Returns the
     * (vertex, label) frame — label = component minimum — and the round
@@ -1368,6 +1392,7 @@ object TextOps {
     "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_cluster_representative" -> qClusterRepresentative,
     "q_graph_components" -> qGraphComponents,
     "q_cc_hashed_ids" -> qCcHashedIds,
     "q_rank_global" -> qRankGlobal,
@@ -1445,6 +1470,27 @@ object TextOps {
          |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v)
          |SELECT l AS cluster_id, count(*) AS n_docs, max(v) AS max_doc
          |FROM lab GROUP BY l ORDER BY cluster_id""".stripMargin) +
+    // Same true-components CTE, then survivor election: max length,
+    // tie → smallest doc_id (min id among the max-length members).
+    ("q_cluster_representative" ->
+      s"""WITH RECURSIVE
+         |pairs AS (SELECT doc_a, doc_b FROM (${baseOracles("q_minhash_pairs")})),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON r.v = e.dst),
+         |lab AS (SELECT v, min(l) AS l FROM reach GROUP BY v),
+         |j AS (SELECT lab.l, lab.v, CAST(length(d.text) AS BIGINT) AS len
+         |      FROM lab JOIN documents d ON d.doc_id = lab.v),
+         |agg AS (SELECT l, count(*) AS n_docs, max(len) AS rep_len
+         |        FROM j GROUP BY l),
+         |rep AS (SELECT j.l, min(j.v) AS rep_doc
+         |        FROM j JOIN agg ON j.l = agg.l AND j.len = agg.rep_len
+         |        GROUP BY j.l)
+         |SELECT agg.l AS cluster_id, n_docs, rep_doc, rep_len
+         |FROM agg JOIN rep ON agg.l = rep.l ORDER BY cluster_id""".stripMargin) +
     // Same true-components CTE, then the split arithmetic over reps:
     // the leaky-cluster zero is recomputed by the oracle, not assumed.
     ("q_leak_safe_split" -> {
