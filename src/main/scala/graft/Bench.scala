@@ -92,7 +92,12 @@ object Bench {
     // there are errors to report.
     val errJson = errors.reverse.map(Json.quote).mkString("[", ",", "]")
     val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // Tag the keys whose timing is a staged-artifact read-back (the
+    // streaming gate keys): their minima are NOT streaming throughput
+    // and must not be compared as such (r14 advice).
+    val stagedJson = SparkEntry.stagedReadbackKeys.toSeq.sorted
+      .map(Json.quote).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staged_readback":$stagedJson,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map has grown past what the driver's output tail
     // buffer retains (~3.5 KB at 84 queries): four rounds running the
     // full line was captured starting mid-map and failed to parse. So

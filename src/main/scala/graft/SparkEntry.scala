@@ -22,6 +22,14 @@ object SparkEntry {
       graft.queries.Storage.queries ++ graft.streaming.StreamingOps.queries ++
       graft.queries.PqOps.queries
 
+  /** Keys whose timed bench pass reads a staged replay artifact
+    * instead of re-running a streaming-query lifecycle — tagged in the
+    * bench output so BENCH_OFFICIAL minima for them are read as
+    * artifact read-back, not streaming throughput. */
+  def stagedReadbackKeys: Set[String] =
+    graft.streaming.StreamingOps.stagedReadbackKeys ++
+      graft.queries.Connector.stagedReadbackKeys
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

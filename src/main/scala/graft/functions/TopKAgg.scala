@@ -30,6 +30,12 @@ final class TopKAgg(k: Int)(implicit bufEnc: Encoder[Seq[(Long, Long)]])
 
   override def zero: Seq[(Long, Long)] = Vector.empty
 
+  /** INVARIANT the fast path leans on: every buffer that reaches
+    * `reduce` is sorted best-first with size ≤ k, because `zero` and
+    * `trim` are the only producers of buffers. The `b.last` skip is
+    * only correct under that invariant — if a future edit returns an
+    * untrimmed or unsorted buffer from any path, this silently drops
+    * pairs that should have been kept (asserted in TopKAggSpec). */
   override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
     // skip the resort when a can't displace the weakest kept pair —
     // the common case once the buffer is warm

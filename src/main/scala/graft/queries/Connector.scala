@@ -1130,6 +1130,11 @@ object Connector {
     "q_dns_spj" -> qDnsSpj,
   )
 
+  /** Same discipline as [[graft.streaming.StreamingOps.stagedReadbackKeys]]:
+    * these two keys' timed passes read the once-per-JVM staged replay
+    * result, not a fresh streaming-query lifecycle. */
+  val stagedReadbackKeys: Set[String] = Set("q_dns_stream", "q_dns_stream_sink")
+
   /** Wire and SQL variants share the in-memory oracles verbatim —
     * transport and registration surface must never change results. */
   val oracles: Map[String, String] = Map(

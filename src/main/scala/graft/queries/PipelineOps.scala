@@ -1059,10 +1059,15 @@ object PipelineOps {
         expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', " +
           "CAST(event_id AS STRING), CAST(user_id AS STRING))), 1, 15), " +
           "16, 10) AS BIGINT))").as("survivor_checksum"))
-    before.join(after, Seq("event_type"))
+    // LEFT join from `before`: an event type whose rows are ALL
+    // erased has no survivor group — it must still appear with
+    // n_after = 0 and checksum 0 (the oracle XORs literal zeros for
+    // it), not vanish from the accounting.
+    before.join(after, Seq("event_type"), "left")
       .select($"event_type", $"n_before",
-        ($"n_before" - $"n_after").as("n_deleted"),
-        $"n_after", $"survivor_checksum")
+        ($"n_before" - coalesce($"n_after", lit(0L))).as("n_deleted"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"survivor_checksum", lit(0L)).as("survivor_checksum"))
       .orderBy($"event_type")
   }
 

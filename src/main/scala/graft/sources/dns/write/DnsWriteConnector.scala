@@ -179,7 +179,17 @@ final class DnsWriteBuilder(opts: DnsSinkOptions, inputSchema: StructType)
   * This is not the scale bottleneck it looks like — a zone's new
   * content must fit one update message anyway, so an overwrite is
   * small by construction; bulk ingest stays on the append path with
-  * free parallelism ([[DnsWrites.repartitionByZone]]). */
+  * free parallelism ([[DnsWrites.repartitionByZone]]).
+  *
+  * Unlike the append path (where a re-sent batch is a set-semantic
+  * no-op), re-running a wipe+add bumps the zone serial AGAIN — so the
+  * task side only STAGES the validated new content into its commit
+  * message, and the wipe-set AXFR + the overwrite message happen here
+  * in [[BatchWrite.commit]], which Spark runs on the driver exactly
+  * once after all tasks succeeded. A retried or speculative task
+  * therefore never touches the server, and the window between reading
+  * the wipe set and applying the overwrite is not re-entered per
+  * retry. */
 final class DnsTruncateWrite(opts: DnsSinkOptions, schema: StructType)
   extends Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -199,7 +209,23 @@ final class DnsTruncateWrite(opts: DnsSinkOptions, schema: StructType)
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new DnsWriterFactory(opts, FieldIndices(schema), truncating = true)
-    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      // Driver-side, once per job: read each zone's current names and
+      // send the atomic wipe+add. One partition was demanded, but the
+      // merge is written defensively (and zone order pinned) anyway.
+      val staged = messages.collect { case DnsOverwriteStaged(zones) => zones }
+        .flatten.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq)
+        .toSeq.sortBy(_._1)
+      val client = DnsClients.transferClient(opts.common)
+      val emitter = DnsClients.updateEmitter(opts.common)
+      staged.foreach { case (zone, adds) =>
+        val current = client.transfer(zone, 0L, XfrType.AXFR, opts.common.timeoutSec) match {
+          case AxfrResult(_, records) => records.map(_.fqdn).distinct
+          case IxfrResult(_, deltas) => deltas.flatMap(_.adds).map(_.fqdn).distinct
+        }
+        emitter.overwrite(zone, current, adds)
+      }
+    }
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
@@ -259,13 +285,20 @@ final class DnsWriterFactory(opts: DnsSinkOptions, idx: FieldIndices,
 }
 
 /** Executor-side writer. Buffers validated updates per derived zone;
-  * all network I/O happens in commit() — one message per zone.
+  * on the APPEND path all network I/O happens in commit() — one
+  * message per zone.
   *
-  * Failure semantics: a task that fails before commit() sends nothing
-  * (abort() just drops the buffers), so Spark's retry re-sends the
-  * whole partition. DNS updates are set-semantic (add/delete of a
-  * concrete record), so the retry is idempotent — at-least-once task
-  * execution yields exactly-once observable zone state. */
+  * Failure semantics, append path: a task that fails before commit()
+  * sends nothing (abort() just drops the buffers), so Spark's retry
+  * re-sends the whole partition. Appends are set-semantic (add/delete
+  * of a concrete record), so the retry is idempotent — at-least-once
+  * task execution yields exactly-once observable zone state. That
+  * argument does NOT hold for overwrite (a re-sent wipe+add bumps the
+  * serial twice), so the truncating writer sends nothing at all: it
+  * stages the new content into its commit message and the driver-side
+  * [[DnsTruncateWrite]] BatchWrite.commit — which Spark invokes
+  * exactly once, never for a losing speculative attempt — does the
+  * AXFR + atomic overwrite. */
 final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices,
                           truncating: Boolean = false)
   extends DataWriter[InternalRow] {
@@ -318,24 +351,23 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices,
   }
 
   override def commit(): WriterCommitMessage = {
-    perZone.foreach { case (zone, updates) =>
-      val deduped = LwwDedup(updates.toSeq)
+    val msg: WriterCommitMessage =
       if (truncating) {
-        // Wipe set = the zone's CURRENT names, read over the same
-        // transfer protocol any client would use (AXFR); the wipe and
-        // the adds then travel as one atomic message. The single
-        // partition DnsTruncateWrite demands means this runs once per
-        // zone.
-        val current = DnsClients.transferClient(opts.common)
-          .transfer(zone, 0L, XfrType.AXFR, opts.common.timeoutSec) match {
-          case AxfrResult(_, records) => records.map(_.fqdn).distinct
-          case IxfrResult(_, deltas) => deltas.flatMap(_.adds).map(_.fqdn).distinct
+        // Send NOTHING from the task: overwrite is not retry-
+        // idempotent, so the deduped new content rides the commit
+        // message to the driver (small by construction — it must fit
+        // one update message anyway) and DnsTruncateWrite emits it
+        // exactly once.
+        DnsOverwriteStaged(perZone.toSeq.map { case (z, u) => z -> LwwDedup(u.toSeq) })
+      } else {
+        perZone.foreach { case (zone, updates) =>
+          val deduped = LwwDedup(updates.toSeq)
+          if (deduped.nonEmpty) emitter.update(zone, deduped)
         }
-        emitter.overwrite(zone, current, deduped)
-      } else if (deduped.nonEmpty) emitter.update(zone, deduped)
-    }
+        DnsWriteCommitted
+      }
     perZone.clear()
-    DnsWriteCommitted
+    msg
   }
 
   override def abort(): Unit = perZone.clear()
@@ -343,6 +375,10 @@ final class DnsDataWriter(opts: DnsSinkOptions, idx: FieldIndices,
 }
 
 case object DnsWriteCommitted extends WriterCommitMessage
+
+/** Overwrite content staged task→driver: zone → deduped new records. */
+final case class DnsOverwriteStaged(zones: Seq[(String, Seq[DnsUpdateRecord])])
+  extends WriterCommitMessage
 
 /** Cluster-scale write helpers. */
 object DnsWrites {

@@ -1281,6 +1281,21 @@ object StreamingOps {
     "q_tws_metadata" -> qTwsMetadata,
     "q_tws_changefeed" -> qTwsChangefeed)
 
+  /** Keys whose TIMED bench pass reads a once-per-JVM staged replay
+    * artifact ([[stagedReplay]]/[[stagedTwsReplay]]) rather than
+    * re-running the streaming query: their BENCH_OFFICIAL minima
+    * measure the key's read surface (parquet/state-source scan +
+    * gate reduction), NOT streaming-operator throughput. The replay
+    * itself still runs under the gate (it IS the staging) and
+    * StreamScale re-times true replays; Bench tags these keys in its
+    * output so downstream comparisons don't misread them. */
+  val stagedReadbackKeys: Set[String] = Set(
+    "q_streaming_hourly", "q_streaming_sliding", "q_streaming_dedup",
+    "q_streaming_late", "q_streaming_join", "q_streaming_outer_join",
+    "q_cdc_stream", "q_tws_profile", "q_tws_sessions", "q_tws_lastk",
+    "q_tws_counts", "q_tws_initial", "q_tws_state", "q_tws_metadata",
+    "q_tws_changefeed")
+
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
   val oracles: Map[String, String] = Map(

@@ -38,6 +38,25 @@ class TopKAggSpec extends AnyFunSuite {
     })
   }
 
+  test("property: every intermediate buffer is sorted best-first with size <= k " +
+      "(the invariant reduce's b.last skip depends on)") {
+    val genPair = for {
+      id <- Gen.choose(0L, 500L)
+      score <- Gen.choose(-100L, 100L)
+    } yield (id, score)
+    def sortedBestFirst(b: Seq[(Long, Long)]): Boolean =
+      b.sliding(2).forall {
+        case Seq((i1, s1), (i2, s2)) => s1 > s2 || (s1 == s2 && i1 <= i2)
+        case _ => true
+      }
+    check(Prop.forAll(Gen.listOf(genPair), Gen.choose(1, 6)) { (xs, k) =>
+      val a = agg(k)
+      val afterReduces = xs.scanLeft(a.zero)(a.reduce)
+      val merged = a.merge(afterReduces.last, xs.reverse.foldLeft(a.zero)(a.reduce))
+      (afterReduces :+ merged).forall(b => b.size <= k && sortedBestFirst(b))
+    })
+  }
+
   test("udaf end-to-end: grouped arg-top-k equals the naive computation") {
     import spark.implicits._
     val df = spark.range(1000).select(
