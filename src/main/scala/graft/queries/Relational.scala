@@ -687,8 +687,12 @@ object Relational {
     * aggregates a coarse bucket histogram — shuffle volume is bucket
     * count, not rows, and the partial agg compresses map-side; the
     * cumulative-frequency window that locates the rank-(n+1)/2 bucket
-    * runs over that TINY histogram. Pass 2 ranks only the located
-    * bucket's rows (~n / #buckets of the data) to read the value off.
+    * runs over that TINY histogram. Pass 2 refines the located bucket
+    * one more level, down to width 1: an exact per-value histogram of
+    * the bucket's rows (≤ 65536 entries per group, the bucket width),
+    * so the same cumulative-frequency pick reads the value off a
+    * BOUNDED frame — no task ever sorts raw rows, however many rows
+    * the bucket holds or however clustered the values are.
     * A single `Window.partitionBy(group)` over raw rows would instead
     * sort each group in ONE task — the measured 3.4 s version of this
     * key, vs 2.2 s two-phase (the residue is the 5-sequential-pass
@@ -700,36 +704,69 @@ object Relational {
     * q_quantile_sketch; this is the exact variant an oracle replays
     * bit-for-bit (the oracle computes the same medians its own way —
     * medians are algorithm-independent). Cents-integer end to end. */
-  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+  /** The heavy-tailed cents column qMadOutliers runs on — shared with
+    * PlanAuditSpec so the phase audit sees the real input. */
+  private[queries] def madCents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = t(s, dir, "lineitem").select($"l_returnflag".as("grp"),
+    t(s, dir, "lineitem").select($"l_returnflag".as("grp"),
       (round($"l_extendedprice" * 100).cast("long") *
         when($"l_orderkey" % 97 === 0, 25L).otherwise(1L)).as("cents"))
-    // two-phase exact lower-median (rank (n+1)/2) of `col` per group.
-    // Group row counts come from the HISTOGRAM itself (sum of bucket
-    // frequencies over the tiny frame), never a separate full scan;
+  }
+
+  /** Two-phase exact lower-median per group, PRE-checkpoint (the plan
+    * PlanAuditSpec audits — qMadOutliers checkpoints it, which
+    * truncates the lineage to an RDD scan).
+    *
+    * Pass 1: coarse 65536-wide bucket histogram — shuffle volume is
+    * bucket count, never rows; the cumulative-frequency window that
+    * locates the rank-(n+1)/2 bucket runs over that tiny frame. Group
+    * row counts come from the HISTOGRAM itself, never a second scan.
+    * Pass 2: one more refinement level, down to width 1 — an EXACT
+    * per-value histogram of the located bucket's rows. The groupBy
+    * compresses map-side to ≤ 65536 (grp, value) keys per group (the
+    * bucket width), so the shuffle and the rank-pick window both see
+    * bounded frames no matter how many raw rows the bucket holds —
+    * the row_number-over-raw-rows alternative sorts the whole bucket
+    * in ONE task per group (hundreds of GB at 100 TB on clustered
+    * distributions; r14 verdict's one weak plan). Selecting by
+    * cumulative frequency over distinct values is bit-identical to
+    * ranking rows: equal values collapse into one histogram entry
+    * whose cf range covers the target rank. */
+  private[queries] def histMedianPlan(vals: DataFrame, c: String, as: String): DataFrame = {
+    val bucketed = vals.withColumn("bucket", expr(s"$c DIV 65536"))
+    val hist = bucketed.groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("f")).localCheckpoint()
+    val counts = hist.groupBy(col("grp")).agg(sum(col("f")).as("n"))
+    val target = hist.withColumn("cf", sum(col("f")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(counts), "grp")
+      .filter(col("cf") >= expr("(n + 1) DIV 2") &&
+        col("cf") - col("f") < expr("(n + 1) DIV 2"))
+      .select(col("grp"), col("bucket"), (col("cf") - col("f")).as("cum_before"),
+        expr("(n + 1) DIV 2").as("rank"))
+    bucketed.join(broadcast(target), Seq("grp", "bucket"))
+      .groupBy(col("grp"), bucketed(c).as("v"))
+      .agg(count(lit(1)).as("vf"),
+        max(col("rank")).as("rank"), max(col("cum_before")).as("cum_before"))
+      .withColumn("vcf", sum(col("vf")).over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_before") + col("vcf") >= col("rank") &&
+        col("cum_before") + col("vcf") - col("vf") < col("rank"))
+      .select(col("grp"), col("v").as(as))
+  }
+
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = madCents(s, dir)
+    // two-phase exact lower-median (rank (n+1)/2) of `col` per group;
     // the ≤ #groups-row fence result is localCheckpoint-pinned so its
-    // 2-3 downstream consumers don't replay the scan lineage.
-    def histMedian(vals: DataFrame, col: String, as: String): DataFrame = {
-      val bucketed = vals.withColumn("bucket", expr(s"$col DIV 65536"))
-      val hist = bucketed.groupBy($"grp", $"bucket").agg(count(lit(1)).as("f"))
-        .localCheckpoint()
-      val counts = hist.groupBy($"grp").agg(sum($"f").as("n"))
-      val target = hist.withColumn("cf", sum($"f").over(
-          Window.partitionBy($"grp").orderBy($"bucket")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(counts), "grp")
-        .filter($"cf" >= expr("(n + 1) DIV 2") &&
-          $"cf" - $"f" < expr("(n + 1) DIV 2"))
-        .select($"grp", $"bucket", ($"cf" - $"f").as("cum_before"),
-          expr("(n + 1) DIV 2").as("rank"))
-      bucketed.join(broadcast(target), Seq("grp", "bucket"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"grp").orderBy(col)))
-        .filter($"rn" === $"rank" - $"cum_before")
-        .select($"grp", bucketed(col).as(as))
-        .localCheckpoint()
-    }
+    // 2-3 downstream consumers don't replay the scan lineage
+    // (histMedianPlan holds the phase shapes, pre-checkpoint, so
+    // PlanAuditSpec can see past the lineage truncation).
+    def histMedian(vals: DataFrame, col: String, as: String): DataFrame =
+      histMedianPlan(vals, col, as).localCheckpoint()
     val med = histMedian(li, "cents", "median_cents")
     val dev = li.join(broadcast(med), "grp")
       .select($"grp", abs($"cents" - $"median_cents").as("adev"))

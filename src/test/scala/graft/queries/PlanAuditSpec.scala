@@ -721,6 +721,42 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle on the group key for a join
     assert(!s.contains("SortMergeJoin"), s)
     assert(!s.contains("ShuffledHashJoin"), s)
+    assert(!s.contains("row_number"), s)
+  }
+
+  test("q_mad_outliers median phase: no unbounded per-group sort of raw rows (r14 fix)") {
+    // Audit the PRE-checkpoint phase plan (qMadOutliers truncates it
+    // to an RDD scan): every window must sit on histogram rows —
+    // an aggregate (or the checkpointed pass-1 histogram, itself
+    // ≤ #buckets rows/group) must separate it from any file scan. The
+    // old shape ranked the target bucket's RAW rows with row_number,
+    // one task per group — the suite's one scale-killer (r14 verdict).
+    val phase = Relational.histMedianPlan(
+      Relational.madCents(spark, dir), "cents", "median_cents")
+    val p = executed(phase)
+    assert(!p.toString.contains("row_number"), p.toString)
+    val windows = collectNodes(p).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows.nonEmpty, "expected cumulative-frequency windows in the phase plan")
+    // walk each window's subtree, pruning at aggregates: nothing left
+    // may be a row-level file scan
+    def rawScanBelow(n: SparkPlan): Boolean = {
+      val name = n.getClass.getSimpleName
+      if (name.contains("HashAggregate") || name.contains("SortAggregate")) false
+      else if (name.contains("FileSourceScan") || name.contains("BatchScan")) true
+      else {
+        val kids = n match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case _ => n.children
+        }
+        kids.exists(rawScanBelow)
+      }
+    }
+    windows.foreach { w =>
+      assert(!w.children.exists(rawScanBelow),
+        s"window fed by raw file-scan rows (unbounded per-group sort):\n$w")
+    }
   }
 
   test("unicode pair: pure map work — no exchange below the output sort") {
