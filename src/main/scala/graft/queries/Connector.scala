@@ -1029,6 +1029,75 @@ object Connector {
       |FROM (SELECT unnest(generate_series(0, 4)) AS i)
       |ORDER BY fqdn""".stripMargin
 
+  /** TopN pushdown (`SupportsPushDownTopN`) under the oracle gate —
+    * the natural completion of the pushdown surface after COUNT and
+    * LIMIT (the reference has none of it: DnsSourceRelation.java:17 is
+    * a plain TableScan). Four zones, NO static filter: each of the
+    * four partition readers sorts its own zone's records by fqdn
+    * in memory (a zone is bounded by message size) and ships its top
+    * 7; Spark's TakeOrdered merges 28 candidate rows instead of
+    * resorting all 46 — at estate scale, top-k over the scan moves
+    * k×zones rows, not the estate. Deterministic: fqdn is globally
+    * unique, so the top-7 set has no tie to break. The pushed shape
+    * (`PushedTopN=[ORDER BY fqdn ASC LIMIT 7]`) is plan-asserted in
+    * ReadConnectorSpec. */
+  def qDnsTopn(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_topn")
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select("action", "fqdn", "ip", "zone")
+      .orderBy("fqdn")
+      .limit(7)
+  }
+
+  private val qDnsTopnOracle: String =
+    """WITH h AS (
+      |  SELECT 'AXFR' AS action, 'h'||i||'.z'||j||'.graft.' AS fqdn,
+      |    '10.'||j||'.0.'||i AS ip, 'z'||j||'.graft.' AS zone
+      |  FROM (SELECT unnest(generate_series(0,3)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0,12)) AS i)
+      |  WHERE i <= 9 + j)
+      |SELECT * FROM h ORDER BY fqdn LIMIT 7""".stripMargin
+
+  /** OFFSET pushdown (`SupportsPushDownOffset`) composed with a
+    * COMPLETE TopN push: the zone filter statically prunes to ONE
+    * partition, so the scan's row order IS the global order — Spark
+    * pushes `ORDER BY fqdn LIMIT 5 OFFSET 2` as topN(fqdn, 7) +
+    * offset(2), drops its own sort/limit/offset nodes entirely, and
+    * the reader's sorted take(7).drop(2) is the answer (rows h10, h11,
+    * h2, h3, h4 of the lexicographic order — the stringy sort is the
+    * point, it pins the reader's UTF8 comparison against DuckDB's).
+    * A multi-zone scan refuses the offset (skipping m rows per
+    * partition is not the global skip); that refusal is spec-pinned. */
+  def qDnsOffset(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_offset")
+    seedReadFixture(port)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "z0.graft,z1.graft,z2.graft,z3.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .filter(col("zone") === "z2.graft.")
+      .select("action", "fqdn", "ip", "zone")
+      .orderBy("fqdn")
+      .offset(2)
+      .limit(5)
+  }
+
+  private val qDnsOffsetOracle: String =
+    """SELECT 'AXFR' AS action, 'h'||i||'.z2.graft.' AS fqdn,
+      |  '10.2.0.'||i AS ip, 'z2.graft.' AS zone
+      |FROM (SELECT unnest(generate_series(0, 11)) AS i)
+      |ORDER BY fqdn LIMIT 5 OFFSET 2""".stripMargin
+
   /** Storage-partitioned join (`SupportsReportPartitioning` +
     * `HasPartitionKey`) under the oracle gate: every record joined to
     * its zone's record census — two scans of the same estate, both
@@ -1127,6 +1196,8 @@ object Connector {
     "q_dns_overwrite" -> qDnsOverwrite,
     "q_dns_pushed_count" -> qDnsPushedCount,
     "q_dns_limit" -> qDnsLimit,
+    "q_dns_topn" -> qDnsTopn,
+    "q_dns_offset" -> qDnsOffset,
     "q_dns_spj" -> qDnsSpj,
   )
 
@@ -1158,6 +1229,8 @@ object Connector {
     "q_dns_overwrite" -> qDnsOverwriteOracle,
     "q_dns_pushed_count" -> qDnsPushedCountOracle,
     "q_dns_limit" -> qDnsLimitOracle,
+    "q_dns_topn" -> qDnsTopnOracle,
+    "q_dns_offset" -> qDnsOffsetOracle,
     "q_dns_spj" -> qDnsSpjOracle,
   )
 }

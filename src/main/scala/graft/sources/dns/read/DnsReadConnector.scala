@@ -6,11 +6,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -80,42 +81,150 @@ final class DnsTable(opts: DnsSourceOptions) extends Table with SupportsRead
     new DnsScanBuilder(opts)
 }
 
+/** Zone-predicate algebra shared by the static (`SupportsPushDownV2Filters`)
+  * and runtime (`SupportsRuntimeV2Filtering`) pruning paths. V2
+  * `Predicate`s are Spark 4's forward-facing pushdown currency (the V1
+  * `Filter` translation is the legacy path); both prune the same way:
+  * exact string match against the normalized zone names rows carry. */
+private[read] object ZonePredicates {
+  private def isZoneRef(e: V2Expression): Boolean = e match {
+    case n: NamedReference => n.fieldNames.sameElements(Array("zone"))
+    case _ => false
+  }
+
+  private def strLit(e: V2Expression): Option[String] = e match {
+    case l: V2Literal[_] if l.dataType == StringType && l.value != null =>
+      Some(l.value.toString)
+    case _ => None
+  }
+
+  /** Some(prunedZones) iff the predicate is a supported zone shape
+    * (`zone = 'x.'`, `zone IN (...)`, `zone IS NOT NULL`); None means
+    * "can't consume — Spark keeps it above the scan". The null check
+    * Spark adds around a zone equality/grouping is a no-op (every
+    * emitted row carries a zone) — accepting it matters because a
+    * residual filter node between scan and aggregate would veto
+    * COUNT(*) pushdown. */
+  def prune(zones: Seq[String], p: Predicate): Option[Seq[String]] = p.name() match {
+    case "=" => p.children() match {
+      case Array(a, b) if isZoneRef(a) => strLit(b).map(v => zones.filter(_ == v))
+      case Array(a, b) if isZoneRef(b) => strLit(a).map(v => zones.filter(_ == v))
+      case _ => None
+    }
+    case "IN" =>
+      val cs = p.children()
+      if (cs.nonEmpty && isZoneRef(cs(0))) {
+        val vs = cs.tail.map(strLit)
+        if (vs.forall(_.isDefined)) {
+          val wanted = vs.flatten.toSet
+          Some(zones.filter(wanted.contains))
+        } else None
+      } else None
+    case "IS_NOT_NULL" =>
+      if (p.children().length == 1 && isZoneRef(p.children()(0))) Some(zones)
+      else None
+    case _ => None
+  }
+}
+
+/** One column of a pushed ORDER BY: name + direction (`nullsFirst`
+  * recorded for the description; no dns column is nullable). */
+final case class SortSpec(field: String, ascending: Boolean, nullsFirst: Boolean) {
+  def describe: String = s"$field ${if (ascending) "ASC" else "DESC"}"
+}
+
+/** Marker for a pushed ORDER BY ... LIMIT: per-partition sort + take.
+  * Complete (single-zone) pushdown may carry a `PushedOffset` too. */
+final case class PushedTopN(orders: Seq[SortSpec], limit: Int)
+
 /** Pushdown upgrades over the reference's plain TableScan (SURVEY §4):
   *
-  *  - zone-equality filters (`zone = 'x.'`, `zone IN (...)`) prune the
-  *    zone list BEFORE partition planning — a pruned zone is a whole
-  *    zone transfer (network round-trip + full zone payload) that never
-  *    happens. Exact because the `zone` column of every row in a
-  *    partition IS the partition's zone name.
+  *  - zone-equality predicates (`zone = 'x.'`, `zone IN (...)`) prune
+  *    the zone list BEFORE partition planning — a pruned zone is a
+  *    whole zone transfer (network round-trip + full zone payload)
+  *    that never happens. Exact because the `zone` column of every row
+  *    in a partition IS the partition's zone name. Spark 4's V2
+  *    `Predicate` surface (`SupportsPushDownV2Filters`) — the V1
+  *    `Filter` translation this replaces is the legacy path Catalyst
+  *    may stop producing.
   *  - column pruning narrows the rows the reader materializes; a
   *    `select(fqdn, ip)` no longer builds 6-field rows.
+  *  - COUNT(*) / LIMIT / ORDER-BY-LIMIT / OFFSET pushdowns below.
   *
-  * The `serial` option remains the third pushdown: a source-level
+  * The `serial` option remains a further pushdown: a source-level
   * "changes since" predicate evaluated by the DNS server itself during
   * IXFR (reference DnsZoneRDD.java:76-80).
   */
 final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates with SupportsPushDownLimit
+  with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var zones: Seq[String] = opts.zones
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Predicate] = Array.empty
   private var required: StructType = DnsSchemas.read
   private var pushedAgg: Option[PushedCountAgg] = None
   private var limit: Option[Int] = None
+  private var topN: Option[PushedTopN] = None
+  private var offset: Option[Int] = None
 
-  /** LIMIT pushdown — PARTIAL by contract (`isPartiallyPushed`): each
-    * partition's reader stops materializing after `n` rows and Spark
-    * keeps the global limit above the scan. The zone transfer itself
-    * still runs (the protocol has no partial-transfer form), so what
-    * the pushdown saves is row materialization and scan→limit traffic
-    * on wide zones — and it composes with aggregate pushdown by
-    * refusing: a LIMIT under a pushed COUNT would change the count. */
+  /** LIMIT pushdown — partial on a multi-zone scan (each partition's
+    * reader stops materializing after `n` rows; Spark keeps the global
+    * limit), COMPLETE on a single-zone scan (one partition IS the
+    * global row order, so the scan's `n` rows are the answer and the
+    * plan drops its limit node). The zone transfer itself still runs
+    * (the protocol has no partial-transfer form) — the saving is row
+    * materialization and scan→limit traffic on wide zones. Composes
+    * with aggregate pushdown by refusing: a LIMIT under a pushed COUNT
+    * would change the count. */
   override def pushLimit(n: Int): Boolean =
     if (pushedAgg.isDefined) false
     else { limit = Some(n); true }
 
-  override def isPartiallyPushed(): Boolean = true
+  /** ORDER BY ... LIMIT pushdown (`SupportsPushDownTopN`): the reader
+    * sorts its zone's records in memory (a zone is bounded by message
+    * size — it's already a materialized Seq) and emits the top n.
+    * Multi-zone: partial — Spark merges the per-partition top-n's.
+    * Single zone: complete — the scan output IS the query result
+    * (partition-ordered for free under the one-partition-per-zone
+    * contract), and OFFSET composes ([[pushOffset]]). Sort columns may
+    * be outside the projected schema (a complete pushdown removes the
+    * Sort node, so nothing upstream keeps them alive) — the reader
+    * materializes them for the comparison and projects them away. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (pushedAgg.isDefined || orders.isEmpty) false
+    else {
+      val specs = orders.toSeq.map(parseOrder)
+      if (specs.exists(_.isEmpty)) false
+      else { topN = Some(PushedTopN(specs.flatten, n)); true }
+    }
+  }
+
+  private def parseOrder(o: SortOrder): Option[SortSpec] = o.expression() match {
+    case n: NamedReference if n.fieldNames.length == 1 &&
+        (DnsSchemas.read.fieldNames.contains(n.fieldNames()(0)) ||
+          DnsSchemas.metadata.fieldNames.contains(n.fieldNames()(0))) =>
+      Some(SortSpec(n.fieldNames()(0),
+        o.direction() == SortDirection.ASCENDING,
+        o.nullOrdering() == NullOrdering.NULLS_FIRST))
+    case _ => None
+  }
+
+  /** Complete pushdown needs the scan's row order to BE the global
+    * order — true exactly when one zone survives static pruning (one
+    * partition). Spark consults this for both LIMIT and TopN; on a
+    * complete push it drops its own sort/limit nodes and, for
+    * `LIMIT k OFFSET m`, goes on to offer the offset. */
+  override def isPartiallyPushed(): Boolean = zones.length != 1
+
+  /** OFFSET pushdown — single-zone scans only (skipping `m` rows per
+    * PARTITION is only the global skip when there is one partition).
+    * Spark offers it after a COMPLETE limit/TopN push (as
+    * `pushTopN(orders, k + m)` + `pushOffset(m)`) or standalone for a
+    * bare `.offset(m)`. */
+  override def pushOffset(n: Int): Boolean =
+    if (pushedAgg.isDefined || zones.length != 1) false
+    else { offset = Some(n); true }
 
   /** COUNT(*) pushdown (`SupportsPushDownAggregates`): a zone-level
     * record census — the monitoring query a DNS estate runs all day —
@@ -159,30 +268,18 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
     }
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (zoneFilters, rest) = filters.partition {
-      case EqualTo("zone", _: String) => true
-      case In("zone", _) => true
-      // `zone` is populated on every row the reader emits, so the
-      // null check Spark adds around a zone equality/grouping is a
-      // no-op — accepting it matters because a residual filter node
-      // between scan and aggregate would veto COUNT(*) pushdown.
-      case org.apache.spark.sql.sources.IsNotNull("zone") => true
-      case _ => false
-    }
-    // Exact-match semantics: values are compared verbatim against the
-    // normalized zone names rows carry (a filter on an un-normalized
-    // name matches no rows either way).
-    zoneFilters.foreach {
-      case EqualTo("zone", v: String) => zones = zones.filter(_ == v)
-      case In("zone", vs) => zones = zones.filter(z => vs.contains(z: Any))
-      case _ => ()
-    }
-    pushed = zoneFilters
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    // Exact-match semantics: values compare verbatim against the
+    // normalized zone names rows carry (a predicate on an
+    // un-normalized name matches no rows either way).
+    val (zonePreds, rest) = predicates.partition(
+      p => ZonePredicates.prune(zones, p).isDefined)
+    zonePreds.foreach(p => zones = ZonePredicates.prune(zones, p).get)
+    pushed = zonePreds
     rest // everything else is evaluated by Spark above the scan
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[Predicate] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // After aggregate pushdown the scan's output IS the aggregation
@@ -198,7 +295,8 @@ final class DnsScanBuilder(opts: DnsSourceOptions) extends ScanBuilder
         DnsSchemas.metadata.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = new DnsScan(opts, zones, required, pushedAgg, limit)
+  override def build(): Scan =
+    new DnsScan(opts, zones, required, pushedAgg, limit, pushed, topN, offset)
 }
 
 /** Marker for a pushed-down COUNT(*): `byZone` = grouped by `zone`
@@ -208,8 +306,11 @@ final case class PushedCountAgg(byZone: Boolean)
 
 final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructType,
                     pushedAgg: Option[PushedCountAgg] = None,
-                    pushedLimit: Option[Int] = None)
-  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
+                    pushedLimit: Option[Int] = None,
+                    pushedPreds: Array[Predicate] = Array.empty,
+                    pushedTopN: Option[PushedTopN] = None,
+                    pushedOffset: Option[Int] = None)
+  extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
   with SupportsReportPartitioning {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
@@ -226,9 +327,14 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
   override def description(): String =
     s"DnsScan(server=${opts.common.server}, zones=${runtimeZones.mkString(",")}, " +
       s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}]" +
+      (if (pushedPreds.nonEmpty)
+        s", PushedPredicates=[${pushedPreds.map(_.describe()).mkString(", ")}]" else "") +
       pushedAgg.map(a => s", PushedAggregation=[COUNT(*)${if (a.byZone) " GROUP BY zone" else ""}]")
         .getOrElse("") +
-      pushedLimit.map(n => s", PushedLimit=LIMIT $n").getOrElse("") + ")"
+      pushedTopN.map(t => s", PushedTopN=[ORDER BY ${t.orders.map(_.describe).mkString(", ")} " +
+        s"LIMIT ${t.limit}]").getOrElse("") +
+      pushedLimit.map(n => s", PushedLimit=LIMIT $n").getOrElse("") +
+      pushedOffset.map(n => s", PushedOffset=OFFSET $n").getOrElse("") + ")"
 
   /** DPP handshake: declare `zone` runtime-filterable. Spark's
     * PartitionPruning rule then plants a DynamicPruningSubquery on any
@@ -277,17 +383,15 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
     else new UnknownPartitioning(runtimeZones.length)
   }
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+  override def filterAttributes(): Array[NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("zone"))
 
-  override def filter(filters: Array[Filter]): Unit =
-    filters.foreach {
-      // Same exact-match contract as the static pushdown: values
-      // compare verbatim against normalized zone names.
-      case EqualTo("zone", v: String) => runtimeZones = runtimeZones.filter(_ == v)
-      case In("zone", vs) => runtimeZones = runtimeZones.filter(z => vs.contains(z: Any))
-      case _ => () // unsupported shape: keep the superset; Spark still
-                   // applies the predicate above the scan
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      // Same exact-match contract (and the same V2 Predicate algebra)
+      // as the static pushdown; an unsupported shape keeps the
+      // superset — Spark still applies the predicate above the scan.
+      ZonePredicates.prune(runtimeZones, p).foreach(runtimeZones = _)
     }
 
   // Registered ONCE per scan (lazy), over the statically-pruned zone
@@ -308,7 +412,8 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 
   override def toBatch: Batch =
     new DnsBatch(opts, runtimeZones, schema,
-      runtimeZones.map(z => z -> opts.serial).toMap, accs, pushedAgg, pushedLimit)
+      runtimeZones.map(z => z -> opts.serial).toMap, accs, pushedAgg, pushedLimit,
+      pushedTopN, pushedOffset)
 
   override def toMicroBatchStream(checkpointLocation: String) =
     new DnsMicroBatchStream(opts, zones, schema, checkpointLocation)
@@ -319,7 +424,9 @@ final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructT
                      serials: Map[String, Long],
                      accs: Map[String, ZoneVersion],
                      pushedAgg: Option[PushedCountAgg] = None,
-                     pushedLimit: Option[Int] = None) extends Batch {
+                     pushedLimit: Option[Int] = None,
+                     pushedTopN: Option[PushedTopN] = None,
+                     pushedOffset: Option[Int] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] =
     zones.zipWithIndex.map { case (zone, i) =>
@@ -328,7 +435,8 @@ final class DnsBatch(opts: DnsSourceOptions, zones: Seq[String], schema: StructT
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, schema, accs, pushedAgg, pushedLimit)
+    new DnsReaderFactory(opts, schema, accs, pushedAgg, pushedLimit,
+      pushedTopN, pushedOffset)
 }
 
 /** One partition per zone (reference DnsZonePartition.java:11-19).
@@ -344,12 +452,15 @@ final case class DnsZoneInputPartition(index: Int, zone: String, serial: Long)
 final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
                              accs: Map[String, ZoneVersion],
                              pushedAgg: Option[PushedCountAgg] = None,
-                             pushedLimit: Option[Int] = None)
+                             pushedLimit: Option[Int] = None,
+                             pushedTopN: Option[PushedTopN] = None,
+                             pushedOffset: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DnsZoneInputPartition]
-    new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg, pushedLimit)
+    new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg, pushedLimit,
+      pushedTopN, pushedOffset)
   }
 }
 
@@ -363,7 +474,9 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
                                p: DnsZoneInputPartition,
                                acc: Option[ZoneVersion],
                                pushedAgg: Option[PushedCountAgg] = None,
-                               pushedLimit: Option[Int] = None)
+                               pushedLimit: Option[Int] = None,
+                               pushedTopN: Option[PushedTopN] = None,
+                               pushedOffset: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   // Configuration errors (unknown client name) must always propagate;
@@ -417,9 +530,19 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
           Iterator.single(row.asInstanceOf[InternalRow])
         }
       case None =>
+        // A pushed ORDER BY may name columns the projection pruned
+        // away (a COMPLETE TopN push removes the Sort node, so nothing
+        // upstream keeps them alive): materialize them for the
+        // comparison, project them away after.
+        val sortOnly: Seq[String] = pushedTopN
+          .map(_.orders.map(_.field).distinct.filterNot(schema.fieldNames.contains))
+          .getOrElse(Seq.empty)
+        val buildSchema = StructType(schema.fields ++ sortOnly.map(f =>
+          (DnsSchemas.read.fields ++ DnsSchemas.metadata.fields).find(_.name == f)
+            .getOrElse(throw new IllegalStateException(s"unknown dns sort column '$f'"))))
         // Only the pruned columns are materialized (SupportsPushDownRequiredColumns).
         val fieldWriters: Array[(InternalRow, Int, String, ARecord) => Unit] =
-          schema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
+          buildSchema.fieldNames.map[(InternalRow, Int, String, ARecord) => Unit] {
             case "action" => (row, i, action, _) => row.update(i, UTF8String.fromString(action))
             case "fqdn" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.fqdn.toLowerCase(java.util.Locale.ROOT)))
             case "ip" => (row, i, _, rec) => row.update(i, UTF8String.fromString(rec.ip))
@@ -430,14 +553,68 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
             case "_xfr_kind" => (row, i, _, _) => row.update(i, UTF8String.fromString(xferKind))
             case other => throw new IllegalStateException(s"unknown dns column '$other'")
           }
-        // Partial limit: stop materializing past the pushed bound —
-        // Spark's global limit above the scan finishes the job.
-        pushedLimit.foldLeft(changes.iterator)((it, n) => it.take(n)).map { case (action, rec) =>
+        def build(action: String, rec: ARecord): InternalRow = {
           val row = new GenericInternalRow(fieldWriters.length)
           var i = 0
           while (i < fieldWriters.length) { fieldWriters(i)(row, i, action, rec); i += 1 }
-          row.asInstanceOf[InternalRow]
+          row
         }
+        val selected: Iterator[InternalRow] = pushedTopN match {
+          case Some(t) =>
+            // Pushed ORDER BY ... LIMIT: in-memory sort of the zone's
+            // already-materialized record list (bounded by the DNS
+            // message size), stable so ties keep serve order. Take
+            // BEFORE drop: a complete push arrives as
+            // pushTopN(orders, k + m) + pushOffset(m).
+            val cmp = topNOrdering(t, buildSchema)
+            changes.map { case (a, r) => build(a, r) }.sorted(cmp)
+              .iterator.take(t.limit).drop(pushedOffset.getOrElse(0))
+          case None =>
+            // Partial limit: stop materializing past the pushed bound —
+            // Spark's global limit above the scan finishes the job (a
+            // single-zone complete push takes exactly the answer).
+            val limited = pushedLimit.foldLeft(
+              changes.iterator.map { case (a, r) => build(a, r) })((it, n) => it.take(n))
+            limited.drop(pushedOffset.getOrElse(0))
+        }
+        // project away sort-only columns (they sit appended, so the
+        // output row is the first schema.length fields)
+        if (sortOnly.isEmpty) selected
+        else selected.map { r =>
+          val out = new GenericInternalRow(schema.length)
+          var i = 0
+          while (i < schema.length) {
+            schema(i).dataType match {
+              case StringType => out.update(i, r.getUTF8String(i))
+              case LongType | TimestampType => out.setLong(i, r.getLong(i))
+              case other => throw new IllegalStateException(s"unexpected dns column type $other")
+            }
+            i += 1
+          }
+          out.asInstanceOf[InternalRow]
+        }
+    }
+  }
+
+  /** Row ordering for a pushed TopN: column-by-column comparison over
+    * the build schema (strings and long-backed timestamps are the only
+    * dns column kinds; nothing is nullable). */
+  private def topNOrdering(t: PushedTopN, buildSchema: StructType): Ordering[InternalRow] = {
+    val keys: Seq[(Int, DataType, Boolean)] = t.orders.map(o =>
+      (buildSchema.fieldIndex(o.field), buildSchema(o.field).dataType, o.ascending))
+    (a: InternalRow, b: InternalRow) => {
+      var res = 0
+      val it = keys.iterator
+      while (res == 0 && it.hasNext) {
+        val (i, dt, asc) = it.next()
+        val c = dt match {
+          case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+          case LongType | TimestampType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+          case other => throw new IllegalStateException(s"unexpected dns sort column type $other")
+        }
+        res = if (asc) c else -c
+      }
+      res
     }
   }
 

@@ -190,6 +190,60 @@ class ReadConnectorSpec extends AnyFunSuite {
     assert(df.count() == 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("zones=example.acme."), plan)
+    // V2 predicate surface (SupportsPushDownV2Filters): the pushed
+    // shapes are part of the scan description
+    assert(plan.contains("PushedPredicates=["), plan)
+    assert(plan.contains("zone = 'example.acme.'"), plan)
+  }
+
+  test("TopN pushes down: partial on multi-zone, complete (with OFFSET) on single zone") {
+    seeded(5325)
+    // multi-zone: PARTIAL — each partition ships its own top 3 and
+    // Spark's TakeOrdered merges 6 candidates, not the estate
+    val multi = read(5325, "xfr" -> "AXFR")
+      .select("fqdn", "ip").orderBy(col("fqdn").desc).limit(3)
+    val mp = multi.queryExecution.executedPlan.toString
+    assert(mp.contains("PushedTopN=[ORDER BY fqdn DESC LIMIT 3]"), mp)
+    assert(mp.contains("TakeOrdered"), s"partial contract keeps Spark's merge:\n$mp")
+    assert(multi.collect().map(_.getString(0)).toSeq ==
+      Seq("red.example.acme.", "green.example.acme.", "blue.example.acme."))
+    // multi-zone OFFSET is refused (a per-partition skip is not the
+    // global skip), so Spark keeps the offset in its own plan
+    val moff = read(5325, "xfr" -> "AXFR")
+      .select("fqdn").orderBy("fqdn").offset(1).limit(2)
+    val mop = moff.queryExecution.executedPlan.toString
+    assert(!mop.contains("PushedOffset"), mop)
+    assert(moff.collect().map(_.getString(0)).toSeq ==
+      Seq("b.another.zone.", "blue.example.acme."))
+    // single zone: COMPLETE — sort/limit/offset all consumed by the
+    // scan (LIMIT 2 OFFSET 1 arrives as topN(3) + offset(1)); no sort
+    // node remains above it
+    val one = read(5325, "xfr" -> "AXFR")
+      .filter(col("zone") === "example.acme.")
+      .select("ip", "fqdn").orderBy("fqdn").offset(1).limit(2)
+    val op = one.queryExecution.executedPlan.toString
+    assert(op.contains("PushedTopN=[ORDER BY fqdn ASC LIMIT 3]"), op)
+    assert(op.contains("PushedOffset=OFFSET 1"), op)
+    assert(!op.contains("TakeOrdered") && !op.contains("Sort "), op)
+    assert(one.collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("10.1.0.2", "green.example.acme."), ("10.1.0.1", "red.example.acme.")))
+    // a complete push removes the Sort node, so the projection may
+    // prune the sort column from the scan schema — the reader
+    // materializes it for the comparison and projects it away
+    val pruned = read(5325, "xfr" -> "AXFR")
+      .filter(col("zone") === "example.acme.")
+      .orderBy("fqdn").limit(2).select("ip")
+    val pp = pruned.queryExecution.executedPlan.toString
+    assert(pp.contains("PushedTopN=[ORDER BY fqdn ASC LIMIT 2]"), pp)
+    assert(pp.contains("columns=[ip]"), s"sort column must not widen the output schema:\n$pp")
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("10.1.0.3", "10.1.0.2"))
+    // TopN refuses under a pushed COUNT, exactly like LIMIT
+    val aggTop = read(5325, "xfr" -> "AXFR")
+      .groupBy(col("zone")).agg(org.apache.spark.sql.functions.expr("count(*)").as("n"))
+      .orderBy("zone").limit(1)
+    val ap = aggTop.queryExecution.executedPlan.toString
+    assert(ap.contains("PushedAggregation") && !ap.contains("PushedTopN"), ap)
+    assert(aggTop.collect().map(_.getString(0)).toSeq == Seq("another.zone."))
   }
 
   test("runtime filtering: a zone-dim join prunes transfers via dynamic partition pruning") {
