@@ -26,13 +26,16 @@ final case class DnsSourceOptions(common: DnsCommonOptions,
                                   ignoreFailures: Boolean,
                                   maxKeptCommits: Int,
                                   fixedTimestampMicros: Option[Long],
-                                  estimatedZoneBytes: Long) {
+                                  estimatedZoneBytes: Long,
+                                  estimatedZoneRows: Long) {
   require(organization.nonEmpty, "option 'organization' is required")
   require(zones.nonEmpty, "option 'zones' is required (CSV of zone names)")
   require(serial >= 0, s"option 'serial' must be >= 0: $serial")
   require(maxKeptCommits > 0, s"option 'max-kept-commits' must be > 0: $maxKeptCommits")
   require(estimatedZoneBytes > 0,
     s"option 'estimated-zone-bytes' must be > 0: $estimatedZoneBytes")
+  require(estimatedZoneRows > 0,
+    s"option 'estimated-zone-rows' must be > 0: $estimatedZoneRows")
 }
 
 final case class DnsSinkOptions(common: DnsCommonOptions)
@@ -50,6 +53,12 @@ object DnsOptions {
     * estimate exists to enable); a wrong value changes plan choice,
     * never results. 256 KiB ≈ a few thousand A records. */
   val DefaultEstimatedZoneBytes = 256L * 1024L
+  /** Row-count companion to the bytes bound: expected records per zone
+    * (256 KiB at ~128 B per A-record row). Feeds the scan's reported
+    * `numRows` + per-column statistics, which is what lets the
+    * cost-based optimizer ORDER a multi-way join involving the
+    * connector — a wrong value changes plan choice, never results. */
+  val DefaultEstimatedZoneRows = 2048L
   /** `inmemory` (default) talks to the in-process server directly;
     * `wire` is a real TCP client speaking RFC 1035/1995/2136 (the
     * reference's dnsjava role) — loopback-only in this zero-egress
@@ -85,7 +94,9 @@ object DnsOptions {
       maxKeptCommits = o.get("max-kept-commits").map(_.toInt).getOrElse(DefaultMaxKeptCommits),
       fixedTimestampMicros = o.get("fixed-timestamp-micros").map(_.toLong),
       estimatedZoneBytes = o.get("estimated-zone-bytes").map(_.toLong)
-        .getOrElse(DefaultEstimatedZoneBytes))
+        .getOrElse(DefaultEstimatedZoneBytes),
+      estimatedZoneRows = o.get("estimated-zone-rows").map(_.toLong)
+        .getOrElse(DefaultEstimatedZoneRows))
   }
 
   def sink(javaMap: java.util.Map[String, String]): DnsSinkOptions =

@@ -343,21 +343,48 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
     * surviving values, and re-plans partitions — so the transfers for
     * runtime-eliminated zones never start. */
   /** Planner statistics (`SupportsReportStatistics`), reported AFTER
-    * static pushdown so a pruned zone shrinks the estimate. Row count
-    * is unknowable before the transfers run (OptionalLong.empty);
-    * size = surviving zones × the `estimated-zone-bytes` bound. The
-    * payoff is join planning: a handful of zones lands far under
+    * static pushdown so a pruned zone shrinks the estimate:
+    * size = surviving zones × the `estimated-zone-bytes` bound,
+    * rows = surviving zones × `estimated-zone-rows`, and per-COLUMN
+    * statistics for `zone` — the one column whose statistics the
+    * connector knows EXACTLY before any transfer runs (the zone list
+    * is configuration: ndv = surviving zones, zero nulls, real name
+    * lengths). Two payoffs: a handful of zones lands far under
     * `spark.sql.autoBroadcastJoinThreshold`, so Catalyst broadcasts
-    * the DNS side of an equi-join on its own — without the estimate a
-    * DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
-    * (Long.MaxValue) and the join sort-merges a 4-zone table. The
-    * reference reports no statistics at all (DnsSourceRelation
-    * .java:17 — V1 TableScan has no such surface). */
+    * the DNS side of an equi-join with no hint — without the estimate
+    * a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue) and the join sort-merges a 4-zone table; and
+    * under CBO the row count + zone ndv let CostBasedJoinReorder
+    * order a multi-way join so the smallest estates join first
+    * (plan-asserted in PlanAuditSpec). The reference reports no
+    * statistics at all (DnsSourceRelation.java:17 — V1 TableScan has
+    * no such surface). */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val nZones = runtimeZones.length.toLong
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(
-        runtimeZones.length.toLong * opts.estimatedZoneBytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      java.util.OptionalLong.of(nZones * opts.estimatedZoneBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(nZones * opts.estimatedZoneRows)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (runtimeZones.nonEmpty && schema.fieldNames.contains("zone")) {
+        val lens = runtimeZones.map(_.length.toLong)
+        m.put(org.apache.spark.sql.connector.expressions.Expressions.column("zone"),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nZones)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(0L)
+            override def avgLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(lens.sum / nZones)
+            override def maxLen(): java.util.OptionalLong =
+              java.util.OptionalLong.of(lens.max)
+          })
+      }
+      m
+    }
   }
 
   /** Output partitioning (`SupportsReportPartitioning`): the scan IS

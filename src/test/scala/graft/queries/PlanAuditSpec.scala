@@ -91,6 +91,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"build side is not the dns scan: $build")
   }
 
+  test("dns column statistics: CBO reorders a 3-way join so the small estates join first") {
+    // The scan reports numRows (zones x estimated-zone-rows) and EXACT
+    // per-column statistics for `zone` (the zone list is
+    // configuration: ndv = surviving zones, zero nulls). Under CBO,
+    // that is everything CostBasedJoinReorder needs to move a join
+    // written worst-first (big estate innermost) into cheapest-first
+    // order — the multi-way-join payoff column statistics exist for.
+    val port = Connector.seedAutoBroadcastFixture()
+    def estate(zones: String, rowsPerZone: Long) =
+      spark.read.format("dns")
+        .option("server", "verify-dns").option("port", port.toString)
+        .option("organization", "graft")
+        .option("zones", zones)
+        .option("xfr", "AXFR")
+        .option("estimated-zone-rows", rowsPerZone.toString)
+        .load()
+        .select(org.apache.spark.sql.functions.col("zone"),
+          org.apache.spark.sql.functions.col("fqdn"))
+    val big = estate("z0.graft,z1.graft,z2.graft,z3.graft", 100000L) // 400k rows, ndv 4
+    val mid = estate("z0.graft,z1.graft", 1000L) //   2k rows, ndv 2
+    val small = estate("z0.graft", 10L) //  10 rows, ndv 1
+    // condition graph: both joins key on BIG's zone attribute, so the
+    // reorderer's legal trees are (big><mid)><small — written order,
+    // 2e8-row intermediate — and (big><small)><mid — 1e6. Identify the
+    // mid estate by its exact zone list.
+    def joined() = big.join(mid, Seq("zone")).join(small, Seq("zone"))
+    def innermost(df: org.apache.spark.sql.DataFrame) = {
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.length == 2, df.queryExecution.optimizedPlan.toString)
+      joins.find(j => !j.children.exists(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]))).get
+    }
+    val midList = "[z0.graft.,z1.graft.]"
+    // without CBO the written (worst) order survives
+    assert(innermost(joined()).toString.contains(midList))
+    val restore = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val df = joined()
+      // the reported statistics reached the logical relation…
+      val rels = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }
+      val bigRel = rels.find(_.scan.description().contains("z3.graft.")).get
+      assert(bigRel.stats.rowCount.contains(BigInt(400000L)), bigRel.stats.toString)
+      val zoneStat = bigRel.stats.attributeStats.find(_._1.name == "zone")
+      assert(zoneStat.exists(_._2.distinctCount.contains(BigInt(4))),
+        s"zone column stats missing: ${bigRel.stats.attributeStats}")
+      // …and CostBasedJoinReorder moved the mid estate out of the
+      // innermost join: the 10-row estate now joins first
+      val in = innermost(df)
+      assert(!in.toString.contains(midList),
+        s"CBO did not reorder the join:\n${df.queryExecution.optimizedPlan}")
+      assert(in.toString.contains("z3.graft."), in.toString)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q_dns_spj: zone-keyed join of two dns scans is storage-partitioned — zero hash exchanges") {
     // The scan reports KeyGroupedPartitioning(zone) and every
     // InputPartition exposes its zone via HasPartitionKey, so with

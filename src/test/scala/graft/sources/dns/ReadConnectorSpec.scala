@@ -132,13 +132,18 @@ class ReadConnectorSpec extends AnyFunSuite {
 
   test("estimated-zone-bytes feeds the reported scan statistics") {
     seeded(5322)
-    val df = read(5322, "xfr" -> "AXFR", "estimated-zone-bytes" -> "1024")
+    val df = read(5322, "xfr" -> "AXFR", "estimated-zone-bytes" -> "1024",
+      "estimated-zone-rows" -> "8")
     val v2 = df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
     }
     assert(v2.nonEmpty)
     assert(v2.head.stats.sizeInBytes == BigInt(2 * 1024), v2.head.stats.toString)
-    assert(v2.head.stats.rowCount.isEmpty, "row count is unknowable before transfer")
+    assert(v2.head.stats.rowCount.contains(BigInt(2 * 8)), v2.head.stats.toString)
+    // the zone column's statistics are exact — the zone list IS config
+    val zstat = v2.head.stats.attributeStats.find(_._1.name == "zone").map(_._2)
+    assert(zstat.exists(s => s.distinctCount.contains(BigInt(2)) &&
+      s.nullCount.contains(BigInt(0))), v2.head.stats.attributeStats.toString)
     // a zone-pruned scan shrinks the estimate with it
     val pruned = read(5322, "xfr" -> "AXFR", "estimated-zone-bytes" -> "1024")
       .filter(col("zone") === "example.acme.")
