@@ -21,6 +21,78 @@ object PipelineOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
 
+  /** Tracking-parameter rule table for URL canonicalization — the
+    * public-knowledge ad/analytics params every crawl pipeline strips
+    * (Google/Facebook/Microsoft/Mailchimp click ids, generic utm_*
+    * campaign tags, bare referrer tags). Rules are LIKE patterns over
+    * one `key=value` pair; the table is data, so deployments extend it
+    * without touching the operator. */
+  val TrackingParamRules: Seq[String] =
+    Seq("utm_%", "ref=%", "fbclid=%", "gclid=%", "msclkid=%", "mc_eid=%")
+
+  /** Canonicalize a raw URL column — the first stage of crawl-source
+    * dedup (two fetches of the same page differ by scheme/host case,
+    * default ports, tracking params, fragments; dedup must not).
+    * Rules applied: lowercase scheme+authority, strip `:80`/`:443`
+    * when they match the scheme, default empty path to `/`, drop the
+    * fragment, remove [[TrackingParamRules]] params and SORT the
+    * survivors (param order is transport noise). All Spark built-ins +
+    * higher-order functions over `parse_url` — codegen-friendly per-row
+    * map work, zero UDFs, zero shuffles. */
+  def urlCanonical(url: String): org.apache.spark.sql.Column = {
+    val proto = s"lower(parse_url($url, 'PROTOCOL'))"
+    val auth = s"lower(parse_url($url, 'AUTHORITY'))"
+    val host = s"substring_index($auth, ':', 1)"
+    val port = s"CASE WHEN $auth LIKE '%:%' THEN substring_index($auth, ':', -1) END"
+    val portPart = s"""CASE WHEN $port IS NULL THEN ''
+      WHEN $proto = 'http' AND $port = '80' THEN ''
+      WHEN $proto = 'https' AND $port = '443' THEN ''
+      ELSE ':' || $port END"""
+    val path = s"coalesce(nullif(parse_url($url, 'PATH'), ''), '/')"
+    val notTracking = TrackingParamRules.map(r => s"p LIKE '$r'").mkString("NOT (", " OR ", ")")
+    val cq = s"array_join(array_sort(filter(split(parse_url($url, 'QUERY'), '&'), " +
+      s"p -> $notTracking)), '&')"
+    val queryPart = s"CASE WHEN coalesce($cq, '') = '' THEN '' ELSE '?' || $cq END"
+    expr(s"concat($proto, '://', $host, $portPart, $path, $queryPart)")
+  }
+
+  /** URL canonicalization + crawl-source rollup under the gate. The
+    * fixture plants every hazard the canonicalizer exists for —
+    * uppercase scheme/host, default `:443` on some rows, a REAL
+    * `:8080` that must survive, empty paths, utm/ref tracking params
+    * (sometimes leading, sometimes trailing, so survivor SORTING is
+    * load-bearing), fragments — as a closed form of doc_id, with the
+    * canonical space deliberately smaller (period 70) than the raw
+    * space: each host's 100 raw URLs collapse to 14 canonical pages,
+    * which is the crawl-dedup story in one number. The oracle
+    * reconstructs the expected canonical strings closed-form (it never
+    * parses), so any slip anywhere in the parse/rules chain breaks the
+    * per-host XOR of canonical-string hashes, not just a count. Scale:
+    * pure per-row map work + one partial-agg rollup on `host` —
+    * nothing here ships more than hosts × bytes. */
+  def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = docs(s, dir).select($"doc_id", concat(
+      when($"doc_id" % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when($"doc_id" % 4 === 0, concat(lit("WWW.SITE"), $"doc_id" % 5, lit(".COM")))
+        .otherwise(concat(lit("www.site"), $"doc_id" % 5, lit(".com"))),
+      when($"doc_id" % 7 === 5, ":8080")
+        .when($"doc_id" % 6 < 2, ":443").otherwise(""),
+      when($"doc_id" % 7 === 0, "").otherwise(concat(lit("/p/"), $"doc_id" % 7)),
+      when($"doc_id" % 2 === 0, "?utm_source=feed&id=7").otherwise("?z=9&utm_campaign=x&a=7"),
+      when($"doc_id" % 9 === 0, "#sec2").otherwise("")).as("url"))
+    raw.select(urlCanonical("url").as("canonical_url"))
+      .select($"canonical_url",
+        expr("substring_index(substring_index(canonical_url, '://', -1), '/', 1)").as("hostport"))
+      .select($"canonical_url", expr("substring_index(hostport, ':', 1)").as("host"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct($"canonical_url").as("n_canonical"),
+        expr("bit_xor(CAST(conv(substring(md5(canonical_url), 1, 15), 16, 10) AS BIGINT))")
+          .as("url_xor"))
+      .orderBy($"host")
+  }
+
   /** Hash bucket 0-99 from the doc id — the split die. md5 (not
     * `hash()`) so DuckDB reproduces it bit-for-bit. */
   private val bucket =
@@ -1103,6 +1175,7 @@ object PipelineOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canonical" -> qUrlCanonical,
     "q_gdpr_delete" -> qGdprDelete,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sequence_pack" -> qSequencePack,
@@ -1143,6 +1216,21 @@ object PipelineOps {
   private val wordHashListSql = Hashing.wordHashListSql
 
   val oracles: Map[String, String] = Map(
+    // the oracle never parses: it reconstructs the expected canonical
+    // string closed-form from doc_id (period-70 canonical space), so
+    // the XOR pins the exact output of Spark's parse+rules chain.
+    "q_url_canonical" ->
+      """WITH c AS (SELECT doc_id,
+        |  'www.site' || (doc_id % 5) || '.com' AS host,
+        |  'https://www.site' || (doc_id % 5) || '.com'
+        |    || CASE WHEN doc_id % 7 = 5 THEN ':8080' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/p/' || (doc_id % 7) END
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?id=7' ELSE '?a=7&z=9' END AS canonical_url
+        |  FROM documents)
+        |SELECT host, count(*) AS n_urls,
+        |  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+        |  bit_xor(CAST('0x' || substring(md5(canonical_url), 1, 15) AS BIGINT)) AS url_xor
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // one conditional-agg pass over events: membership is the closed
     // form, the survivor XOR must equal the anti-join's output.
     "q_gdpr_delete" ->

@@ -526,6 +526,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q_url_canonical: canonicalize is pure map work, host rollup keeps partial aggregation") {
+    // parse_url + HOF filter/sort must stay per-row map work feeding ONE
+    // host-keyed aggregation: partial map-side combine, no join anywhere.
+    // The scan needs only doc_id (the URL fixture is synthesized from it).
+    val s = planString(PipelineOps.qUrlCanonical(spark, dir))
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+    assert(!s.contains("Join"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"), readSchema)
+  }
+
   test("q_pii_scrub: scrub is pure map work, rollup keeps partial aggregation") {
     val s = planString(TextOps.qPiiScrub(spark, dir))
     assert(s.contains("partial_count") || s.contains("Partial"), s)
