@@ -1291,6 +1291,86 @@ object TextOps {
       .orderBy($"c_mktsegment")
   }
 
+  /** HTML boilerplate strip — the extraction stage upstream of every
+    * text operator, re-expressed as the public readability heuristics
+    * (Arc90 / jusText / Boilerpipe family): segment the page into
+    * blocks, judge each block by (a) text length, (b) link density,
+    * (c) text-to-markup ratio, keep only content blocks. First-failing
+    * rule is the verdict (`short` → `linkdense` → `markup` →
+    * `content`), mirroring `q_filter_funnel`'s attribution style.
+    *
+    * The fixture wraps each document's real text in a formulaic page
+    * that plants one hazard per rule: a nav and a short ad (must fail
+    * `short`), a long spammy ad and a link-farm footer (long enough to
+    * pass the length rule — only link density kills them), a
+    * spec-table block of bold/italic fragments (long, zero links —
+    * only the markup-ratio rule kills it), a main block that sometimes
+    * carries an inline link (must SURVIVE despite it), and a second
+    * text block whose verdict flips on the document's real length
+    * (content iff ≥ 25 trimmed chars survive at offset 81). Thresholds
+    * are integer-exact (`2·link ≥ len`, `5·len ≤ 2·raw`). Precondition
+    * (holds at every SF): `length(text) ≥ 34`, so the main block always
+    * clears all three rules.
+    *
+    * Dual gate: per-rule block-verdict counts AND an XOR fingerprint of
+    * the extracted text — the oracle never parses HTML, it rebuilds the
+    * expected extraction closed-form from `text`/`doc_id`, so a slip
+    * anywhere in split/strip/judge/join flips a checksum.
+    *
+    * Scale: split/transform/filter/aggregate HOFs over one generated
+    * column — pure codegen'd per-row map work, zero UDFs, zero joins,
+    * one bounded (source) partial agg. At 100 TB this is exactly the
+    * shape you want: the raw crawl never shuffles. */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>p{margin:0}</style></head><body>"),
+      lit("""<div id="nav"><a href="/">Home</a> <a href="/news">News</a>"""),
+      when($"doc_id" % 3 === 0, lit(""" <a href="/e">Extra</a>""")).otherwise(lit("")),
+      lit("</div>"),
+      lit("""<div class="main"><p>"""), substring($"text", 1, 80), lit("</p>"),
+      when($"doc_id" % 5 === 0, lit("""<a href="/src">source</a>""")).otherwise(lit("")),
+      lit("</div>"),
+      when($"doc_id" % 4 === 0, lit("""<div class="ad"><a href="/buy">Buy cheap pills online today</a> <a href="/win">You have won a prize click here</a></div>"""))
+        .otherwise(lit("""<div class="ad"><a href="/buy">Ad</a></div>""")),
+      lit("""<div class="spec"><b>size</b><i>12mm</i><b>color</b><i>crimson</i><b>weight</b><i>3kg</i><b>brand</b><i>acme corp</i></div>"""),
+      lit("""<div class="body2"><p>"""), substring($"text", 81, 60), lit("</p></div>"),
+      lit("""<div id="foot"><a href="/tos">Terms of Service</a> <a href="/priv">Privacy Policy</a> <a href="/jobs">Careers at site</a></div></body></html>"""))
+    docs(s, dir)
+      .select($"source", html.as("html"))
+      // block = everything from one <div to the next; chunk 0 is the
+      // head. Per block: stripped text (trim only — the fixture never
+      // makes consecutive whitespace), raw length, anchor-text length.
+      .withColumn("blocks", expr(
+        """transform(split(html, '(?=<div)'), b -> named_struct(
+          |  'txt', trim(regexp_replace(b, '<[^>]*>', '')),
+          |  'raw', length(b),
+          |  'link', aggregate(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+          |                    0, (acc, x) -> acc + length(x))))""".stripMargin))
+      .withColumn("verdicts", expr(
+        """transform(blocks, b -> CASE
+          |  WHEN length(b.txt) < 25 THEN 'short'
+          |  WHEN 2 * b.link >= length(b.txt) THEN 'linkdense'
+          |  WHEN 5 * length(b.txt) <= 2 * b.raw THEN 'markup'
+          |  ELSE 'content' END)""".stripMargin))
+      .withColumn("extracted", expr(
+        """concat_ws(' ', transform(
+          |  filter(arrays_zip(blocks, verdicts), z -> z.verdicts = 'content'),
+          |  z -> z.blocks.txt))""".stripMargin))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size($"blocks")).as("n_blocks"),
+        sum(expr("size(filter(verdicts, v -> v = 'content'))")).as("n_content"),
+        sum(expr("size(filter(verdicts, v -> v = 'short'))")).as("n_short"),
+        sum(expr("size(filter(verdicts, v -> v = 'linkdense'))")).as("n_linkdense"),
+        sum(expr("size(filter(verdicts, v -> v = 'markup'))")).as("n_markup"),
+        expr("bit_xor(CAST(conv(substring(md5(extracted), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_xor"))
+      .orderBy($"source")
+  }
+
   /** Bigram-LM "surprisal" quality scoring — the KenLM-style
     * pretraining filter re-expressed integer-exact and log-free: the
     * corpus's own bigram counts are the model (n_xy with left-marginal
@@ -1388,6 +1468,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir_weights" -> qDsirWeights,
     "q_pii_scrub" -> qPiiScrub,
+    "q_html_extract" -> qHtmlExtract,
     "q_lm_surprisal" -> qLmSurprisal,
     "q_collocations" -> qCollocations,
     "q_dedup_funnel" -> qDedupFunnel,
@@ -1593,6 +1674,34 @@ object TextOps {
         |  CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS rk
         |FROM (SELECT DISTINCT user_id FROM events)
         |ORDER BY user_id""".stripMargin,
+    // The oracle never parses HTML: it rebuilds the expected
+    // extraction closed-form from text/doc_id (the fixture's planted
+    // verdicts are arithmetic in doc_id; only the body2 block's
+    // verdict depends on the document's real length at offset 81), so
+    // the text XOR pins Spark's whole split/strip/judge/join chain.
+    "q_html_extract" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    trim(substring(text, 1, 80)
+        |         || CASE WHEN doc_id % 5 = 0 THEN 'source' ELSE '' END) AS m,
+        |    trim(substring(text, 81, 60)) AS b2
+        |  FROM documents),
+        |e AS (
+        |  SELECT source,
+        |    1 + CASE WHEN length(b2) >= 25 THEN 1 ELSE 0 END AS c_content,
+        |    2 + CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END
+        |      + CASE WHEN length(b2) >= 25 THEN 0 ELSE 1 END AS c_short,
+        |    1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS c_linkdense,
+        |    m || CASE WHEN length(b2) >= 25 THEN ' ' || b2 ELSE '' END AS extracted
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  7 * count(*) AS n_blocks,
+        |  CAST(sum(c_content) AS BIGINT) AS n_content,
+        |  CAST(sum(c_short) AS BIGINT) AS n_short,
+        |  CAST(sum(c_linkdense) AS BIGINT) AS n_linkdense,
+        |  count(*) AS n_markup,
+        |  bit_xor(CAST('0x' || substring(md5(extracted), 1, 15) AS BIGINT)) AS text_xor
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same deterministic ticket construction, same RE2-safe patterns
     // ('g' flag: DuckDB regexp_replace is first-match by default where
     // Spark's is global); the checksum pins the scrubbed BYTES.

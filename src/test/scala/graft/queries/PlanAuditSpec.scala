@@ -543,6 +543,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Join"), s) // no join anywhere — map + one agg
   }
 
+  test("q_html_extract: block judge is pure map work, source rollup keeps partial aggregation") {
+    // split/strip/judge HOFs must stay per-row; the raw crawl never
+    // shuffles — one bounded (source) agg is the only exchange. The
+    // scan reads only the three columns the fixture consumes.
+    val s = planString(TextOps.qHtmlExtract(spark, dir))
+    assert(s.contains("partial_count") || s.contains("Partial"), s)
+    assert(!s.contains("Join"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
+
   test("q_quantile_sketch: the k-row sample cap runs as map-side WindowGroupLimit") {
     val s = planString(TextOps.qQuantileSketch(spark, dir))
     assert(s.contains("WindowGroupLimit"), s)
