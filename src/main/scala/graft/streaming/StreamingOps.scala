@@ -776,6 +776,74 @@ object StreamingOps {
     }
   }
 
+  /** V2 of [[TwsProfile]] for the schema-evolution key: one ADDED
+    * field. It must be `Option` — avro state-schema evolution resolves
+    * a reader field absent from the writer schema to its default, and
+    * only a nullable field has one (an added primitive would fail the
+    * compatibility check at query start, correctly). */
+  final case class TwsProfileV2(n: Long, cents: Long, last_ts_us: Long,
+                                last_eid: Long, last_type: String, upds: Long,
+                                v2_cents: Option[Long])
+  /** Emission row shared by BOTH evolution runs (the pre-evolution run
+    * emits `v2_cents = None`), so the two runs' emissions append into
+    * one parquet schema. */
+  final case class TwsEvoRow(user_id: Long, upd_seq: Long, n_events: Long,
+                             total_cents: Long, last_event_id: Long,
+                             last_event_type: String, v2_cents: Option[Long])
+
+  /** Pre-evolution processor: exactly [[ProfileLogic]]'s fold and state
+    * schema ([[TwsProfile]] in state var "profile"), emission widened to
+    * [[TwsEvoRow]] with the not-yet-existing field null. */
+  private[streaming] final class EvoProfileV1
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsEvoRow]
+      with ProfileLogic {
+    import org.apache.spark.sql.streaming.TimerValues
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      initProfileState()
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsEvoRow] = {
+      val r = foldRows(key, rows).next()
+      Iterator.single(TwsEvoRow(r.user_id, r.upd_seq, r.n_events,
+        r.total_cents, r.last_event_id, r.last_event_type, None))
+    }
+  }
+
+  /** Post-evolution processor: SAME state var ("profile"), state schema
+    * now [[TwsProfileV2]]. A record written by [[EvoProfileV1]] decodes
+    * with `v2_cents = None` (avro default), so the new counter starts
+    * fresh while every V1 field continues accumulating — the
+    * "deployment rolls out new code against live state" event. */
+  private[streaming] final class EvoProfileV2
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsEvoRow] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[TwsProfileV2] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[TwsProfileV2]("profile",
+        org.apache.spark.sql.Encoders.product[TwsProfileV2], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+                                 timers: TimerValues): Iterator[TwsEvoRow] = {
+      var p =
+        if (st.exists()) st.get()
+        else TwsProfileV2(0L, 0L, Long.MinValue, Long.MinValue, null, 0L, None)
+      rows.foreach { e =>
+        val newer = e.ts_us > p.last_ts_us ||
+          (e.ts_us == p.last_ts_us && e.event_id > p.last_eid)
+        p = TwsProfileV2(p.n + 1L, p.cents + centsOf(e.value),
+          if (newer) e.ts_us else p.last_ts_us,
+          if (newer) e.event_id else p.last_eid,
+          if (newer) e.event_type else p.last_type,
+          p.upds,
+          Some(p.v2_cents.getOrElse(0L) + centsOf(e.value)))
+      }
+      p = p.copy(upds = p.upds + 1L)
+      st.update(p)
+      Iterator.single(TwsEvoRow(key, p.upds, p.n, p.cents, p.last_eid,
+        p.last_type, p.v2_cents))
+    }
+  }
+
   /** Rows for [[SessionTimerProcessor]]. */
   final case class SessEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
   final case class SessState(start_us: Long, last_us: Long, n: Long,
@@ -1166,6 +1234,105 @@ object StreamingOps {
       .orderBy($"operator_id", $"state_store_name")
   }
 
+  /** Once-per-JVM staged STATE-SCHEMA-EVOLUTION replay: the deployment
+    * event the restart tests don't cover — new code with an ADDED state
+    * field rolling out against a live checkpoint. Run 1 processes the
+    * pre-evolution slice with [[EvoProfileV1]] ([[TwsProfile]] state)
+    * under avro state encoding; the remaining two slices then land and
+    * run 2 RESUMES the same checkpoint with [[EvoProfileV2]], whose
+    * state adds `v2_cents: Option[Long]`. Avro schema resolution
+    * decodes every V1 record with the new field at its null default, so
+    * the V1 counters keep accumulating across the boundary while the
+    * new counter counts only post-evolution events — both facts are
+    * what the gate pins per user. unsaferow encoding (the default)
+    * would refuse this restart at query start; avro is the deployment
+    * choice that makes state evolvable, which is why the staging sets
+    * it for BOTH runs (the checkpoint records the format; mixing is
+    * rejected). Emissions from both runs append to one parquet. */
+  private def stagedEvoReplay(s: SparkSession, dir: String): java.io.File =
+    stagedArtifact(dir, "tws_evolve") { base =>
+      val landing = new java.io.File(base, "landing"); landing.mkdirs()
+      val ck = new java.io.File(base, "ck")
+      val emis = new java.io.File(base, "emissions").toString
+      val s2 = rocksReplaySession(s)
+      s2.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+      s2.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      import s2.implicits._
+      // Slice design plants all three key lifecycles: LEGACY users
+      // (user_id % 11 = 5) have every event in the pre-evolution run —
+      // their state is written by V1 and never read by V2, so their
+      // final emission must carry v2_cents = null; FRESH users
+      // (user_id % 7 = 3, non-legacy) appear only post-evolution —
+      // their state is created directly under the V2 schema; everyone
+      // else EVOLVES: V1 state restored by V2 mid-history. Remaining
+      // events split by event_id % 3 so the evolved run still spans
+      // two batches.
+      val legacy = $"user_id" % 11 === 5
+      val fresh = $"user_id" % 7 === 3 && $"user_id" % 11 =!= 5
+      val inF0 = legacy || (!fresh && $"event_id" % 3 === 0)
+      val sliceFilter: Int => org.apache.spark.sql.Column = {
+        case 0 => inF0
+        case 1 => !inF0 && $"event_id" % 3 <= 1
+        case 2 => !inF0 && $"event_id" % 3 === 2
+      }
+      def stageSlice(i: Int): Unit = {
+        val tmp = new java.io.File(base, s"stage_$i")
+        eventsBatch(s2, dir).filter(sliceFilter(i))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file for slice $i"))
+        val dest = new java.io.File(landing, f"f$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dest.toPath)
+        dest.setLastModified(1700000000000L + i * 60000L): Unit
+      }
+      def run(v2: Boolean): Unit = {
+        val src = s2.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+          .select($"user_id", $"event_id", $"event_type", $"value",
+            unix_micros($"ts").as("ts_us"))
+          .as[TwsEvent]
+        val out =
+          if (v2) src.groupByKey(_.user_id).transformWithState(new EvoProfileV2,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+          else src.groupByKey(_.user_id).transformWithState(new EvoProfileV1,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        val q = out.toDF().writeStream
+          .foreachBatch((b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(emis))
+          .option("checkpointLocation", ck.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        require(q.awaitTermination(180000), "tws evolve staging did not terminate")
+      }
+      stageSlice(0); run(v2 = false)
+      stageSlice(1); stageSlice(2); run(v2 = true)
+    }
+
+  /** State-schema evolution under the oracle gate: final emission per
+    * user (max_by upd_seq) across BOTH runs of [[stagedEvoReplay]].
+    * The V1 columns must equal the whole-log batch truth — run 2 can
+    * only achieve that by READING run 1's state under the new schema —
+    * and `v2_cents` must equal the post-evolution slice's exact sum
+    * (null for users the evolved code never touched, whose final
+    * emission is still the V1 one). Wrong-side failure modes all
+    * break it: dropped old state zeroes the V1 columns; a
+    * default-initialized new field that instead inherited an old
+    * field's bytes breaks `v2_cents`; a refused restart leaves
+    * two-thirds of the log unprocessed. */
+  def qTwsEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(new java.io.File(stagedEvoReplay(s, dir), "emissions").toString)
+      .groupBy($"user_id")
+      .agg(max_by(struct($"n_events", $"total_cents", $"last_event_id",
+        $"last_event_type", $"v2_cents"), $"upd_seq").as("f"))
+      .select($"user_id", $"f.n_events".as("n_events"),
+        $"f.total_cents".as("total_cents"),
+        $"f.last_event_id".as("last_event_id"),
+        $"f.last_event_type".as("last_event_type"),
+        $"f.v2_cents".as("v2_cents"))
+      .orderBy($"user_id")
+  }
+
   /** ListState facet of the staged multi-state replay under the
     * oracle gate: each user's K=3 most recent events maintained
     * across the out-of-order CDC replay. The gate reduces each key to
@@ -1279,7 +1446,8 @@ object StreamingOps {
     "q_tws_initial" -> qTwsInitial,
     "q_tws_state" -> qTwsState,
     "q_tws_metadata" -> qTwsMetadata,
-    "q_tws_changefeed" -> qTwsChangefeed)
+    "q_tws_changefeed" -> qTwsChangefeed,
+    "q_tws_evolve" -> qTwsEvolve)
 
   /** Keys whose TIMED bench pass reads a once-per-JVM staged replay
     * artifact ([[stagedReplay]]/[[stagedTwsReplay]]) rather than
@@ -1294,7 +1462,7 @@ object StreamingOps {
     "q_streaming_late", "q_streaming_join", "q_streaming_outer_join",
     "q_cdc_stream", "q_tws_profile", "q_tws_sessions", "q_tws_lastk",
     "q_tws_counts", "q_tws_initial", "q_tws_state", "q_tws_metadata",
-    "q_tws_changefeed")
+    "q_tws_changefeed", "q_tws_evolve")
 
   /** The oracle is the BATCH hourly rollup — tumbling 1h windows are
     * epoch-aligned, so window.start ≡ date_trunc('hour'). */
@@ -1388,6 +1556,33 @@ object StreamingOps {
         |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |        FROM events) WHERE rn = 1)
         |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id, l.last_event_type
+        |FROM agg a JOIN last l ON a.user_id = l.user_id
+        |ORDER BY a.user_id""".stripMargin,
+    // Batch truth for the schema-evolution restart: V1 columns are the
+    // whole-log profile truth (achievable only by reading pre-evolution
+    // state under the new schema); v2_cents is the exact sum over each
+    // user's post-evolution events — NULL for legacy users (all events
+    // pre-evolution), the full total for fresh users (state born under
+    // the V2 schema), the event_id % 3 <> 0 share for evolved users.
+    "q_tws_evolve" ->
+      """WITH agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |    CASE
+        |      WHEN user_id % 11 = 5 THEN NULL
+        |      WHEN user_id % 7 = 3
+        |        THEN CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      ELSE CAST(sum(CASE WHEN event_id % 3 <> 0
+        |                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        |    END AS v2_cents
+        |  FROM events GROUP BY user_id),
+        |last AS (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |  FROM (SELECT user_id, event_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events) WHERE rn = 1)
+        |SELECT a.user_id, a.n_events, a.total_cents, l.last_event_id,
+        |  l.last_event_type, a.v2_cents
         |FROM agg a JOIN last l ON a.user_id = l.user_id
         |ORDER BY a.user_id""".stripMargin,
     // Batch truth for the state-store READ-BACK: identical to the

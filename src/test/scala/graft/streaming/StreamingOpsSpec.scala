@@ -471,6 +471,96 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("state-schema evolution: avro decodes V1 state under the V2 schema; unsaferow refuses") {
+    import spark.implicits._
+    // The q_tws_evolve deployment event in miniature, plus the negative
+    // control the gate can't carry: under the DEFAULT unsaferow
+    // encoding the same restart must be REJECTED at query start (bytes
+    // are not evolvable), which proves the avro conf is load-bearing
+    // and the positive half isn't passing vacuously.
+    val raw = StreamingOps.eventsBatch(spark, dir)
+    def evolveRun(encoding: String): Either[Throwable, Seq[(Long, Long, Long, Option[Long])]] = {
+      val landing = java.nio.file.Files.createTempDirectory(s"tws-evolve-$encoding")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"tws-evolve-ck-$encoding")
+      val outDir = java.nio.file.Files.createTempDirectory(s"tws-evolve-out-$encoding")
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("tws-evolve-slice")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = landing.resolve(name)
+        java.nio.file.Files.copy(part.toPath, dest)
+        dest.toFile.setLastModified(mtime): Unit
+      }
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2.conf.set("spark.sql.streaming.stateStore.encodingFormat", encoding)
+      def runOnce(v2: Boolean): Unit = {
+        val src = s2.readStream.schema(StreamingOps.eventsSchema).parquet(landing.toString)
+          .select($"user_id", $"event_id", $"event_type", $"value",
+            unix_micros($"ts").as("ts_us"))
+          .as[StreamingOps.TwsEvent]
+          .groupByKey(_.user_id)
+        val out =
+          if (v2) src.transformWithState(new StreamingOps.EvoProfileV2,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          else src.transformWithState(new StreamingOps.EvoProfileV1,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        val q = out.toDF()
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(120000), "evolve run did not terminate")
+      }
+      stage(raw.filter($"event_id" % 2 === 0), "f0.parquet", 1700000000000L)
+      runOnce(v2 = false)
+      stage(raw.filter($"event_id" % 2 === 1), "f1.parquet", 1700000060000L)
+      try {
+        runOnce(v2 = true)
+        Right(spark.read.parquet(outDir.toString).collect().toSeq
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upd_seq"),
+            r.getAs[Long]("total_cents"),
+            Option(r.getAs[java.lang.Long]("v2_cents")).map(_.longValue()))))
+      } catch { case e: Throwable => Left(e) }
+    }
+
+    // Positive half: avro — run 2 continues every key's fold on top of
+    // restored V1 state, v2_cents counts only run-2 events.
+    val rows = evolveRun("avro").fold(e => fail(s"avro evolution failed: $e"), identity)
+    val truth = raw.groupBy($"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"),
+        sum(when($"event_id" % 2 === 1, round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("cents2"),
+        sum(($"event_id" % 2 === 1).cast("long")).as("n2"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("cents"), r.getAs[Long]("cents2"), r.getAs[Long]("n2"))).toMap
+    val finals = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    assert(finals.keySet == truth.keySet)
+    finals.foreach { case (u, (_, _, cents, v2)) =>
+      val (tc, tc2, n2) = truth(u)
+      assert(cents == tc, s"user $u total_cents $cents != $tc — V1 state not restored")
+      if (n2 > 0) assert(v2.contains(tc2), s"user $u v2_cents $v2 != Some($tc2)")
+      else assert(v2.isEmpty, s"user $u v2_cents should be null, got $v2")
+    }
+
+    // Negative half: unsaferow — the evolved restart must be refused,
+    // not silently misread.
+    evolveRun("unsaferow") match {
+      case Left(e) =>
+        val msg = Option(e.getMessage).getOrElse("") +
+          Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+        assert(msg.toLowerCase.contains("schema") || msg.toLowerCase.contains("compat"),
+          s"unexpected failure shape: $e")
+      case Right(_) => fail("unsaferow encoding accepted an evolved state schema")
+    }
+  }
+
   test("transformWithState TTL expires idle state across a restart gap") {
     import spark.implicits._
     // The inverse of the restart test: same two-run checkpointed
