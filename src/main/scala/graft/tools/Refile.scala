@@ -26,7 +26,7 @@ object Refile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (t <- Seq("documents", "embeddings", "events")) {
+    for (t <- Seq("documents", "embeddings", "events", "lineitem")) {
       val p = s"$src/$t.parquet"
       if (new java.io.File(p).exists) {
         spark.read.parquet(p).repartition(n)

@@ -72,6 +72,21 @@ object Scale10 {
         $"event_type", $"value", $"props")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // Lineitem: the two-phase-quantile key's input (q_mad_outliers).
+    // The orderkey shift is stride×97 — a multiple of 97 keeps the
+    // planted `%97 == 0` outlier share IDENTICAL per replica (10×
+    // rows, same value distribution per group, the scaling a bigger
+    // TPC-H SF would give the median/MAD machinery), and scaling with
+    // `stride` keeps re-application (10× of 10×) collision-free.
+    spark.read.parquet(s"$src/lineitem.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        ($"l_orderkey" + $"rep".cast("long") * (stride * 97L)).as("l_orderkey"),
+        $"l_partkey", $"l_suppkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_tax", $"l_returnflag",
+        $"l_linestatus", $"l_shipdate")
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     println(s"SCALE10 wrote $out: events=" +
       spark.read.parquet(s"$out/events.parquet").count() + " documents=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
