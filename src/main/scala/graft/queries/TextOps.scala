@@ -176,6 +176,151 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Number of BPE merges [[qBpeLearn]] learns; the oracle generator
+    * unrolls the same count. Small because each merge is one full
+    * argmax round — the gate's job is pinning the ALGORITHM (count →
+    * argmax → greedy apply), not shipping a production vocab. */
+  private val BpeLearnMerges = 6
+
+  /** BPE merge-table LEARNING (Sennrich et al. 2016 — the training
+    * half; [[qBpeTokens]] applies a fixed table, this key learns one):
+    * count adjacent symbol pairs weighted by word frequency, merge the
+    * argmax pair (ties → lexicographically smallest, so the result is
+    * total-order deterministic), repeat. Emitted per merge: the pair,
+    * its count, and the corpus-wide symbol total AFTER applying it —
+    * the latter gates the APPLY step globally, not just the argmax
+    * (greedy-leftmost application on overlapping runs like `zzz`
+    * merges floor(run/2) times, so a wrong application rule moves
+    * `symbols_after` even when the argmax agrees).
+    *
+    * Scale shape: the ONLY corpus-sized stage is the word-frequency
+    * aggregation (partial-agged groupBy — this is how production BPE
+    * trainers work too: count once, merge on the count table). The
+    * merge loop then runs on the VOCAB-sized table (Heaps-law
+    * sublinear in corpus): per round one vocab-sized pair aggregation
+    * whose single argmax row comes to the driver (the same
+    * one-row-per-round driver traffic as the k-means centroid loop),
+    * and a per-word greedy fold (codegen'd `aggregate` HOF, no UDF).
+    * Lineage is localCheckpoint-truncated per round — the iterative-
+    * operator rule from SCALE.md; without it the fold nests K deep.
+    * Greedy-fold semantics on run hazards (`zzzz` → `zz zz`, `zzz` →
+    * `zz z`, post-merge symbols never re-matching in the same round)
+    * are pinned in BpeLearnSpec against hand-traced reference BPE. */
+  def qBpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordFreq = docs(s, dir)
+      .select(explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    learnBpeMerges(s, wordFreq, BpeLearnMerges)
+  }
+
+  /** The merge loop of [[qBpeLearn]], parameterized on the word-
+    * frequency table so BpeLearnSpec can plant run-hazard vocabularies
+    * (`zzzz` et al.) the natural corpus never makes the argmax. */
+  private[queries] def learnBpeMerges(s: SparkSession, wordFreq: DataFrame,
+                                      merges: Int): DataFrame = {
+    import s.implicits._
+    var words = wordFreq
+      .select($"w", $"freq".cast("long").as("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    for (k <- 1 to merges) {
+      // sequence(1, 0) DESCENDS in Spark — 1-symbol words must not
+      // reach the pair transform (they re-enter via the apply step).
+      val best = words
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+            .stripMargin)).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val m = a + b
+      // Greedy-leftmost apply: fold left; a merged symbol is never the
+      // left side of another match in the same round (its string is
+      // a||b, never equal to a). Symbols are [a-z]+ — no quote hazard.
+      words = words.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() AS array<string>), (acc, x) ->
+           |  CASE WHEN size(acc) = 0 THEN array(x)
+           |       WHEN element_at(acc, -1) = '$a' AND x = '$b'
+           |         THEN concat(slice(acc, 1, size(acc) - 1), array('$m'))
+           |       ELSE concat(acc, array(x)) END)""".stripMargin))
+        .localCheckpoint()
+      val symsAfter = words.agg(sum($"freq" * size($"syms"))).collect()(0).getLong(0)
+      out += ((k, a, b, m, cnt, symsAfter))
+    }
+    out.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count", "symbols_after")
+      .select($"merge_rank".cast("long"), $"lhs", $"rhs", $"merged",
+        $"pair_count", $"symbols_after")
+      .orderBy($"merge_rank")
+  }
+
+  /** Generated K-layer oracle for [[qBpeLearn]]: each layer replays
+    * pair-count → argmax (same `cnt DESC, a, b` total order) → greedy
+    * apply. The apply step is the RELATIONAL formulation of the same
+    * greedy rule the Spark fold implements: mark match positions,
+    * group consecutive matches into runs (consecutive matches only
+    * happen when lhs = rhs), keep odd positions within each run, drop
+    * each kept position's successor — deliberately a different
+    * construction from the fold, so a green gate is two independent
+    * implementations agreeing, not one algorithm replayed twice. */
+  private def bpeLearnOracle: String = {
+    val layers = (1 to BpeLearnMerges).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'a': syms[i], 'b': syms[i + 1]})) AS u
+         |    FROM $prev WHERE len(syms) >= 2)
+         |  GROUP BY u.a, u.b),
+         |b$k AS (SELECT a, b, a || b AS m, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |q$k AS MATERIALIZED (
+         |  SELECT w, freq, u.p AS p, u.s AS s FROM (
+         |    SELECT w, freq, unnest(list_transform(range(1, len(syms) + 1),
+         |      i -> {'p': i, 's': syms[i]})) AS u
+         |    FROM $prev)),
+         |m$k AS MATERIALIZED (
+         |  SELECT w, freq, p, s,
+         |    coalesce(s = (SELECT a FROM b$k) AND
+         |      lead(s) OVER (PARTITION BY w ORDER BY p) = (SELECT b FROM b$k),
+         |      false) AS mt
+         |  FROM q$k),
+         |sel$k AS MATERIALIZED (
+         |  SELECT w, p FROM (
+         |    SELECT w, p,
+         |      row_number() OVER (PARTITION BY w, p - prn ORDER BY p) AS rin
+         |    FROM (SELECT w, p, row_number() OVER (PARTITION BY w ORDER BY p) AS prn
+         |          FROM m$k WHERE mt))
+         |  WHERE rin % 2 = 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT m.w AS w, any_value(m.freq) AS freq,
+         |    list(CASE WHEN s2.p IS NOT NULL THEN (SELECT m FROM b$k) ELSE m.s END
+         |         ORDER BY m.p) AS syms
+         |  FROM m$k m
+         |  LEFT JOIN sel$k s2 ON s2.w = m.w AND s2.p = m.p
+         |  LEFT JOIN sel$k s3 ON s3.w = m.w AND s3.p = m.p - 1
+         |  WHERE s3.p IS NULL
+         |  GROUP BY m.w),
+         |r$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |  m AS merged, cnt AS pair_count,
+         |  (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM w$k) AS symbols_after
+         |  FROM b$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeLearnMerges).map(k => s"SELECT * FROM r$k").mkString(" UNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, length(w) + 1), i -> substring(w, i, 1)) AS syms
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY w),
+       |$layers
+       |$union ORDER BY merge_rank""".stripMargin
+  }
+
   /** Language-ID by marker-n-gram scoring: count occurrences of a tiny
     * per-language marker set, argmax wins, ties/zero → 'und'. On this
     * synthetic corpus (shared vocabulary across langs) most docs score
@@ -1482,6 +1627,7 @@ object TextOps {
     "q_strip_accents" -> qStripAccents,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
+    "q_bpe_learn" -> qBpeLearn,
     "q_lang_id" -> qLangId,
     "q_repetition_ratio" -> qRepetitionRatio,
     "q_length_percentiles" -> qLengthPercentiles,
@@ -1773,6 +1919,7 @@ object TextOps {
     // GENERATED oracle: the nested replace() chain is built from the
     // same ranked merge table the Spark expression folds over — the
     // merge loop is replayed, not re-implemented.
+    "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_tokens" -> {
       val enc = graft.functions.BpeTokenizer.oracleEncodeSql("w")
       val tc = graft.functions.BpeTokenizer.oracleTokenCountSql(enc)
