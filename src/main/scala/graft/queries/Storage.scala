@@ -328,6 +328,38 @@ object Storage {
       .orderBy($"lang")
   }
 
+  /** ORC ingest round-trip with pushdown PARITY — the other columnar
+    * lake carrier. The point over the CSV/JSONL pair: ORC is not just
+    * lossless, it keeps the scan-side contract every parquet key in
+    * this repo asserts — the status filter and the 4-column projection
+    * must reach the ORC reader (PushedFilters + pruned ReadSchema,
+    * PlanAuditSpec), so a 100 TB lake standardized on ORC loses
+    * nothing but the format name. Timestamps ride as epoch-micros
+    * longs (the zone-free rendering shared with q_csv_roundtrip);
+    * losslessness is proven by counts + an XOR fingerprint the oracle
+    * recomputes from the ORIGINAL parquet (it never sees the ORC). */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scratch(dir, "orc_roundtrip")
+    t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")
+          .as("o_date_us"),
+        $"o_orderpriority")
+      .write.mode("overwrite").orc(base)
+    s.read.orc(base)
+      .filter($"o_orderstatus" =!= "P") // pushed to the ORC scan (asserted)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_date_us")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"),
+        expr("bit_xor(CAST(" +
+          "conv(substring(md5(concat_ws('|', CAST(o_orderkey AS STRING), " +
+          "CAST(o_date_us AS STRING))), 1, 15), 16, 10) AS BIGINT))")
+          .as("checksum"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Dynamic partition pruning over a Hive-partitioned parquet
     * layout — the standard-Spark twin of the DNS connector's
     * `SupportsRuntimeFiltering` key (q_dns_runtime_prune). The fact
@@ -370,6 +402,7 @@ object Storage {
     "q_parquet_dpp" -> qParquetDpp,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_partitioned_prune" -> qPartitionedPrune,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_zorder_prune" -> qZorderPrune,
@@ -407,6 +440,17 @@ object Storage {
         |    CAST(doc_id AS VARCHAR),
         |    'l1' || chr(10) || chr(9) || '"' || source || '\end')), 1, 15) AS BIGINT)) AS checksum
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ORC carries no planted hazard (binary columnar, not a text
+    // format); the XOR pins key+timestamp bytes and the status filter
+    // is applied on the raw table identically.
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  bit_xor(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR),
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 15) AS BIGINT)) AS checksum
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partitioned_prune" ->
       """SELECT l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

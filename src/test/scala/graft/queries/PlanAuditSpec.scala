@@ -701,6 +701,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("q_orc_roundtrip: the status filter and projection reach the ORC scan") {
+    // ORC must keep the same scan-side contract as parquet: the
+    // predicate in PushedFilters, the 4-column projection in
+    // ReadSchema (o_orderpriority written but never read back).
+    val s = planString(Storage.qOrcRoundtrip(spark, dir))
+    assert(s.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,P))"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderpriority"), readSchema)
+  }
+
   test("q_zorder_prune: both range predicates reach PushedFilters") {
     // Z-ordering's contract: min/max row-group stats can serve EITHER
     // dimension, so both predicates must be pushed into the scan.
