@@ -70,17 +70,25 @@ object PipelineOps {
     * per-host XOR of canonical-string hashes, not just a count. Scale:
     * pure per-row map work + one partial-agg rollup on `host` —
     * nothing here ships more than hosts × bytes. */
+  /** The hazard-URL fixture for a doc id — shared by [[qUrlCanonical]]
+    * and [[qCrawlPipeline]]. The canonical space it collapses to is a
+    * bijection with `doc_id % 70` (CRT over the %5 host, %7 port/path,
+    * %2 query components; the %3 scheme case, %4 host case, %6 `:443`
+    * and %9 fragment are transport noise the canonicalizer erases). */
+  private def crawlUrl(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(docId % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
+      when(docId % 4 === 0, concat(lit("WWW.SITE"), docId % 5, lit(".COM")))
+        .otherwise(concat(lit("www.site"), docId % 5, lit(".com"))),
+      when(docId % 7 === 5, ":8080")
+        .when(docId % 6 < 2, ":443").otherwise(""),
+      when(docId % 7 === 0, "").otherwise(concat(lit("/p/"), docId % 7)),
+      when(docId % 2 === 0, "?utm_source=feed&id=7").otherwise("?z=9&utm_campaign=x&a=7"),
+      when(docId % 9 === 0, "#sec2").otherwise(""))
+
   def qUrlCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val raw = docs(s, dir).select($"doc_id", concat(
-      when($"doc_id" % 3 === 0, "HTTPS").otherwise("https"), lit("://"),
-      when($"doc_id" % 4 === 0, concat(lit("WWW.SITE"), $"doc_id" % 5, lit(".COM")))
-        .otherwise(concat(lit("www.site"), $"doc_id" % 5, lit(".com"))),
-      when($"doc_id" % 7 === 5, ":8080")
-        .when($"doc_id" % 6 < 2, ":443").otherwise(""),
-      when($"doc_id" % 7 === 0, "").otherwise(concat(lit("/p/"), $"doc_id" % 7)),
-      when($"doc_id" % 2 === 0, "?utm_source=feed&id=7").otherwise("?z=9&utm_campaign=x&a=7"),
-      when($"doc_id" % 9 === 0, "#sec2").otherwise("")).as("url"))
+    val raw = docs(s, dir).select($"doc_id", crawlUrl($"doc_id").as("url"))
     raw.select(urlCanonical("url").as("canonical_url"))
       .select($"canonical_url",
         expr("substring_index(substring_index(canonical_url, '://', -1), '/', 1)").as("hostport"))
@@ -90,6 +98,49 @@ object PipelineOps {
         countDistinct($"canonical_url").as("n_canonical"),
         expr("bit_xor(CAST(conv(substring(md5(canonical_url), 1, 15), 16, 10) AS BIGINT))")
           .as("url_xor"))
+      .orderBy($"host")
+  }
+
+  /** Crawl-ingestion capstone — the front half of a real web pipeline
+    * FUSED into one declarative plan: canonicalize the fetch URL
+    * ([[urlCanonical]]), dedup fetches by canonical page (keep the
+    * smallest doc_id — the first fetch wins, the standard crawl rule),
+    * boilerplate-strip ONLY the survivors (TextOps' block heuristics),
+    * and account per host. Composition is the point: the two fixture
+    * closed forms compose (CRT makes the canonical space `doc_id % 70`,
+    * so the oracle knows each survivor in closed form and rebuilds its
+    * extraction), and a wrong stage ANYWHERE moves the per-host XOR.
+    *
+    * Scale shape: exactly TWO exchanges — one on canonical_url for the
+    * dedup (min_by carries the survivor's text through the same
+    * shuffle, deliberately: a dedup-then-join-back would shuffle the
+    * text a second time), one bounded host rollup. The HTML judge runs
+    * AFTER dedup — at real crawl dup rates that is the design decision
+    * worth money: extraction cost scales with unique pages, not
+    * fetches. Plan-asserted: 2 shuffles, no join. */
+  def qCrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"text", crawlUrl($"doc_id").as("url"))
+      .select($"doc_id", $"text", urlCanonical("url").as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(min_by(struct($"doc_id", $"text"), $"doc_id").as("s"),
+        count(lit(1)).as("n_raw"))
+      .select(
+        expr("substring_index(substring_index(substring_index(canonical_url, '://', -1), '/', 1), ':', 1)")
+          .as("host"),
+        $"n_raw", $"s.doc_id".as("doc_id"), $"s.text".as("text"))
+      .withColumn("html", TextOps.htmlPage($"doc_id", $"text"))
+      .withColumn("blocks", expr(TextOps.htmlBlocksSql))
+      .withColumn("verdicts", expr(TextOps.htmlVerdictsSql))
+      .withColumn("extracted", expr(TextOps.htmlExtractedSql))
+      .groupBy($"host")
+      .agg(
+        sum($"n_raw").as("n_fetched"),
+        count(lit(1)).as("n_pages"),
+        sum(expr("size(filter(verdicts, v -> v = 'content'))")).as("n_content"),
+        expr("bit_xor(CAST(conv(substring(md5(extracted), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_xor"))
       .orderBy($"host")
   }
 
@@ -1176,6 +1227,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
+    "q_crawl_pipeline" -> qCrawlPipeline,
     "q_gdpr_delete" -> qGdprDelete,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sequence_pack" -> qSequencePack,
@@ -1219,6 +1271,30 @@ object PipelineOps {
     // the oracle never parses: it reconstructs the expected canonical
     // string closed-form from doc_id (period-70 canonical space), so
     // the XOR pins the exact output of Spark's parse+rules chain.
+    // survivors are closed-form (min doc_id per doc_id % 70 group);
+    // their extraction replays the q_html_extract closed form; a wrong
+    // canonicalize/dedup/strip stage anywhere moves the per-host XOR.
+    "q_crawl_pipeline" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_raw
+        |  FROM documents GROUP BY doc_id % 70),
+        |d AS (
+        |  SELECT s.n_raw, t.doc_id,
+        |    'www.site' || (t.doc_id % 5) || '.com' AS host,
+        |    trim(substring(t.text, 1, 80)
+        |         || CASE WHEN t.doc_id % 5 = 0 THEN 'source' ELSE '' END) AS m,
+        |    trim(substring(t.text, 81, 60)) AS b2
+        |  FROM surv s JOIN documents t ON t.doc_id = s.doc_id),
+        |e AS (
+        |  SELECT host, n_raw,
+        |    1 + CASE WHEN length(b2) >= 25 THEN 1 ELSE 0 END AS c_content,
+        |    m || CASE WHEN length(b2) >= 25 THEN ' ' || b2 ELSE '' END AS extracted
+        |  FROM d)
+        |SELECT host, CAST(sum(n_raw) AS BIGINT) AS n_fetched,
+        |  count(*) AS n_pages,
+        |  CAST(sum(c_content) AS BIGINT) AS n_content,
+        |  bit_xor(CAST('0x' || substring(md5(extracted), 1, 15) AS BIGINT)) AS text_xor
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_url_canonical" ->
       """WITH c AS (SELECT doc_id,
         |  'www.site' || (doc_id % 5) || '.com' AS host,

@@ -1466,43 +1466,57 @@ object TextOps {
     * column — pure codegen'd per-row map work, zero UDFs, zero joins,
     * one bounded (source) partial agg. At 100 TB this is exactly the
     * shape you want: the raw crawl never shuffles. */
-  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val html = concat(
-      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+  /** The formulaic HTML page for a (doc_id, text) pair — shared by
+    * [[qHtmlExtract]] and PipelineOps' crawl capstone. */
+  private[queries] def htmlPage(docId: Column, text: Column): Column =
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
       lit("</title><style>p{margin:0}</style></head><body>"),
       lit("""<div id="nav"><a href="/">Home</a> <a href="/news">News</a>"""),
-      when($"doc_id" % 3 === 0, lit(""" <a href="/e">Extra</a>""")).otherwise(lit("")),
+      when(docId % 3 === 0, lit(""" <a href="/e">Extra</a>""")).otherwise(lit("")),
       lit("</div>"),
-      lit("""<div class="main"><p>"""), substring($"text", 1, 80), lit("</p>"),
-      when($"doc_id" % 5 === 0, lit("""<a href="/src">source</a>""")).otherwise(lit("")),
+      lit("""<div class="main"><p>"""), substring(text, 1, 80), lit("</p>"),
+      when(docId % 5 === 0, lit("""<a href="/src">source</a>""")).otherwise(lit("")),
       lit("</div>"),
-      when($"doc_id" % 4 === 0, lit("""<div class="ad"><a href="/buy">Buy cheap pills online today</a> <a href="/win">You have won a prize click here</a></div>"""))
+      when(docId % 4 === 0, lit("""<div class="ad"><a href="/buy">Buy cheap pills online today</a> <a href="/win">You have won a prize click here</a></div>"""))
         .otherwise(lit("""<div class="ad"><a href="/buy">Ad</a></div>""")),
       lit("""<div class="spec"><b>size</b><i>12mm</i><b>color</b><i>crimson</i><b>weight</b><i>3kg</i><b>brand</b><i>acme corp</i></div>"""),
-      lit("""<div class="body2"><p>"""), substring($"text", 81, 60), lit("</p></div>"),
+      lit("""<div class="body2"><p>"""), substring(text, 81, 60), lit("</p></div>"),
       lit("""<div id="foot"><a href="/tos">Terms of Service</a> <a href="/priv">Privacy Policy</a> <a href="/jobs">Careers at site</a></div></body></html>"""))
+
+  /** Block segmentation + per-block metrics for [[htmlPage]] output:
+    * block = everything from one <div to the next; chunk 0 is the head.
+    * Per block: stripped text (trim only — the fixture never makes
+    * consecutive whitespace), raw length, anchor-text length. */
+  private[queries] val htmlBlocksSql: String =
+    """transform(split(html, '(?=<div)'), b -> named_struct(
+      |  'txt', trim(regexp_replace(b, '<[^>]*>', '')),
+      |  'raw', length(b),
+      |  'link', aggregate(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+      |                    0, (acc, x) -> acc + length(x))))""".stripMargin
+
+  /** First-failing-rule verdict per block (length -> link density ->
+    * markup ratio), over [[htmlBlocksSql]]'s `blocks`. */
+  private[queries] val htmlVerdictsSql: String =
+    """transform(blocks, b -> CASE
+      |  WHEN length(b.txt) < 25 THEN 'short'
+      |  WHEN 2 * b.link >= length(b.txt) THEN 'linkdense'
+      |  WHEN 5 * length(b.txt) <= 2 * b.raw THEN 'markup'
+      |  ELSE 'content' END)""".stripMargin
+
+  /** Content-block concatenation over `blocks` + `verdicts`. */
+  private[queries] val htmlExtractedSql: String =
+    """concat_ws(' ', transform(
+      |  filter(arrays_zip(blocks, verdicts), z -> z.verdicts = 'content'),
+      |  z -> z.blocks.txt))""".stripMargin
+
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     docs(s, dir)
-      .select($"source", html.as("html"))
-      // block = everything from one <div to the next; chunk 0 is the
-      // head. Per block: stripped text (trim only — the fixture never
-      // makes consecutive whitespace), raw length, anchor-text length.
-      .withColumn("blocks", expr(
-        """transform(split(html, '(?=<div)'), b -> named_struct(
-          |  'txt', trim(regexp_replace(b, '<[^>]*>', '')),
-          |  'raw', length(b),
-          |  'link', aggregate(regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
-          |                    0, (acc, x) -> acc + length(x))))""".stripMargin))
-      .withColumn("verdicts", expr(
-        """transform(blocks, b -> CASE
-          |  WHEN length(b.txt) < 25 THEN 'short'
-          |  WHEN 2 * b.link >= length(b.txt) THEN 'linkdense'
-          |  WHEN 5 * length(b.txt) <= 2 * b.raw THEN 'markup'
-          |  ELSE 'content' END)""".stripMargin))
-      .withColumn("extracted", expr(
-        """concat_ws(' ', transform(
-          |  filter(arrays_zip(blocks, verdicts), z -> z.verdicts = 'content'),
-          |  z -> z.blocks.txt))""".stripMargin))
+      .select($"source", htmlPage($"doc_id", $"text").as("html"))
+      .withColumn("blocks", expr(htmlBlocksSql))
+      .withColumn("verdicts", expr(htmlVerdictsSql))
+      .withColumn("extracted", expr(htmlExtractedSql))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -701,6 +701,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("q_crawl_pipeline: one fused plan — two hash exchanges, no join") {
+    // canonicalize → dedup → strip → host rollup must fuse: exactly the
+    // canonical_url dedup exchange and the host rollup exchange (the
+    // final orderBy adds range partitioning, not hash), survivor text
+    // carried through min_by rather than joined back, extraction after
+    // dedup so its cost scales with unique pages.
+    val df = PipelineOps.qCrawlPipeline(spark, dir)
+    val nodes = collectNodes(executed(df))
+    val hashExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 2, s"expected 2 hash exchanges:\n${hashExchanges.mkString("\n")}")
+    assert(!nodes.exists(_.nodeName.contains("Join")), nodes.map(_.nodeName).mkString(","))
+  }
+
   test("q_orc_roundtrip: the status filter and projection reach the ORC scan") {
     // ORC must keep the same scan-side contract as parquet: the
     // predicate in PushedFilters, the 4-column projection in
