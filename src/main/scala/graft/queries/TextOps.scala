@@ -226,16 +226,7 @@ object TextOps {
       .localCheckpoint()
     val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
     for (k <- 1 to merges) {
-      // sequence(1, 0) DESCENDS in Spark — 1-symbol words must not
-      // reach the pair transform (they re-enter via the apply step).
-      val best = words
-        .filter(size($"syms") >= 2)
-        .select($"freq", explode(expr(
-          """transform(sequence(1, size(syms) - 1),
-            |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
-            .stripMargin)).as("p"))
-        .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum($"freq").as("cnt"))
+      val best = bpePairCounts(words)
         .orderBy($"cnt".desc, $"a", $"b")
         .limit(1).collect()(0)
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
@@ -257,6 +248,22 @@ object TextOps {
       .select($"merge_rank".cast("long"), $"lhs", $"rhs", $"merged",
         $"pair_count", $"symbols_after")
       .orderBy($"merge_rank")
+  }
+
+  /** One round's adjacent-pair count over the symbol table — split out
+    * so PlanAuditSpec can assert its map-side partial aggregation.
+    * sequence(1, 0) DESCENDS in Spark, so 1-symbol words must not
+    * reach the pair transform (they re-enter via the apply step). */
+  private[queries] def bpePairCounts(words: DataFrame): DataFrame = {
+    import words.sparkSession.implicits._
+    words
+      .filter(size($"syms") >= 2)
+      .select($"freq", explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"""
+          .stripMargin)).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"freq").as("cnt"))
   }
 
   /** Generated K-layer oracle for [[qBpeLearn]]: each layer replays

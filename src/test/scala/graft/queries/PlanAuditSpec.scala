@@ -701,6 +701,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!readSchema.contains("l_returnflag"), readSchema)
   }
 
+  test("q_bpe_learn: the per-round pair count partial-aggregates over the checkpointed vocab") {
+    // The trainer's scale split: each round's pair count must
+    // partial-aggregate map-side, and its input must be the
+    // checkpointed vocab RDD (lineage truncated), never a
+    // re-derivation from the corpus scan.
+    import spark.implicits._
+    val vocab = Seq(("abab", 3L), ("ab", 2L)).toDF("w", "freq")
+      .selectExpr("w", "freq",
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms")
+      .localCheckpoint()
+    val s = planString(TextOps.bpePairCounts(vocab))
+    assert(s.contains("partial_sum") || s.contains("Partial"), s)
+    assert(s.contains("ExistingRDD") || s.contains("LogicalRDD") || s.contains("Scan ExistingRDD"), s)
+    assert(!s.linesIterator.exists(_.contains("Scan parquet")), s)
+    // and the full key end-to-end stays healthy on real data
+    assert(TextOps.qBpeLearn(spark, dir).count() == 6)
+  }
+
   test("q_crawl_pipeline: one fused plan — two hash exchanges, no join") {
     // canonicalize → dedup → strip → host rollup must fuse: exactly the
     // canonical_url dedup exchange and the host rollup exchange (the
