@@ -197,6 +197,128 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Per-image perceptual-hash row: the 64-bit aHash carried as four
+    * 16-bit band values (never one signed BIGINT — the sign bit would
+    * diverge across engines' shift/overflow rules). */
+  final case class ImageHash(img_id: Long, fmt: String,
+                             h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Average-hash (aHash) of a decoded raster — the classic perceptual
+    * image fingerprint: integer grayscale, 8×8 average-pool, bit =
+    * cell mean above the mean-of-cell-means. All integer division, so
+    * the DuckDB oracle replays it bit-for-bit from the closed-form
+    * pixel pattern without ever seeing the bytes. */
+  private[functions] def aHash(img: java.awt.image.BufferedImage): (Int, Int, Int, Int) = {
+    val w = img.getWidth; val h = img.getHeight
+    val sum = new Array[Long](64); val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        sum(c) += gray; cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val m = Array.tabulate(64)(c => sum(c) / cnt(c)) // w,h >= 8 → every cell hit
+    val t = m.sum / 64
+    def band(b: Int): Int = {
+      var v = 0; var i = 0
+      while (i < 16) { if (m(16 * b + i) > t) v |= 1 << i; i += 1 }
+      v
+    }
+    (band(0), band(1), band(2), band(3))
+  }
+
+  /** The perceptual-dedup corpus: every base image ([[imageBlobs]]'s
+    * ids and patterns), plus a PERTURBED TWIN for every 4th base — the
+    * same pattern re-encoded with one low bit flipped on one channel
+    * of one pixel, in the OTHER container format. Twins are what
+    * perceptual dedup exists for: byte-identical dedup can never pair
+    * them (different codec, different bytes), content hashing must. */
+  private def phashBlobs(s: SparkSession, dir: String): Dataset[ImageBlob] = {
+    import s.implicits._
+    graft.queries.Tables.t(s, dir, "documents")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val fmt = if (id % 2 == 0) "bmp" else "png"
+          val base = ImageBlob(id, fmt, ImageCodec.encode(id, fmt))
+          if ((id / 5) % 4 == 1) {
+            val twinFmt = if (id % 2 == 0) "png" else "bmp"
+            val (w, h) = (ImageCodec.widthOf(id), ImageCodec.heightOf(id))
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r0 = ImageCodec.r(id, x, y)
+                val r = if (x == 0 && y == 0) r0 ^ 1 else r0
+                img.setRGB(x, y, (r << 16) | (ImageCodec.g(id, x, y) << 8) |
+                  ImageCodec.b(id, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            require(javax.imageio.ImageIO.write(img, twinFmt, out),
+              s"no ImageIO writer for $twinFmt")
+            Seq(base, ImageBlob(id + 1, twinFmt, out.toByteArray))
+          } else Seq(base)
+        }
+      }
+  }
+
+  /** Perceptual image near-dup (q_image_phash): decode every payload
+    * with the REAL JDK readers, aHash the rasters, and pair images at
+    * hamming ≤ 3 via 16-bit band pigeonhole (4 bands — lossless for
+    * d ≤ 3, the same guarantee as `q_simhash_pairs`; candidate volume
+    * is bounded by the 2¹⁶-per-band signature space, never corpus²).
+    * The planted twins are CROSS-FORMAT (BMP base, PNG twin or vice
+    * versa) with one perturbed pixel, so a green gate proves the pair
+    * came from decoded CONTENT — no byte-level shortcut exists. The
+    * oracle replays grayscale → 8×8 pool → threshold → bands from the
+    * closed-form pixel pattern without the bytes.
+    *
+    * Scale: decode + hash are per-partition map work on the payload
+    * column (bytes never shuffle); only 8-byte signatures reach the
+    * band exchange. */
+  def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = phashBlobs(s, dir)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { blob =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(blob.bytes))
+          require(img != null, s"no reader decoded img ${blob.doc_id}")
+          val (h0, h1, h2, h3) = aHash(img)
+          ImageHash(blob.doc_id, blob.fmt, h0, h1, h2, h3)
+        }
+      }.toDF()
+    val bands = sigs.select($"img_id", $"fmt", $"h0", $"h1", $"h2", $"h3",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("bv"))): _*)).as("x"))
+      .select($"img_id", $"fmt", $"h0", $"h1", $"h2", $"h3",
+        $"x.band".as("band"), $"x.bv".as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("doc_a"), col("b.img_id").as("doc_b"),
+        col("a.fmt").as("fmt_a"), col("b.fmt").as("fmt_b"),
+        (expr("bit_count(a.h0 ^ b.h0) + bit_count(a.h1 ^ b.h1) + " +
+          "bit_count(a.h2 ^ b.h2) + bit_count(a.h3 ^ b.h3)")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** One real audio payload: genuine RIFF/WAVE bytes (JDK-encoded). */
   final case class AudioBlob(doc_id: Long, bytes: Array[Byte])
 
@@ -385,6 +507,7 @@ object Multimodal {
     "q_frame_sample" -> qFrameSample,
     "q_media_resize" -> qMediaResize,
     "q_image_decode" -> qImageDecode,
+    "q_image_phash" -> qImagePhash,
     "q_audio_decode" -> qAudioDecode,
   )
 
@@ -426,6 +549,57 @@ object Multimodal {
     // WITHOUT the bytes: the only way Spark's answer matches is if
     // the JDK encode→decode round-trip (BMP bottom-up BGR rows with
     // 4-byte padding; PNG DEFLATE) reproduced every pixel exactly.
+    // Replays the aHash from the closed-form pixel pattern (grayscale
+    // -> 8x8 average pool -> mean-of-means threshold -> 16-bit bands),
+    // never seeing the bytes; pairing is the same band pigeonhole.
+    "q_image_phash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS img_id, doc_id AS pat, 0 AS pert,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1, doc_id, 1,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+        |  FROM documents WHERE doc_id % 5 = 0 AND (doc_id // 5) % 4 = 1),
+        |px AS (
+        |  SELECT img_id, fmt,
+        |    (gy.y * 8) // (8 + pat % 7) * 8 + (gx.x * 8) // (8 + pat % 9) AS c,
+        |    (CASE WHEN pert = 1 AND gx.x = 0 AND gy.y = 0
+        |          THEN xor((31 * pat) % 256, 1)
+        |          ELSE (31 * pat + 7 * gx.x + 13 * gy.y) % 256 END
+        |     + (17 * pat + 5 * gx.x + 11 * gy.y) % 256
+        |     + (23 * pat + 3 * gx.x + 19 * gy.y) % 256) // 3 AS gray
+        |  FROM imgs,
+        |    generate_series(0, 15) AS gx(x),
+        |    generate_series(0, 13) AS gy(y)
+        |  WHERE gx.x < 8 + pat % 9 AND gy.y < 8 + pat % 7),
+        |cells AS (SELECT img_id, fmt, c, sum(gray) // count(*) AS m
+        |          FROM px GROUP BY img_id, fmt, c),
+        |thr AS (SELECT img_id, sum(m) // 64 AS t FROM cells GROUP BY img_id),
+        |bands AS (
+        |  SELECT c.img_id, c.fmt, c.c // 16 AS band,
+        |    CAST(sum(CASE WHEN c.m > t.t THEN 1 << (c.c % 16) ELSE 0 END) AS INTEGER) AS bv
+        |  FROM cells c JOIN thr t ON t.img_id = c.img_id
+        |  GROUP BY c.img_id, c.fmt, c.c // 16),
+        |sig AS (
+        |  SELECT img_id, fmt,
+        |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+        |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+        |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+        |    max(CASE WHEN band = 3 THEN bv END) AS h3
+        |  FROM bands GROUP BY img_id, fmt),
+        |cand AS (
+        |  SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b,
+        |    a.fmt AS fmt_a, b.fmt AS fmt_b,
+        |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |       + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |      AS hamming
+        |  FROM sig a, sig b, (VALUES (0), (1), (2), (3)) AS bd(i)
+        |  WHERE a.img_id < b.img_id AND
+        |    CASE bd.i WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1
+        |              WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END)
+        |SELECT doc_a, doc_b, fmt_a, fmt_b, hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_image_decode" ->
       """WITH dims AS (
         |  SELECT doc_id,
