@@ -144,6 +144,61 @@ object PipelineOps {
       .orderBy($"host")
   }
 
+  /** The planted robots rule table for [[qRobotsFilter]] — one row per
+    * (host index, path prefix, allow). Covers every RFC 9309 decision
+    * shape: longest-prefix override (site1 blocks `/p/` but re-allows
+    * `/p/3`), root disallow with subtree re-allow (site2), an exact
+    * same-prefix allow/disallow tie that must resolve to ALLOW
+    * (site3's `/p/2`), a targeted single-page block (site0), and a
+    * host with no rules at all (site4 → implicit allow). Rules are
+    * DATA — a deployment ships its parsed robots.txt as a table. */
+  val RobotsRules: Seq[(Int, String, Boolean)] = Seq(
+    (0, "/p/5", false),
+    (1, "/p/", false), (1, "/p/3", true),
+    (2, "/", false), (2, "/p/", true),
+    (3, "/p/", false), (3, "/p/2", false), (3, "/p/2", true))
+
+  /** Robots-rules evaluation (RFC 9309 semantics: longest matching
+    * path prefix wins; an allow/disallow tie at equal length resolves
+    * to allow; no match → allow) over the canonical crawl pages — the
+    * politeness gate between URL canonicalization and fetching.
+    *
+    * Scale shape: the rule table is tiny at any scale (robots.txt
+    * files per host) and BROADCASTS; evaluation is a broadcast join on
+    * host with the prefix test as a residual condition, then one
+    * `max_by((prefix_len, is_allow))` partial agg per page — the URL
+    * side never shuffles at data size. Per-rule attribution
+    * (`matched_prefix`) makes the block accounting auditable, the
+    * same accountability style as `q_filter_funnel`. */
+  def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = broadcast(RobotsRules.toDF("h", "prefix", "allow"))
+    val withPath = docs(s, dir)
+      .select($"doc_id", crawlUrl($"doc_id").as("url"))
+      .select(urlCanonical("url").as("canonical_url"))
+      .distinct()
+      .select($"canonical_url",
+        expr("substring_index(substring_index(substring_index(canonical_url, '://', -1), '/', 1), ':', 1)")
+          .as("host"),
+        expr("substring_index(parse_url(canonical_url, 'PATH'), '?', 1)").as("path"))
+      .withColumn("hidx", expr("CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT)"))
+    withPath
+      .join(rules, $"hidx" === $"h" && expr("startswith(path, prefix)"), "left")
+      .groupBy($"canonical_url", $"host", $"path")
+      .agg(max_by(struct($"prefix", $"allow"),
+        struct(length($"prefix"), $"allow")).as("m"))
+      .select($"canonical_url", $"host",
+        coalesce($"m.allow", lit(true)).as("is_allowed"),
+        coalesce($"m.prefix", lit("-")).as("matched_prefix"))
+      .groupBy($"host",
+        when($"is_allowed", "allow").otherwise("deny").as("verdict"),
+        $"matched_prefix")
+      .agg(count(lit(1)).as("n_pages"),
+        expr("bit_xor(CAST(conv(substring(md5(canonical_url), 1, 15), 16, 10) AS BIGINT))")
+          .as("url_xor"))
+      .orderBy($"host", $"verdict", $"matched_prefix")
+  }
+
   /** Hash bucket 0-99 from the doc id — the split die. md5 (not
     * `hash()`) so DuckDB reproduces it bit-for-bit. */
   private val bucket =
@@ -1228,6 +1283,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_crawl_pipeline" -> qCrawlPipeline,
+    "q_robots_filter" -> qRobotsFilter,
     "q_gdpr_delete" -> qGdprDelete,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_sequence_pack" -> qSequencePack,
@@ -1271,6 +1327,40 @@ object PipelineOps {
     // the oracle never parses: it reconstructs the expected canonical
     // string closed-form from doc_id (period-70 canonical space), so
     // the XOR pins the exact output of Spark's parse+rules chain.
+    // same VALUES rule table, same longest-prefix/allow-tie order,
+    // canonical pages rebuilt closed-form (the q_url_canonical form).
+    "q_robots_filter" ->
+      """WITH pages AS (
+        |  SELECT DISTINCT
+        |    'www.site' || (doc_id % 5) || '.com' AS host,
+        |    doc_id % 5 AS hidx,
+        |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/p/' || (doc_id % 7) END AS path,
+        |    'https://www.site' || (doc_id % 5) || '.com'
+        |      || CASE WHEN doc_id % 7 = 5 THEN ':8080' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/p/' || (doc_id % 7) END
+        |      || CASE WHEN doc_id % 2 = 0 THEN '?id=7' ELSE '?a=7&z=9' END AS canonical_url
+        |  FROM documents),
+        |rules(h, prefix, allow) AS (VALUES
+        |  (0, '/p/5', false),
+        |  (1, '/p/', false), (1, '/p/3', true),
+        |  (2, '/', false), (2, '/p/', true),
+        |  (3, '/p/', false), (3, '/p/2', false), (3, '/p/2', true)),
+        |j AS (
+        |  SELECT p.canonical_url, p.host, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY p.canonical_url
+        |      ORDER BY length(r.prefix) DESC NULLS LAST, r.allow DESC NULLS LAST) AS rn
+        |  FROM pages p LEFT JOIN rules r
+        |    ON r.h = p.hidx AND starts_with(p.path, r.prefix)),
+        |dec AS (
+        |  SELECT canonical_url, host,
+        |    coalesce(allow, true) AS is_allowed,
+        |    coalesce(prefix, '-') AS matched_prefix
+        |  FROM j WHERE rn = 1)
+        |SELECT host,
+        |  CASE WHEN is_allowed THEN 'allow' ELSE 'deny' END AS verdict,
+        |  matched_prefix, count(*) AS n_pages,
+        |  bit_xor(CAST('0x' || substring(md5(canonical_url), 1, 15) AS BIGINT)) AS url_xor
+        |FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // survivors are closed-form (min doc_id per doc_id % 70 group);
     // their extraction replays the q_html_extract closed form; a wrong
     // canonicalize/dedup/strip stage anywhere moves the per-host XOR.

@@ -719,6 +719,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(TextOps.qBpeLearn(spark, dir).count() == 6)
   }
 
+  test("q_robots_filter: the rule table broadcasts; pages never shuffle at data size") {
+    // Rules are robots.txt-sized at any corpus scale — the join must
+    // be a broadcast with the prefix test as a residual, never a
+    // shuffle of the page side keyed on host.
+    val s = planString(PipelineOps.qRobotsFilter(spark, dir))
+    assert(s.contains("BroadcastExchange"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q_crawl_pipeline: one fused plan — two hash exchanges, no join") {
     // canonicalize → dedup → strip → host rollup must fuse: exactly the
     // canonical_url dedup exchange and the host rollup exchange (the
