@@ -374,6 +374,29 @@ object Multimodal {
     /** DECODE real bytes with the JDK's RIFF/WAVE reader and fold the
       * sample stream to integer-exact facts. PCM is lossless, so the
       * decoded stream must reproduce the closed-form waveform exactly. */
+    /** [[encode]] with the t=0 sample's low bit flipped — a second,
+      * independent encoder run of an almost-identical waveform (the
+      * fingerprint twin; XOR keeps the value in [-2048, 2047]). */
+    def encodePerturbed(id: Long): Array[Byte] = {
+      val n = nSamplesOf(id)
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val v0 = sampleAt(id, t)
+        val v = if (t == 0) v0 ^ 1 else v0
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(Rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+      out.toByteArray
+    }
+
     def decode(blob: AudioBlob): AudioFacts = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(blob.bytes))
@@ -400,6 +423,84 @@ object Multimodal {
       AudioFacts(blob.doc_id, n.toLong, fmt.getSampleRate.toLong,
         fmt.getChannels.toLong, sumAbs, peak, zc)
     }
+  }
+
+  /** Per-clip acoustic-fingerprint row: 64 energy bits as four 16-bit
+    * bands (same carrier rationale as [[ImageHash]]). */
+  final case class AudioFp(snd_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Energy-envelope fingerprint of decoded PCM — the audio analogue
+    * of [[aHash]]: 64 time frames, per-frame mean |amplitude|, bit =
+    * frame energy above the mean-of-frame-means. Integer-exact, so the
+    * oracle replays it from the closed-form waveform. */
+  private[functions] def audioFingerprint(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = ais.readAllBytes()
+    val n = pcm.length / 2
+    val sum = new Array[Long](64); val cnt = new Array[Long](64)
+    var t = 0
+    while (t < n) {
+      val v = (((pcm(2 * t + 1) & 0xff) << 8) | (pcm(2 * t) & 0xff)).toShort.toInt
+      val f = t * 64 / n // n >= 400 → every frame non-empty
+      sum(f) += math.abs(v); cnt(f) += 1
+      t += 1
+    }
+    val m = Array.tabulate(64)(f => sum(f) / cnt(f))
+    val thr = m.sum / 64
+    def band(b: Int): Int = {
+      var v = 0; var i = 0
+      while (i < 16) { if (m(16 * b + i) > thr) v |= 1 << i; i += 1 }
+      v
+    }
+    (band(0), band(1), band(2), band(3))
+  }
+
+  /** The acoustic-dedup corpus: every base clip plus, for every 4th
+    * one, a PERTURBED TWIN (the same waveform re-encoded with one
+    * sample's low bit flipped) — the "same recording, different
+    * encoder run" pair byte-level dedup can never find. */
+  private def audioFpBlobs(s: SparkSession, dir: String): Dataset[AudioBlob] = {
+    import s.implicits._
+    graft.queries.Tables.t(s, dir, "documents")
+      .filter($"doc_id" % 5 === 1)
+      .select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = AudioBlob(id, AudioCodec.encode(id))
+        if ((id / 5) % 4 == 1)
+          Seq(base, AudioBlob(id + 1, AudioCodec.encodePerturbed(id)))
+        else Seq(base)
+      })
+  }
+
+  /** Acoustic near-dup (q_audio_fingerprint): decode every WAVE
+    * payload with the real JDK reader, fingerprint the energy
+    * envelope, pair clips at hamming ≤ 3 via the same 16-bit band
+    * pigeonhole as [[qImagePhash]]. The planted twins differ by one
+    * low-order sample bit across two independent encoder runs, so
+    * pairing can only come from decoded CONTENT. Payload bytes never
+    * shuffle — only 8-byte fingerprints reach the band exchange. */
+  def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = audioFpBlobs(s, dir)
+      .mapPartitions(_.map { blob =>
+        val (h0, h1, h2, h3) = audioFingerprint(blob.bytes)
+        AudioFp(blob.doc_id, h0, h1, h2, h3)
+      }).toDF()
+    val bands = sigs.select($"snd_id", $"h0", $"h1", $"h2", $"h3",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("bv"))): _*)).as("x"))
+      .select($"snd_id", $"h0", $"h1", $"h2", $"h3",
+        $"x.band".as("band"), $"x.bv".as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.snd_id") < col("b.snd_id"))
+      .select(col("a.snd_id").as("doc_a"), col("b.snd_id").as("doc_b"),
+        (expr("bit_count(a.h0 ^ b.h0) + bit_count(a.h1 ^ b.h1) + " +
+          "bit_count(a.h2 ^ b.h2) + bit_count(a.h3 ^ b.h3)")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Synthesize the audio corpus: the doc_id % 5 == 1 slice (disjoint
@@ -508,6 +609,7 @@ object Multimodal {
     "q_media_resize" -> qMediaResize,
     "q_image_decode" -> qImageDecode,
     "q_image_phash" -> qImagePhash,
+    "q_audio_fingerprint" -> qAudioFingerprint,
     "q_audio_decode" -> qAudioDecode,
   )
 
@@ -549,6 +651,47 @@ object Multimodal {
     // WITHOUT the bytes: the only way Spark's answer matches is if
     // the JDK encode→decode round-trip (BMP bottom-up BGR rows with
     // 4-byte padding; PNG DEFLATE) reproduced every pixel exactly.
+    // Replays the energy-envelope fingerprint from the closed-form
+    // sawtooth (64 frames -> mean |amplitude| -> threshold -> bands);
+    // the pairing is the same band pigeonhole as the image key.
+    "q_audio_fingerprint" ->
+      """WITH snds AS (
+        |  SELECT doc_id AS snd_id, doc_id AS pat, 0 AS pert
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1, doc_id, 1
+        |  FROM documents WHERE doc_id % 5 = 1 AND (doc_id // 5) % 4 = 1),
+        |samp AS (
+        |  SELECT snd_id, (t.t * 64) // (400 + pat % 257) AS f,
+        |    abs(CASE WHEN pert = 1 AND t.t = 0
+        |             THEN xor((37 * pat) % 4096 - 2048, 1)
+        |             ELSE (37 * pat + 173 * t.t) % 4096 - 2048 END) AS a
+        |  FROM snds, generate_series(0, 656) AS t(t)
+        |  WHERE t.t < 400 + pat % 257),
+        |frames AS (SELECT snd_id, f, sum(a) // count(*) AS m FROM samp GROUP BY 1, 2),
+        |thr AS (SELECT snd_id, sum(m) // 64 AS t FROM frames GROUP BY 1),
+        |bands AS (
+        |  SELECT fr.snd_id, fr.f // 16 AS band,
+        |    CAST(sum(CASE WHEN fr.m > th.t THEN 1 << (fr.f % 16) ELSE 0 END) AS INTEGER) AS bv
+        |  FROM frames fr JOIN thr th USING (snd_id) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT snd_id,
+        |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+        |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+        |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+        |    max(CASE WHEN band = 3 THEN bv END) AS h3
+        |  FROM bands GROUP BY snd_id),
+        |cand AS (
+        |  SELECT DISTINCT a.snd_id AS doc_a, b.snd_id AS doc_b,
+        |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |       + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |      AS hamming
+        |  FROM sig a, sig b, (VALUES (0), (1), (2), (3)) AS bd(i)
+        |  WHERE a.snd_id < b.snd_id AND
+        |    CASE bd.i WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1
+        |              WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END)
+        |SELECT doc_a, doc_b, hamming
+        |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // Replays the aHash from the closed-form pixel pattern (grayscale
     // -> 8x8 average pool -> mean-of-means threshold -> 16-bit bands),
     // never seeing the bytes; pairing is the same band pigeonhole.
