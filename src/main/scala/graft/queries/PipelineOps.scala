@@ -176,24 +176,26 @@ object PipelineOps {
     val withPath = docs(s, dir)
       .select($"doc_id", crawlUrl($"doc_id").as("url"))
       .select(urlCanonical("url").as("canonical_url"))
-      .distinct()
-      .select($"canonical_url",
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_raw")) // fetch volume rides the dedup
+      .select($"canonical_url", $"n_raw",
         expr("substring_index(substring_index(substring_index(canonical_url, '://', -1), '/', 1), ':', 1)")
           .as("host"),
         expr("substring_index(parse_url(canonical_url, 'PATH'), '?', 1)").as("path"))
       .withColumn("hidx", expr("CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT)"))
     withPath
       .join(rules, $"hidx" === $"h" && expr("startswith(path, prefix)"), "left")
-      .groupBy($"canonical_url", $"host", $"path")
+      .groupBy($"canonical_url", $"host", $"path", $"n_raw")
       .agg(max_by(struct($"prefix", $"allow"),
         struct(length($"prefix"), $"allow")).as("m"))
-      .select($"canonical_url", $"host",
+      .select($"canonical_url", $"host", $"n_raw",
         coalesce($"m.allow", lit(true)).as("is_allowed"),
         coalesce($"m.prefix", lit("-")).as("matched_prefix"))
       .groupBy($"host",
         when($"is_allowed", "allow").otherwise("deny").as("verdict"),
         $"matched_prefix")
       .agg(count(lit(1)).as("n_pages"),
+        sum($"n_raw").as("n_fetches"),
         expr("bit_xor(CAST(conv(substring(md5(canonical_url), 1, 15), 16, 10) AS BIGINT))")
           .as("url_xor"))
       .orderBy($"host", $"verdict", $"matched_prefix")
@@ -1331,34 +1333,36 @@ object PipelineOps {
     // canonical pages rebuilt closed-form (the q_url_canonical form).
     "q_robots_filter" ->
       """WITH pages AS (
-        |  SELECT DISTINCT
+        |  SELECT
         |    'www.site' || (doc_id % 5) || '.com' AS host,
         |    doc_id % 5 AS hidx,
         |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/p/' || (doc_id % 7) END AS path,
         |    'https://www.site' || (doc_id % 5) || '.com'
         |      || CASE WHEN doc_id % 7 = 5 THEN ':8080' ELSE '' END
         |      || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '/p/' || (doc_id % 7) END
-        |      || CASE WHEN doc_id % 2 = 0 THEN '?id=7' ELSE '?a=7&z=9' END AS canonical_url
-        |  FROM documents),
+        |      || CASE WHEN doc_id % 2 = 0 THEN '?id=7' ELSE '?a=7&z=9' END AS canonical_url,
+        |    count(*) AS n_raw
+        |  FROM documents GROUP BY 1, 2, 3, 4),
         |rules(h, prefix, allow) AS (VALUES
         |  (0, '/p/5', false),
         |  (1, '/p/', false), (1, '/p/3', true),
         |  (2, '/', false), (2, '/p/', true),
         |  (3, '/p/', false), (3, '/p/2', false), (3, '/p/2', true)),
         |j AS (
-        |  SELECT p.canonical_url, p.host, r.prefix, r.allow,
+        |  SELECT p.canonical_url, p.host, p.n_raw, r.prefix, r.allow,
         |    row_number() OVER (PARTITION BY p.canonical_url
         |      ORDER BY length(r.prefix) DESC NULLS LAST, r.allow DESC NULLS LAST) AS rn
         |  FROM pages p LEFT JOIN rules r
         |    ON r.h = p.hidx AND starts_with(p.path, r.prefix)),
         |dec AS (
-        |  SELECT canonical_url, host,
+        |  SELECT canonical_url, host, n_raw,
         |    coalesce(allow, true) AS is_allowed,
         |    coalesce(prefix, '-') AS matched_prefix
         |  FROM j WHERE rn = 1)
         |SELECT host,
         |  CASE WHEN is_allowed THEN 'allow' ELSE 'deny' END AS verdict,
         |  matched_prefix, count(*) AS n_pages,
+        |  CAST(sum(n_raw) AS BIGINT) AS n_fetches,
         |  bit_xor(CAST('0x' || substring(md5(canonical_url), 1, 15) AS BIGINT)) AS url_xor
         |FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // survivors are closed-form (min doc_id per doc_id % 70 group);
