@@ -307,7 +307,15 @@ object Multimodal {
           struct(lit(b).as("band"), col(s"h$b").as("bv"))): _*)).as("x"))
       .select($"img_id", $"fmt", $"h0", $"h1", $"h2", $"h3",
         $"x.band".as("band"), $"x.bv".as("bv"))
-    bands.as("a").join(bands.as("b"),
+    // the standard per-bucket candidate cap: a degenerate fingerprint
+    // (flat/black frames — all-zero envelope) would otherwise make one
+    // bucket's pair expansion quadratic in corpus size; smallest-id-
+    // first keep, mirrored in the oracle, worst case buckets × cap².
+    val capped = bands
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"band", $"bv").orderBy($"img_id")))
+      .filter($"rn" <= 128).drop("rn")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.img_id") < col("b.img_id"))
       .select(col("a.img_id").as("doc_a"), col("b.img_id").as("doc_b"),
@@ -492,7 +500,13 @@ object Multimodal {
           struct(lit(b).as("band"), col(s"h$b").as("bv"))): _*)).as("x"))
       .select($"snd_id", $"h0", $"h1", $"h2", $"h3",
         $"x.band".as("band"), $"x.bv".as("bv"))
-    bands.as("a").join(bands.as("b"),
+    // same per-bucket candidate cap as the image key: a degenerate
+    // envelope (silence) must not make one bucket quadratic.
+    val capped = bands
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"band", $"bv").orderBy($"snd_id")))
+      .filter($"rn" <= 128).drop("rn")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.snd_id") < col("b.snd_id"))
       .select(col("a.snd_id").as("doc_a"), col("b.snd_id").as("doc_b"),
@@ -681,15 +695,24 @@ object Multimodal {
         |    max(CASE WHEN band = 2 THEN bv END) AS h2,
         |    max(CASE WHEN band = 3 THEN bv END) AS h3
         |  FROM bands GROUP BY snd_id),
+        |bexp AS (
+        |  SELECT snd_id, 0 AS band, h0 AS bv FROM sig UNION ALL
+        |  SELECT snd_id, 1, h1 FROM sig UNION ALL
+        |  SELECT snd_id, 2, h2 FROM sig UNION ALL
+        |  SELECT snd_id, 3, h3 FROM sig),
+        |capped AS (SELECT snd_id, band, bv FROM (
+        |  SELECT snd_id, band, bv,
+        |    row_number() OVER (PARTITION BY band, bv ORDER BY snd_id) AS rn
+        |  FROM bexp) WHERE rn <= 128),
         |cand AS (
         |  SELECT DISTINCT a.snd_id AS doc_a, b.snd_id AS doc_b,
-        |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
-        |       + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |    CAST(bit_count(xor(sa.h0, sb.h0)) + bit_count(xor(sa.h1, sb.h1))
+        |       + bit_count(xor(sa.h2, sb.h2)) + bit_count(xor(sa.h3, sb.h3)) AS BIGINT)
         |      AS hamming
-        |  FROM sig a, sig b, (VALUES (0), (1), (2), (3)) AS bd(i)
-        |  WHERE a.snd_id < b.snd_id AND
-        |    CASE bd.i WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1
-        |              WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END)
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.snd_id < b.snd_id
+        |  JOIN sig sa ON sa.snd_id = a.snd_id
+        |  JOIN sig sb ON sb.snd_id = b.snd_id)
         |SELECT doc_a, doc_b, hamming
         |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // Replays the aHash from the closed-form pixel pattern (grayscale
@@ -731,16 +754,25 @@ object Multimodal {
         |    max(CASE WHEN band = 2 THEN bv END) AS h2,
         |    max(CASE WHEN band = 3 THEN bv END) AS h3
         |  FROM bands GROUP BY img_id, fmt),
+        |bexp AS (
+        |  SELECT img_id, 0 AS band, h0 AS bv FROM sig UNION ALL
+        |  SELECT img_id, 1, h1 FROM sig UNION ALL
+        |  SELECT img_id, 2, h2 FROM sig UNION ALL
+        |  SELECT img_id, 3, h3 FROM sig),
+        |capped AS (SELECT img_id, band, bv FROM (
+        |  SELECT img_id, band, bv,
+        |    row_number() OVER (PARTITION BY band, bv ORDER BY img_id) AS rn
+        |  FROM bexp) WHERE rn <= 128),
         |cand AS (
         |  SELECT DISTINCT a.img_id AS doc_a, b.img_id AS doc_b,
-        |    a.fmt AS fmt_a, b.fmt AS fmt_b,
-        |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
-        |       + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS BIGINT)
+        |    sa.fmt AS fmt_a, sb.fmt AS fmt_b,
+        |    CAST(bit_count(xor(sa.h0, sb.h0)) + bit_count(xor(sa.h1, sb.h1))
+        |       + bit_count(xor(sa.h2, sb.h2)) + bit_count(xor(sa.h3, sb.h3)) AS BIGINT)
         |      AS hamming
-        |  FROM sig a, sig b, (VALUES (0), (1), (2), (3)) AS bd(i)
-        |  WHERE a.img_id < b.img_id AND
-        |    CASE bd.i WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1
-        |              WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END)
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id
+        |  JOIN sig sa ON sa.img_id = a.img_id
+        |  JOIN sig sb ON sb.img_id = b.img_id)
         |SELECT doc_a, doc_b, fmt_a, fmt_b, hamming
         |FROM cand WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "q_image_decode" ->
