@@ -20,7 +20,7 @@ object SparkEntry {
       graft.queries.TextOps.queries ++ graft.queries.EmbeddingOps.queries ++
       graft.queries.PipelineOps.queries ++ graft.functions.Multimodal.queries ++
       graft.queries.Storage.queries ++ graft.streaming.StreamingOps.queries ++
-      graft.queries.PqOps.queries
+      graft.queries.PqOps.queries ++ graft.queries.CurationOps.queries
 
   /** Keys whose timed bench pass reads a staged replay artifact
     * instead of re-running a streaming-query lifecycle — tagged in the
@@ -37,5 +37,5 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++ graft.queries.EmbeddingOps.oracles ++
       graft.queries.PipelineOps.oracles ++ graft.functions.Multimodal.oracles ++
       graft.queries.Storage.oracles ++ graft.streaming.StreamingOps.oracles ++
-      graft.queries.PqOps.oracles
+      graft.queries.PqOps.oracles ++ graft.queries.CurationOps.oracles
 }

@@ -34,7 +34,8 @@ class EntrySmokeSpec extends AnyFunSuite {
       "Multimodal" -> graft.functions.Multimodal.queries.keySet,
       "Storage" -> graft.queries.Storage.queries.keySet,
       "StreamingOps" -> graft.streaming.StreamingOps.queries.keySet,
-      "PqOps" -> graft.queries.PqOps.queries.keySet)
+      "PqOps" -> graft.queries.PqOps.queries.keySet,
+      "CurationOps" -> graft.queries.CurationOps.queries.keySet)
     for {
       (na, a) <- modules
       (nb, b) <- modules if na < nb

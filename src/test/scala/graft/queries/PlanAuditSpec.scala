@@ -352,6 +352,70 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_quality_classifier: model scoring is map-only — no join, no explode") {
+    // The weight vector rides inside the scoring expression (a
+    // broadcast in spirit); document text must never shuffle. The only
+    // exchanges are the bounded (lang, source) rollup and the orderBy.
+    val s = planString(CurationOps.qQualityClassifier(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s) // words stay in-array
+    assert(s.contains("partial_sum"), s) // rollup is map-side combined
+  }
+
+  test("q_line_dedup: frequency join is keyed on the line hash, never unkeyed") {
+    // Document frequencies join back on the 60-bit line key — a
+    // broadcast at fixture scale, a co-partitioned hash join at corpus
+    // scale; either way the join must be EQUI on lh (an unkeyed pair
+    // stage would be lines² at 100 TB).
+    val s = planString(CurationOps.qLineDedup(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("hashpartitioning(lh")
+      || s.contains("BroadcastHashJoin [lh")
+      || s.contains("ShuffledHashJoin [lh"), s)
+  }
+
+  test("q_link_pagerank: graph is materialized once, every rank step is keyed") {
+    // The checkpointed edge list shows up as ONE ExistingRDD scanned
+    // per unrolled round (never re-derived from the parquet scan), the
+    // rank ⋈ edges step is an equi-join on src, and the only
+    // nested-loop joins are the 1-row broadcast of the node count.
+    val p = executed(CurationOps.qLinkPagerank(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("ExistingRDD"), s) // the localCheckpointed graph
+    assert(s.contains("hashpartitioning(src")
+      || s.contains("BroadcastHashJoin [src")
+      || s.contains("ShuffledHashJoin [src"), s)
+    // dst-sum is partial-aggregated map-side (in-edge skew lands in
+    // the combiner, not one reducer)
+    assert(s.contains("partial_sum"), s)
+  }
+
+  test("q_inverted_index: both aggregation levels partial-aggregate map-side") {
+    // postings ((th, doc) tf) and the per-term rollup must both
+    // combine before shuffling — a term repeated in one doc, and a
+    // term's postings within one partition, compact locally
+    val s = planString(CurationOps.qInvertedIndex(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(s.contains("partial_count"), s)
+  }
+
+  test("q_bm25_topk: query terms broadcast onto postings; top-k is bounded-state agg, not a window") {
+    // candidate volume must be keyed by the term hash (inverted-index
+    // economics: ∝ Σ df of query terms, not corpus size) and the
+    // per-query top-5 must never sort a query's full candidate set
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = executed(CurationOps.qBm25TopK(spark, dir))
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("BroadcastHashJoin [th")
+      || s.contains("hashpartitioning(th")
+      || s.contains("ShuffledHashJoin [th"), s)
+    assert(collectNodes(p).collect { case w: WindowExec => w }.isEmpty,
+      "top-k must be the TopKAgg aggregator, not a rank window")
+  }
+
   test("q_compaction: the compact step narrows partitions without any shuffle") {
     // Compaction = read + coalesce + rewrite; a shuffle here would
     // move 100 TB to fix a file-count problem. Audit the actual
