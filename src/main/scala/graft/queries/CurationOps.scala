@@ -295,6 +295,75 @@ object CurationOps {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Positional phrase search: find every document containing an exact
+    * two-word phrase, with occurrence counts — the positional-index
+    * operator every lexical engine layers over the inverted index
+    * (bag-of-words retrieval cannot distinguish "York New" from
+    * "New York").
+    *
+    * Phrases are corpus-derived like the BM25 queries (query q = the
+    * first two words of doc 7q). The positional postings are
+    * (doc_id, pos, term_hash) triples; each phrase's two term lists
+    * are pulled by a broadcast equi-join on the term hash (work ∝ df
+    * of the phrase's terms — index economics, the whole point: query
+    * time never scans documents), then adjacency is one equi-join on
+    * (query, doc, pos+1). Candidates bound every stage: the adjacency
+    * join's sides are term-df-sized, never corpus-sized.
+    */
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tokpos = docs(s, dir)
+      .select($"doc_id", posexplode(expr(Hashing.wordHashSql)).as(Seq("pos", "th")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"th")
+    val ph = docs(s, dir)
+      .where($"doc_id" % 7 === 0 && $"doc_id" < 56)
+      .select(expr("doc_id DIV 7").as("query_id"),
+        expr(s"element_at(${Hashing.wordHashSql}, 1)").as("th1"),
+        expr(s"element_at(${Hashing.wordHashSql}, 2)").as("th2"))
+      .distinct()
+    val m1 = tokpos.join(broadcast(ph.select($"query_id", $"th1")),
+      tokpos("th") === $"th1").select($"query_id", $"doc_id", $"pos")
+    val m2 = tokpos.join(broadcast(ph.select($"query_id", $"th2")),
+      tokpos("th") === $"th2")
+      .select($"query_id".as("q2"), $"doc_id".as("d2"), ($"pos" - 1).as("p2"))
+    m1.join(m2, $"query_id" === $"q2" && $"doc_id" === $"d2" && $"pos" === $"p2")
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy($"query_id", $"doc_id")
+  }
+
+  /** Mergeable-postings proof: the inverted index is rebuilt from two
+    * disjoint ingest batches (doc_id parity) and MERGED — df and cf
+    * add, the postings XOR composes — then gated against the oracle's
+    * single-pass index over the whole corpus. Equality is the merge
+    * law (`index(A) ⊕ index(B) ≡ index(A ∪ B)` for disjoint batches),
+    * the property that lets a 100 TB index build incrementally —
+    * yesterday's index plus today's batch, no recompute — mirroring
+    * the min-k semilattice proof (`q_index_merge`) for the lexical
+    * index. The per-half dfs ride into the output so the gate pins the
+    * split itself, not just the merged totals.
+    */
+  def qPostingsMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def half(parity: Int): DataFrame =
+      docs(s, dir).where($"doc_id" % 2 === parity)
+        .select($"doc_id", explode(expr(Hashing.wordHashSql)).as("th"))
+        .groupBy($"th", $"doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy($"th")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
+          expr("bit_xor(doc_id * 37 + tf)").as("postings_xor"))
+        .withColumn("parity", lit(parity))
+    half(0).unionByName(half(1))
+      .groupBy($"th")
+      .agg(sum($"df").as("df"), sum($"cf").as("cf"),
+        expr("bit_xor(postings_xor)").as("postings_xor"),
+        sum(when($"parity" === 0, $"df").otherwise(0L)).as("df_a"),
+        sum(when($"parity" === 1, $"df").otherwise(0L)).as("df_b"))
+      .where($"df" >= 5)
+      .select($"th".as("term_hash"), $"df", $"cf", $"postings_xor", $"df_a", $"df_b")
+      .orderBy($"term_hash")
+  }
+
   // -------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -303,6 +372,8 @@ object CurationOps {
     "q_quality_classifier" -> qQualityClassifier,
     "q_inverted_index" -> qInvertedIndex,
     "q_bm25_topk" -> qBm25TopK,
+    "q_phrase_search" -> qPhraseSearch,
+    "q_postings_merge" -> qPostingsMerge,
   )
 
   /** One unrolled PageRank round as a DuckDB CTE pair; `prev` is the
@@ -411,6 +482,43 @@ object CurationOps {
          |  FROM scored)
          |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id, score_milli
          |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // Positional postings rebuilt with the generate_series index
+    // trick (DuckDB lacks WITH ORDINALITY); adjacency stated as
+    // pos+1 on the m1 side — the Spark plan shifts m2 by -1, same set.
+    "q_phrase_search" ->
+      s"""WITH tokpos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, hs[i+1] AS th
+         |  FROM (SELECT doc_id, ${Hashing.wordHashListSql} AS hs FROM documents),
+         |       (SELECT unnest(generate_series(0, 4000)) AS i) t
+         |  WHERE i < len(hs)),
+         |ph AS (
+         |  SELECT DISTINCT doc_id // 7 AS query_id, hs[1] AS th1, hs[2] AS th2
+         |  FROM (SELECT doc_id, ${Hashing.wordHashListSql} AS hs FROM documents)
+         |  WHERE doc_id % 7 = 0 AND doc_id < 56),
+         |m1 AS (SELECT ph.query_id, tp.doc_id, tp.pos
+         |       FROM ph JOIN tokpos tp ON tp.th = ph.th1),
+         |m2 AS (SELECT ph.query_id, tp.doc_id, tp.pos
+         |       FROM ph JOIN tokpos tp ON tp.th = ph.th2)
+         |SELECT m1.query_id, m1.doc_id, count(*) AS n_occurrences
+         |FROM m1 JOIN m2 ON m2.query_id = m1.query_id AND m2.doc_id = m1.doc_id
+         |                AND m2.pos = m1.pos + 1
+         |GROUP BY m1.query_id, m1.doc_id
+         |ORDER BY m1.query_id, m1.doc_id""".stripMargin,
+    // The oracle builds the index in ONE pass over the whole corpus
+    // (per-half dfs as conditional counts); the Spark side must arrive
+    // at the identical index from two disjoint batches + a merge —
+    // equality IS the merge law.
+    "q_postings_merge" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${Hashing.wordHashListSql}) AS th FROM documents),
+         |post AS (SELECT th, doc_id, count(*) AS tf FROM tok GROUP BY th, doc_id)
+         |SELECT th AS term_hash,
+         |       count(*) AS df,
+         |       CAST(sum(tf) AS BIGINT) AS cf,
+         |       bit_xor(doc_id * 37 + tf) AS postings_xor,
+         |       count(*) FILTER (WHERE doc_id % 2 = 0) AS df_a,
+         |       count(*) FILTER (WHERE doc_id % 2 = 1) AS df_b
+         |FROM post GROUP BY th HAVING count(*) >= 5 ORDER BY term_hash""".stripMargin,
     // Same literal weight vector, same md5-prefix word hash, same
     // integer sum — the oracle is the model applied by a second engine.
     "q_quality_classifier" ->

@@ -196,6 +196,35 @@ class CurationSpec extends AnyFunSuite {
     assert((1L until 100L).forall(d => idf(d) > idf(d + 1)))
   }
 
+  test("q_phrase_search matches an in-JVM replay of sliding-bigram counts") {
+    val toks = tokens.toMap
+    val phrases = tokens.filter { case (id, _) => id % 7 == 0 && id < 56 }
+      .map { case (id, ts) => (id / 7) -> (ts(0), ts(1)) }
+    val expected = (for {
+      (q, (t1, t2)) <- phrases
+      (d, ts) <- toks
+      n = ts.sliding(2).count { case Seq(a, b) => a == t1 && b == t2; case _ => false }
+      if n > 0
+    } yield (q, d, n.toLong)).sortBy(e => (e._1, e._2))
+    val got = CurationOps.qPhraseSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q_postings_merge: the merged index IS the single-pass index (merge law)") {
+    // the gated sibling q_inverted_index builds the same index in one
+    // pass; the batch-split + merge must land on identical cells
+    val direct = CurationOps.qInvertedIndex(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val merged = CurationOps.qPostingsMerge(spark, dir).collect()
+    assert(merged.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap == direct)
+    merged.foreach { r =>
+      assert(r.getLong(4) + r.getLong(5) == r.getLong(1),
+        s"per-half dfs don't add up for term ${r.getLong(0)}")
+    }
+  }
+
   test("classifier weights are the documented Knuth mix, bounded in milli-units") {
     val w = CurationOps.ClassifierWeights
     assert(w.size == 64)

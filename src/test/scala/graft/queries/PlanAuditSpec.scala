@@ -416,6 +416,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "top-k must be the TopKAgg aggregator, not a rank window")
   }
 
+  test("q_phrase_search: term pulls broadcast on th, adjacency stays equi") {
+    // both phrase-term pulls must be keyed on the term hash (work ∝
+    // df, the positional-index economics) and the adjacency join is
+    // equi on (query, doc, pos) — an unkeyed stage would be positions²
+    val s = planString(CurationOps.qPhraseSearch(spark, dir))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("BroadcastHashJoin [th")
+      || s.contains("hashpartitioning(th"), s)
+  }
+
+  test("q_postings_merge: pure union-of-aggregates — no join anywhere") {
+    val s = planString(CurationOps.qPostingsMerge(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(s.contains("partial_count"), s)
+  }
+
   test("q_compaction: the compact step narrows partitions without any shuffle") {
     // Compaction = read + coalesce + rewrite; a shuffle here would
     // move 100 TB to fix a file-count problem. Audit the actual
