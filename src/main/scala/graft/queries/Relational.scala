@@ -259,6 +259,51 @@ object Relational {
       .orderBy($"k_mod")
   }
 
+  /** Semi-structured ingest through Spark 4's native VariantType —
+    * the modern replacement for string-JSON probing (`q_json_roundtrip`
+    * is the legacy `get_json_object` form): `parse_json` once into the
+    * binary variant encoding, then typed path extraction
+    * (`variant_get`), schema-on-read tolerance (`try_variant_get` of a
+    * path only SOME rows carry → null, not error), and schema
+    * inference (`schema_of_variant`) — the exact shape of reading a
+    * heterogeneous event lake where producers add fields over time.
+    *
+    * The fixture document is built closed-form from the row (nested
+    * `who` object, the props `k`, and an `extra` field planted only on
+    * event_id % 7 == 0 — two live schemas per event type), so the
+    * DuckDB oracle rebuilds every aggregate from the RAW COLUMNS
+    * without parsing anything: a wrong build, parse, extraction, cast,
+    * or null-vs-error decision anywhere moves a gated cell.
+    *
+    * Scale shape: pure per-row map work (build → parse → extract all
+    * codegen-adjacent, no UDF) into one bounded event-type rollup —
+    * and the variant encoding is the part that matters at 100 TB:
+    * parse once, probe many paths in binary, instead of re-parsing the
+    * JSON string per `get_json_object` call. */
+  def qVariantExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", expr(
+        """parse_json(concat(
+          |  '{"who":{"id":', user_id, ',"t":"', event_type, '"},',
+          |  '"k":', get_json_object(props, '$.k'),
+          |  IF(event_id % 7 = 0, concat(',"extra":', event_id % 100), ''),
+          |  '}'))""".stripMargin).as("v"))
+      .select($"event_type",
+        expr("variant_get(v, '$.who.id', 'bigint')").as("uid"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.extra', 'bigint')").as("extra"),
+        expr("schema_of_variant(v)").as("sch"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"uid").as("sum_uid"),
+        sum($"k").as("sum_k"),
+        count($"extra").as("n_extra"),
+        sum(coalesce($"extra", lit(0L))).as("sum_extra"),
+        countDistinct($"sch").as("n_schemas"))
+      .orderBy($"event_type")
+  }
+
   /** Aggregation stats: count / count distinct / min / max / exact avg. */
   def qAggStatsOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1037,6 +1082,7 @@ object Relational {
     "q_union_changes" -> qUnionChanges,
     "q_zone_derive" -> qZoneDerive,
     "q_json_roundtrip" -> qJsonRoundtrip,
+    "q_variant_extract" -> qVariantExtract,
     "q_agg_stats_orders" -> qAggStatsOrders,
     "q_semi_anti_join" -> qSemiAntiJoin,
     "q_hourly_events" -> qHourlyEvents,
@@ -1400,6 +1446,21 @@ object Relational {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
          count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY k_mod""",
+    // The oracle never touches JSON for the planted fields: every
+    // aggregate is rebuilt from the raw columns (the `extra` field and
+    // the two-schemas count are arithmetic in event_id), so the whole
+    // build→parse_json→variant_get chain is what's being gated. Only
+    // `k` goes through DuckDB's independent JSON reader (it originates
+    // in the props string).
+    "q_variant_extract" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) FILTER (WHERE event_id % 7 = 0) AS n_extra,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN event_id % 100 ELSE 0 END) AS BIGINT) AS sum_extra,
+        |  count(DISTINCT event_id % 7 = 0) AS n_schemas
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_stats_orders" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
          count(DISTINCT o_custkey) AS n_customers,

@@ -433,6 +433,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("partial_count"), s)
   }
 
+  test("q_variant_extract: parse-once probe-many is map work — no join, one rollup") {
+    val s = planString(Relational.qVariantExtract(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(s.contains("variant_get"), s) // typed binary probes, not string re-parses
+  }
+
   test("q_compaction: the compact step narrows partitions without any shuffle") {
     // Compaction = read + coalesce + rewrite; a shuffle here would
     // move 100 TB to fix a file-count problem. Audit the actual
