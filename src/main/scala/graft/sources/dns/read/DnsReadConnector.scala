@@ -311,7 +311,7 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
                     pushedTopN: Option[PushedTopN] = None,
                     pushedOffset: Option[Int] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsReportOrdering {
 
   /** Zones surviving RUNTIME filtering ([[filter]]). Static pushdown
     * already pruned `zones` at ScanBuilder time; this second stage
@@ -408,6 +408,25 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("zone")),
         runtimeZones.length)
     else new UnknownPartitioning(runtimeZones.length)
+  }
+
+  /** Output ordering (`SupportsReportOrdering`): every partition is
+    * exactly one zone, so within a partition the `zone` column is
+    * CONSTANT — which means the scan's output is `zone ASC`-ordered
+    * for free, no reader-side sort, no change to the observable
+    * emission order (the IXFR deletes-before-adds contract, §2.3.4,
+    * stays byte-identical). Reporting it is what deletes the Sort
+    * nodes a zone-keyed sort-merge join would otherwise plan under
+    * each scan: combined with [[outputPartitioning]], two dns estates
+    * merge-join with NO exchange and NO sort (asserted in
+    * PlanAuditSpec) — at estate scale the difference between
+    * re-sorting every transferred record and streaming the join.
+    * Same projection guard as the partitioning report. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (runtimeZones.nonEmpty && schema.fieldNames.contains("zone"))
+      Array(Expressions.sort(Expressions.column("zone"), SortDirection.ASCENDING))
+    else Array.empty
   }
 
   override def filterAttributes(): Array[NamedReference] =

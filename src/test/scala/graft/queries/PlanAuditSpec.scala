@@ -172,6 +172,22 @@ class PlanAuditSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }
     assert(smj.nonEmpty, "expected a SortMergeJoin (merge hint) over the key-grouped scans")
+    // SupportsReportOrdering: zone is constant within a partition, so
+    // the scan reports `zone ASC` and the merge join's sort
+    // requirement is satisfied straight off the scan — the RECORDS
+    // side (every transferred row) must stream into the join with NO
+    // SortExec. The census side legitimately re-sorts AFTER its
+    // aggregation (a hash aggregate erases ordering; its input is one
+    // row per zone, so that sort is zone-count-sized, not data-sized).
+    smj.foreach { j =>
+      val sortsOverRawScan = j.children.flatMap(collectNodes).collect {
+        case s: org.apache.spark.sql.execution.SortExec
+          if !collectNodes(s).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]) => s
+      }
+      assert(sortsOverRawScan.isEmpty,
+        s"reported ordering should eliminate the record-side sort, got:\n${sortsOverRawScan.mkString("\n")}")
+    }
   }
 
   test("spj subset: zone pruning composes with the storage-partitioned join") {
