@@ -59,7 +59,10 @@ class InvarianceSpec extends AnyFunSuite {
     "q_jsonl_roundtrip",  // same, line-split carrier
     "q_audio_decode",     // per-partition codec batches
     "q_gdpr_delete",      // broadcast anti-join + conditional-agg accounting
-    "q_snapshot_diff")    // full-outer null classification + key XORs
+    "q_snapshot_diff",    // full-outer null classification + key XORs
+    "q_link_pagerank",    // checkpointed edges + 3 iterated joins, integer fixed-point
+    "q_line_dedup",       // collect_list reassembly ordered by array_sort, not arrival
+    "q_bm25_topk")        // TopKAgg tie-break + floor-div scoring under partial agg
 
   private def rows(key: String, parts: Int): Seq[Row] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
