@@ -364,6 +364,42 @@ object CurationOps {
       .orderBy($"term_hash")
   }
 
+  /** Cross-signal dedup agreement audit: do the LEXICAL near-dup
+    * signal (MinHash/LSH Jaccard over shingles — [[TextOps]]'s staged
+    * pair set) and the SEMANTIC one (banded cosine over embeddings —
+    * [[EmbeddingOps]]'s verified pair set) flag the same pairs?
+    *
+    * A production curation run uses both; this audit is the report
+    * that says whether they overlap, and by how much, BEFORE someone
+    * unions them blindly (pairs only one signal finds are exactly the
+    * interesting ones: paraphrases the hash signal misses, and
+    * hash-identical boilerplate the embedding space spreads apart).
+    * The fixture's docs and embeddings align by id (doc_id ≡ vec_id),
+    * and both pair sets come from the SAME shared machinery as their
+    * own gated keys (`TextOps.nearDupPairs`, `embedNearDupScored`) so
+    * this key can never disagree with them about what a near-dup is.
+    *
+    * Scale shape: both inputs are already verified PAIR sets — orders
+    * of magnitude smaller than the corpus — and the reconciliation is
+    * one full-outer equi-join on the pair key plus a 3-row rollup.
+    */
+  def qDedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val text = TextOps.nearDupPairs(s, dir)
+      .select($"doc_a", $"doc_b", lit(1).as("t"))
+    val emb = EmbeddingOps.embedNearDupScored(s, dir)
+      .select($"va".as("doc_a"), $"vb".as("doc_b"), lit(1).as("e"))
+    text.join(emb, Seq("doc_a", "doc_b"), "full_outer")
+      .select($"doc_a", $"doc_b",
+        when($"t".isNotNull && $"e".isNotNull, "both")
+          .when($"t".isNotNull, "text_only")
+          .otherwise("embedding_only").as("signal"))
+      .groupBy($"signal")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("bit_xor(doc_a * 100003 + doc_b)").as("pair_xor"))
+      .orderBy($"signal")
+  }
+
   // -------------------------------------------------------------- wiring
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -374,6 +410,7 @@ object CurationOps {
     "q_bm25_topk" -> qBm25TopK,
     "q_phrase_search" -> qPhraseSearch,
     "q_postings_merge" -> qPostingsMerge,
+    "q_dedup_agreement" -> qDedupAgreement,
   )
 
   /** One unrolled PageRank round as a DuckDB CTE pair; `prev` is the
@@ -519,6 +556,29 @@ object CurationOps {
          |       count(*) FILTER (WHERE doc_id % 2 = 0) AS df_a,
          |       count(*) FILTER (WHERE doc_id % 2 = 1) AS df_b
          |FROM post GROUP BY th HAVING count(*) >= 5 ORDER BY term_hash""".stripMargin,
+    // Both pair pipelines nested verbatim from their own gated
+    // oracles' shared CTEs (minhash owns bands/capped/cand, the
+    // embedding chain is e-prefixed), reconciled by one full outer
+    // join — the audit cannot disagree with the audited keys.
+    "q_dedup_agreement" ->
+      s"""WITH ${TextOps.minhashCteSql},
+         |text_pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sizes na ON na.doc_id = doc_a
+         |             JOIN sizes nb ON nb.doc_id = doc_b
+         |  WHERE inter * 2 >= na.n + nb.n - inter),
+         |${EmbeddingOps.embedPairsCteSql},
+         |allp AS (
+         |  SELECT coalesce(t.doc_a, e.va) AS doc_a,
+         |         coalesce(t.doc_b, e.vb) AS doc_b,
+         |         CASE WHEN t.doc_a IS NOT NULL AND e.va IS NOT NULL THEN 'both'
+         |              WHEN t.doc_a IS NOT NULL THEN 'text_only'
+         |              ELSE 'embedding_only' END AS signal
+         |  FROM text_pairs t FULL OUTER JOIN escored e
+         |    ON e.va = t.doc_a AND e.vb = t.doc_b)
+         |SELECT signal, count(*) AS n_pairs,
+         |       bit_xor(doc_a * 100003 + doc_b) AS pair_xor
+         |FROM allp GROUP BY signal ORDER BY signal""".stripMargin,
     // Same literal weight vector, same md5-prefix word hash, same
     // integer sum — the oracle is the model applied by a second engine.
     "q_quality_classifier" ->

@@ -219,6 +219,18 @@ object EmbeddingOps {
     * duplicates, so "near-dup" here means the closest natural pairs). */
   def qEmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    embedNearDupScored(s, dir)
+      .select($"va", $"vb", $"dot", $"na", $"nb")
+      .orderBy($"va", $"vb")
+  }
+
+  /** The verified embedding near-dup pair set (cosine ≥ 0.4 over the
+    * banded candidates) — one definition shared by the gated
+    * [[qEmbedNearDup]] and cross-signal consumers
+    * ([[CurationOps.qDedupAgreement]]), so two keys can never disagree
+    * about what an embedding near-dup is. */
+  private[queries] def embedNearDupScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val v = vecs(s, dir).select($"vec_id", $"q", $"nsq")
     val pairs = Banding.bucketPairs(cappedBands(v), "vec_id", "va", "vb")
     pairs
@@ -228,8 +240,6 @@ object EmbeddingOps {
         $"a.nsq".as("na"), $"b.nsq".as("nb"))
       .withColumn("cosine", $"dot" / sqrt(($"na" * $"nb").cast("double")))
       .filter($"cosine" >= 0.4)
-      .select($"va", $"vb", $"dot", $"na", $"nb")
-      .orderBy($"va", $"vb")
   }
 
   /** IVF ANN — the centroid-cell variant of the scale path. "Training"
@@ -655,6 +665,34 @@ object EmbeddingOps {
        |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
        |  FROM bands) WHERE rn <= $BucketCap""".stripMargin
 
+  /** The embedding near-dup pipeline as reusable oracle CTEs in an
+    * `e`-prefixed namespace — safe to combine in one WITH clause with
+    * the minhash CTEs (which own the bare bands/capped/cand names).
+    * `escored` is the verified pair set, threshold included — the
+    * oracle twin of [[embedNearDupScored]], shared by the
+    * q_embed_neardup and q_dedup_agreement oracles so they can never
+    * drift. */
+  private[queries] val embedPairsCteSql: String =
+    s"""ev AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+       |en AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM ev),
+       |ebands AS (${(0 until NumBands)
+            .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM ev")
+            .mkString(" UNION ALL ")}),
+       |ecapped AS (SELECT vec_id, band FROM (
+       |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
+       |  FROM ebands) WHERE rn <= $BucketCap),
+       |ecand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |          FROM ecapped a JOIN ecapped b ON b.band = a.band AND b.vec_id > a.vec_id),
+       |eterms AS (
+       |  SELECT ecand.va, ecand.vb, unnest(av.q) AS x, unnest(bv.q) AS y
+       |  FROM ecand JOIN ev av ON av.vec_id = ecand.va
+       |             JOIN ev bv ON bv.vec_id = ecand.vb),
+       |edots AS (SELECT va, vb, CAST(sum(x * y) AS BIGINT) AS dot FROM eterms GROUP BY va, vb),
+       |escored AS (
+       |  SELECT va, vb, dot, na.nsq AS na, nb.nsq AS nb
+       |  FROM edots JOIN en na ON na.vec_id = va JOIN en nb ON nb.vec_id = vb
+       |  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)) >= 0.4)""".stripMargin
+
   /** One recall-oracle template, instantiated per audited path: nests
     * the brute/approx oracles verbatim as subqueries (each keeps its
     * own WITH scope), so the audit can never disagree with the audited
@@ -844,22 +882,8 @@ object EmbeddingOps {
          |SELECT qid, rnk, cid, dot FROM ranked WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "q_embed_neardup" ->
-      s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
-         |n AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM v),
-         |bands AS ($bandsSql),
-         |capped AS ($cappedSql),
-         |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
-         |         FROM capped a JOIN capped b ON b.band = a.band AND b.vec_id > a.vec_id),
-         |terms AS (
-         |  SELECT cand.va, cand.vb, unnest(av.q) AS x, unnest(bv.q) AS y
-         |  FROM cand JOIN v av ON av.vec_id = cand.va
-         |            JOIN v bv ON bv.vec_id = cand.vb),
-         |dots AS (SELECT va, vb, CAST(sum(x * y) AS BIGINT) AS dot FROM terms GROUP BY va, vb),
-         |scored AS (
-         |  SELECT va, vb, dot, na.nsq AS na, nb.nsq AS nb,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(na.nsq * nb.nsq AS DOUBLE)) AS cosine
-         |  FROM dots JOIN n na ON na.vec_id = va JOIN n nb ON nb.vec_id = vb)
-         |SELECT va, vb, dot, na, nb FROM scored WHERE cosine >= 0.4
+      s"""WITH $embedPairsCteSql
+         |SELECT va, vb, dot, na, nb FROM escored
          |ORDER BY va, vb""".stripMargin,
     "q_ivf_ann" ->
       s"""WITH v AS (SELECT vec_id, $qvecSql AS q FROM embeddings),

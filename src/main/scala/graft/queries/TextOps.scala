@@ -1667,7 +1667,7 @@ object TextOps {
   /** The minhash candidate/verify pipeline as reusable CTEs — shared
     * verbatim between the pairs oracle and the funnel oracle so the
     * two can never disagree about what a near-dup pair is. */
-  private val minhashCteSql =
+  private[queries] val minhashCteSql =
     """ws AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
       |hs AS (SELECT DISTINCT doc_id, md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS hm
       |       FROM ws, (SELECT unnest(generate_series(0, 2000)) AS i) t

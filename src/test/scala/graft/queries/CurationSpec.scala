@@ -225,6 +225,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_agreement: classes partition the union of the two gated pair sets") {
+    // the audit must account for EVERY pair either signal found —
+    // class counts sum to |text ∪ embedding| and both/text_only add
+    // up to the text side's gated pair count
+    val text = TextOps.qMinhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = EmbeddingOps.qEmbedNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cls = CurationOps.qDedupAgreement(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cls.values.sum == (text ++ emb).size)
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("text_only", 0L) == text.size)
+    assert(cls.getOrElse("both", 0L) + cls.getOrElse("embedding_only", 0L) == emb.size)
+    assert(cls.getOrElse("both", 0L) == (text intersect emb).size)
+  }
+
   test("classifier weights are the documented Knuth mix, bounded in milli-units") {
     val w = CurationOps.ClassifierWeights
     assert(w.size == 64)
