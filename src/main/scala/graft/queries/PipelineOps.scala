@@ -201,6 +201,69 @@ object PipelineOps {
       .orderBy($"host", $"verdict", $"matched_prefix")
   }
 
+  /** Deterministic output sharding — the DELIVERY stage: assign every
+    * document to one of 16 shards by id-hash (never `rand()`, never
+    * round-robin: a retried task must land every row in the same
+    * shard), and emit the per-shard manifest a training loader checks
+    * before reading — doc count, byte volume, and a content
+    * fingerprint (XOR of id·31+size) that a dropped or duplicated
+    * document flips.
+    *
+    * Scale shape: one codegen'd map pass + a 16-row partial-agged
+    * rollup; the actual write is `df.repartition(shard).write.
+    * partitionBy(shard)` against the SAME hash column, so the audit
+    * and the layout can never disagree. The hash-mod balance is a
+    * MEASURED property, not an assumption — n_docs rides out so the
+    * max/min shard ratio is visible in the gate row (the fixture's
+    * 16 shards land within ~2× at sf0.01; a pathological id space
+    * would surface here before it skews training). */
+  def qShardAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", $"n_chars",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        expr("bit_xor(doc_id * 31 + n_chars)").as("manifest_xor"))
+      .orderBy($"shard")
+  }
+
+  /** Deterministic epoch shuffling: the order documents are served in
+    * epoch e is the sort by md5(e ‖ ':' ‖ doc_id) — a different, fully
+    * reproducible permutation every epoch, no `rand()`, no stored
+    * permutation table (the training-data answer to "shuffle between
+    * epochs AND be able to replay step 3 141 592 of epoch 2").
+    *
+    * The gate fingerprints each epoch's order SHARD-LOCALLY (md5 of
+    * the shard's id sequence in serving order, XOR-combined per
+    * epoch): orders differ across epochs (distinct fingerprints) yet
+    * are bit-reproducible. Scale shape: the sort is per (epoch,
+    * shard) — shards are sized to fit an executor by construction
+    * (that is what a shard IS), so no global sort, no single-task
+    * order fold; the per-shard manifest list lives in one aggregation
+    * buffer exactly like the real shard manifest it models. */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard"))
+      .crossJoin(broadcast(s.range(3).select($"id".as("epoch"))))
+      .withColumn("ek", expr(
+        "CAST(conv(substring(md5(concat(CAST(epoch AS STRING), ':', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy($"epoch", $"shard")
+      .agg(expr("""md5(array_join(transform(
+                  |  array_sort(collect_list(struct(ek, doc_id))),
+                  |  x -> CAST(x.doc_id AS STRING)), ','))""".stripMargin).as("order_md5"))
+      .groupBy($"epoch")
+      .agg(count(lit(1)).as("n_shards"),
+        expr("bit_xor(CAST(conv(substring(order_md5, 1, 15), 16, 10) AS BIGINT))")
+          .as("order_xor"))
+      .orderBy($"epoch")
+  }
+
   /** Hash bucket 0-99 from the doc id — the split die. md5 (not
     * `hash()`) so DuckDB reproduces it bit-for-bit. */
   private val bucket =
@@ -1295,6 +1358,8 @@ object PipelineOps {
     "q_split_contamination" -> qSplitContamination,
     "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
+    "q_shard_assign" -> qShardAssign,
+    "q_epoch_shuffle" -> qEpochShuffle,
     "q_stratified_sample" -> qStratifiedSample,
     "q_weighted_sample" -> qWeightedSample,
     "q_padding_waste" -> qPaddingWaste,
@@ -1556,6 +1621,33 @@ object PipelineOps {
          |  FROM documents)
          |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_shard_assign" ->
+      """WITH sh AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       bit_xor(doc_id * 31 + n_chars) AS manifest_xor
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    // The oracle states each epoch-shard serving order directly
+    // (string_agg ORDER BY the epoch key); distinct order_xor values
+    // across the three epochs are the shuffling-actually-happened
+    // evidence, and equality with Spark is the reproducibility proof.
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+        |sh AS (
+        |  SELECT e.epoch, doc_id,
+        |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS shard,
+        |         CAST('0x' || substring(md5(e.epoch || ':' || doc_id), 1, 15) AS BIGINT) AS ek
+        |  FROM documents, e),
+        |fp AS (
+        |  SELECT epoch, shard,
+        |         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ek, doc_id)) AS order_md5
+        |  FROM sh GROUP BY epoch, shard)
+        |SELECT epoch, count(*) AS n_shards,
+        |       bit_xor(CAST('0x' || substring(order_md5, 1, 15) AS BIGINT)) AS order_xor
+        |FROM fp GROUP BY epoch ORDER BY epoch""".stripMargin,
     "q_padding_waste" ->
       """WITH nw AS (
         |  SELECT least(len(string_split_regex(text, '\s+')), 128) AS nw

@@ -60,6 +60,7 @@ class InvarianceSpec extends AnyFunSuite {
     "q_audio_decode",     // per-partition codec batches
     "q_gdpr_delete",      // broadcast anti-join + conditional-agg accounting
     "q_snapshot_diff",    // full-outer null classification + key XORs
+    "q_epoch_shuffle",    // per-shard collect_list order fixed by array_sort, not arrival
     "q_link_pagerank",    // checkpointed edges + 3 iterated joins, integer fixed-point
     "q_line_dedup",       // collect_list reassembly ordered by array_sort, not arrival
     "q_bm25_topk")        // TopKAgg tie-break + floor-div scoring under partial agg

@@ -455,6 +455,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("variant_get"), s) // typed binary probes, not string re-parses
   }
 
+  test("q_epoch_shuffle: per-shard order folds in aggregation state — no global sort, no window") {
+    // each epoch's serving order is fingerprinted shard-locally: the
+    // only SortExec allowed is the 3-row output orderBy — a global
+    // sort or a rank window here would single-task the whole corpus
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = executed(PipelineOps.qEpochShuffle(spark, dir))
+    assert(collectNodes(p).collect { case w: WindowExec => w }.isEmpty)
+    val sorts = collectNodes(p).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.size <= 1, s"expected only the output orderBy sort:\n${sorts.mkString("\n")}")
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
   test("q_compaction: the compact step narrows partitions without any shuffle") {
     // Compaction = read + coalesce + rewrite; a shuffle here would
     // move 100 TB to fix a file-count problem. Audit the actual
