@@ -64,16 +64,31 @@ object CurationOps {
     * below 2^31 for the closed form itself (the ALGORITHM is id-width
     * agnostic).
     */
-  def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
+  /** (v, n): every node with the broadcast corpus count — the closed-
+    * form graph's modulus rides as a column so nothing collects. */
+  private def graphNodes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = docs(s, dir).select($"doc_id".as("v"))
-    val nodes = d.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
-    val edges = nodes
+    d.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+  }
+
+  /** The fixture link graph (src, dst) — ONE definition shared by
+    * [[qLinkPagerank]] and [[qAnchorText]], so the two keys can never
+    * disagree about which edges exist. */
+  private[queries] def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graphNodes(s, dir)
       .select($"v".as("src"), explode(array(
         $"v" % lit(13L),
         ($"v" * $"v" + lit(7L)) % $"n",
         ($"v" * lit(29L) + lit(11L)) % $"n")).as("dst"))
       .where($"dst" =!= $"src").distinct()
+  }
+
+  def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = graphNodes(s, dir)
+    val edges = linkEdges(s, dir)
     val withDeg = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint() // the static graph: materialized once, reused every round
@@ -364,6 +379,37 @@ object CurationOps {
       .orderBy($"term_hash")
   }
 
+  /** Anchor-text profiles for the hub pages — the web-graph text
+    * signal search engines and corpus-quality classifiers aggregate:
+    * every edge (u → v) contributes u's leading bigram as "anchor
+    * text" for v, and each hub's profile reports anchor volume,
+    * diversity, and the dominant anchor (max count, lexicographic-min
+    * tie-break).
+    *
+    * Composition key: the SAME edge set as [[qLinkPagerank]]
+    * ([[linkEdges]], shared so the two keys cannot disagree about the
+    * graph) joined to the documents' text. Scale shape: the anchor
+    * table is one codegen'd map over the docs; the edge⋈anchor join is
+    * equi on the source id; the per-hub top-1 is `min_by` over a
+    * (−count, anchor) ordering struct — ≤ 1 record of state per hub,
+    * never a rank window (the oracle states it the window way). The
+    * hub filter (`dst < 13`) lands BEFORE the join, so only hub-bound
+    * edges move. */
+  def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchors = docs(s, dir).select($"doc_id",
+      expr("array_join(slice(split(text, '\\\\s+'), 1, 2), ' ')").as("anchor"))
+    val cnt = linkEdges(s, dir).where($"dst" < 13)
+      .join(anchors, $"doc_id" === $"src")
+      .groupBy($"dst", $"anchor").agg(count(lit(1)).as("c"))
+    cnt.groupBy($"dst".as("hub"))
+      .agg(sum($"c").as("n_anchors"),
+        count(lit(1)).as("n_distinct"),
+        min_by($"anchor", struct((-$"c").as("nc"), $"anchor")).as("top_anchor"),
+        min_by($"c", struct((-$"c").as("nc"), $"anchor")).as("top_count"))
+      .orderBy($"hub")
+  }
+
   /** Cross-signal dedup agreement audit: do the LEXICAL near-dup
     * signal (MinHash/LSH Jaccard over shingles — [[TextOps]]'s staged
     * pair set) and the SEMANTIC one (banded cosine over embeddings —
@@ -411,6 +457,7 @@ object CurationOps {
     "q_phrase_search" -> qPhraseSearch,
     "q_postings_merge" -> qPostingsMerge,
     "q_dedup_agreement" -> qDedupAgreement,
+    "q_anchor_text" -> qAnchorText,
   )
 
   /** One unrolled PageRank round as a DuckDB CTE pair; `prev` is the
@@ -556,6 +603,30 @@ object CurationOps {
          |       count(*) FILTER (WHERE doc_id % 2 = 0) AS df_a,
          |       count(*) FILTER (WHERE doc_id % 2 = 1) AS df_b
          |FROM post GROUP BY th HAVING count(*) >= 5 ORDER BY term_hash""".stripMargin,
+    // Same closed-form edge set as the pagerank oracle; the top
+    // anchor stated the window way (the Spark side must reproduce it
+    // from bounded-state min_by).
+    "q_anchor_text" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS v FROM documents),
+        |e0 AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT v AS src, v % 13 AS dst FROM nodes
+        |  UNION ALL SELECT v, (v*v + 7) % n FROM nodes, nn
+        |  UNION ALL SELECT v, (v*29 + 11) % n FROM nodes, nn) u
+        | WHERE dst <> src),
+        |a AS (SELECT doc_id, array_to_string(string_split_regex(text, '\s+')[1:2], ' ') AS anchor
+        |      FROM documents),
+        |ea AS (SELECT e0.dst, a.anchor FROM e0 JOIN a ON a.doc_id = e0.src
+        |       WHERE e0.dst < 13),
+        |cnt AS (SELECT dst, anchor, count(*) AS c FROM ea GROUP BY dst, anchor),
+        |top AS (SELECT dst, anchor AS top_anchor, c AS top_count FROM (
+        |  SELECT dst, anchor, c, row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rn
+        |  FROM cnt) WHERE rn = 1)
+        |SELECT cnt.dst AS hub, CAST(sum(c) AS BIGINT) AS n_anchors,
+        |       count(*) AS n_distinct, min(top.top_anchor) AS top_anchor,
+        |       min(top.top_count) AS top_count
+        |FROM cnt JOIN top ON top.dst = cnt.dst
+        |GROUP BY cnt.dst ORDER BY hub""".stripMargin,
     // Both pair pipelines nested verbatim from their own gated
     // oracles' shared CTEs (minhash owns bands/capped/cand, the
     // embedding chain is e-prefixed), reconciled by one full outer

@@ -201,6 +201,46 @@ object PipelineOps {
       .orderBy($"host", $"verdict", $"matched_prefix")
   }
 
+  /** T5-style span corruption — denoising-objective example synthesis:
+    * mask ~14% of each document in block-aligned spans, replace each
+    * masked span with a numbered sentinel in the INPUT, and emit the
+    * sentinel→content mapping as the TARGET (Raffel et al. 2020's
+    * span-corruption objective, block-aligned so span selection is
+    * closed-form instead of a stateful greedy scan: 3-word blocks,
+    * block b of doc d masked iff md5(d:b) ≡ 0 mod 7 — deterministic,
+    * so the same example is regenerated bit-identically on any retry
+    * or re-shard, which is what makes mid-training data replay
+    * possible at all).
+    *
+    * Both input and target bytes are md5-gated per doc, so sentinel
+    * numbering (k = rank among the doc's masked blocks), span
+    * boundaries, and the ragged last block must all be exact. Scale
+    * shape: pure per-row HOF map work — the sentinel rank is computed
+    * by counting masked predecessors per block (O(blocks²) per doc
+    * with blocks ≈ words/3; quadratic only in the PER-DOC block count,
+    * flat across the corpus), zero joins, zero shuffles beyond the
+    * output sort. */
+  def qSpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", expr("split(text, '\\\\s+')").as("ws"))
+      .withColumn("blocks", expr(
+        """transform(sequence(0, CAST((size(ws) + 2) DIV 3 AS INT) - 1),
+          |  c -> struct(c AS bi,
+          |    array_join(slice(ws, c * 3 + 1, 3), ' ') AS txt,
+          |    CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', CAST(c AS STRING))), 1, 8), 16, 10) AS BIGINT) % 7 = 0 AS m))""".stripMargin))
+      .select($"doc_id",
+        expr("CAST(size(blocks) AS BIGINT)").as("n_blocks"),
+        expr("CAST(size(filter(blocks, x -> x.m)) AS BIGINT)").as("n_masked"),
+        expr("""md5(array_join(transform(blocks, x ->
+               |  CASE WHEN x.m
+               |    THEN concat('<X', CAST(size(filter(blocks, y -> y.m AND y.bi < x.bi)) AS STRING), '>')
+               |    ELSE x.txt END), ' '))""".stripMargin).as("input_md5"),
+        expr("""md5(array_join(transform(filter(blocks, x -> x.m), x ->
+               |  concat('<X', CAST(size(filter(blocks, y -> y.m AND y.bi < x.bi)) AS STRING), '> ', x.txt)), ' '))""".stripMargin).as("target_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic output sharding — the DELIVERY stage: assign every
     * document to one of 16 shards by id-hash (never `rand()`, never
     * round-robin: a retried task must land every row in the same
@@ -1358,6 +1398,7 @@ object PipelineOps {
     "q_split_contamination" -> qSplitContamination,
     "q_distinct_estimate" -> qDistinctEstimate,
     "q_dataset_split" -> qDatasetSplit,
+    "q_span_corrupt" -> qSpanCorrupt,
     "q_shard_assign" -> qShardAssign,
     "q_epoch_shuffle" -> qEpochShuffle,
     "q_stratified_sample" -> qStratifiedSample,
@@ -1621,6 +1662,33 @@ object PipelineOps {
          |  FROM documents)
          |SELECT split, lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words
          |FROM d GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // The oracle regenerates both example halves with its own list
+    // ops — block slicing (1-based inclusive, clamping like Spark's
+    // (start, length) slice), the mod-7 mask die, sentinel ranks as
+    // masked-predecessor counts — and the md5s must land bit-equal.
+    // The target coalesce matters: DuckDB joins an EMPTY list to NULL
+    // where Spark gives '' — a doc with zero masked blocks hashes
+    // md5('') in both engines only through it.
+    "q_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST((len(ws) + 2) // 3 AS INT)),
+        |      c -> struct_pack(
+        |        bi := c,
+        |        txt := array_to_string(ws[c*3+1 : c*3+3], ' '),
+        |        m := CAST('0x' || substring(md5(doc_id || ':' || c), 1, 8) AS BIGINT) % 7 = 0)) AS blocks
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+        |  CAST(len(list_filter(blocks, x -> x.m)) AS BIGINT) AS n_masked,
+        |  md5(array_to_string(list_transform(blocks, x ->
+        |    CASE WHEN x.m THEN '<X' || len(list_filter(blocks, y -> y.m AND y.bi < x.bi)) || '>'
+        |         ELSE x.txt END), ' ')) AS input_md5,
+        |  md5(coalesce(array_to_string(list_transform(list_filter(blocks, x -> x.m), x ->
+        |    '<X' || len(list_filter(blocks, y -> y.m AND y.bi < x.bi)) || '> ' || x.txt), ' '), '')) AS target_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_shard_assign" ->
       """WITH sh AS (
         |  SELECT doc_id, n_chars,

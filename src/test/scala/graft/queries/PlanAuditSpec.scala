@@ -468,6 +468,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toString.contains("CartesianProduct"), p.toString)
   }
 
+  test("q_span_corrupt: example synthesis is pure per-row HOF work — no join, no explode") {
+    val s = planString(PipelineOps.qSpanCorrupt(spark, dir))
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s) // blocks stay in-array
+  }
+
+  test("q_anchor_text: hub filter precedes the equi join; top-1 is min_by, not a window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = executed(CurationOps.qAnchorText(spark, dir))
+    assert(collectNodes(p).collect { case w: WindowExec => w }.isEmpty,
+      "per-hub top anchor must be bounded-state min_by, not a rank window")
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
   test("q_compaction: the compact step narrows partitions without any shuffle") {
     // Compaction = read + coalesce + rewrite; a shuffle here would
     // move 100 TB to fix a file-count problem. Audit the actual
