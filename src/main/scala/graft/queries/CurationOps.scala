@@ -72,23 +72,27 @@ object CurationOps {
     d.crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
   }
 
-  /** The fixture link graph (src, dst) — ONE definition shared by
-    * [[qLinkPagerank]] and [[qAnchorText]], so the two keys can never
-    * disagree about which edges exist. */
-  private[queries] def linkEdges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graphNodes(s, dir)
-      .select($"v".as("src"), explode(array(
-        $"v" % lit(13L),
-        ($"v" * $"v" + lit(7L)) % $"n",
-        ($"v" * lit(29L) + lit(11L)) % $"n")).as("dst"))
-      .where($"dst" =!= $"src").distinct()
-  }
+  /** The fixture link graph (src, dst) off a given (v, n) node frame —
+    * ONE definition shared by [[qLinkPagerank]] and [[qAnchorText]],
+    * so the two keys can never disagree about which edges exist. */
+  private def linkEdgesOf(nodes: DataFrame): DataFrame =
+    nodes
+      .select(col("v").as("src"), explode(array(
+        col("v") % lit(13L),
+        (col("v") * col("v") + lit(7L)) % col("n"),
+        (col("v") * lit(29L) + lit(11L)) % col("n"))).as("dst"))
+      .where(col("dst") =!= col("src")).distinct()
+
+  private[queries] def linkEdges(s: SparkSession, dir: String): DataFrame =
+    linkEdgesOf(graphNodes(s, dir))
 
   def qLinkPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nodes = graphNodes(s, dir)
-    val edges = linkEdges(s, dir)
+    // nodes is referenced by the edge build, every unrolled round's
+    // rank rebuild, AND the final rollup — materialize it once rather
+    // than re-scanning the documents table ~5x in one dag
+    val nodes = graphNodes(s, dir).localCheckpoint()
+    val edges = linkEdgesOf(nodes)
     val withDeg = edges
       .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint() // the static graph: materialized once, reused every round
@@ -234,14 +238,22 @@ object CurationOps {
     * gate row, so the output stays vocabulary-bounded while any
     * wrong/missing/extra posting anywhere still flips a cell.
     */
+  /** The index build over an arbitrary document slice — the SAME
+    * construction whether it runs single-pass ([[qInvertedIndex]]) or
+    * per ingest batch ([[qPostingsMerge]]), so the merge-law key can
+    * only test the merge, never a construction drift. Returns the
+    * un-thresholded per-term rollup (th, df, cf, postings_xor). */
+  private def indexOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), explode(expr(Hashing.wordHashSql)).as("th"))
+      .groupBy(col("th"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("th"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        expr("bit_xor(doc_id * 37 + tf)").as("postings_xor"))
+
   def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = docs(s, dir)
-      .select($"doc_id", explode(expr(Hashing.wordHashSql)).as("th"))
-    tok.groupBy($"th", $"doc_id").agg(count(lit(1)).as("tf"))
-      .groupBy($"th")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
-        expr("bit_xor(doc_id * 37 + tf)").as("postings_xor"))
+    indexOf(docs(s, dir))
       .where($"df" >= 5)
       .select($"th".as("term_hash"), $"df", $"cf", $"postings_xor")
       .orderBy($"term_hash")
@@ -361,12 +373,7 @@ object CurationOps {
   def qPostingsMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def half(parity: Int): DataFrame =
-      docs(s, dir).where($"doc_id" % 2 === parity)
-        .select($"doc_id", explode(expr(Hashing.wordHashSql)).as("th"))
-        .groupBy($"th", $"doc_id").agg(count(lit(1)).as("tf"))
-        .groupBy($"th")
-        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"),
-          expr("bit_xor(doc_id * 37 + tf)").as("postings_xor"))
+      indexOf(docs(s, dir).where($"doc_id" % 2 === parity))
         .withColumn("parity", lit(parity))
     half(0).unionByName(half(1))
       .groupBy($"th")
@@ -460,6 +467,19 @@ object CurationOps {
     "q_anchor_text" -> qAnchorText,
   )
 
+  /** The closed-form link graph as DuckDB CTEs (nn/nodes/e0) — ONE
+    * definition nested by both graph oracles (q_link_pagerank,
+    * q_anchor_text), mirroring the Spark side's shared [[linkEdgesOf]]
+    * so an edit to the fixture graph cannot desync them. */
+  private val linkGraphCteSql: String =
+    """nn AS (SELECT count(*) AS n FROM documents),
+      |nodes AS (SELECT doc_id AS v FROM documents),
+      |e0 AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT v AS src, v % 13 AS dst FROM nodes
+      |  UNION ALL SELECT v, (v*v + 7) % n FROM nodes, nn
+      |  UNION ALL SELECT v, (v*29 + 11) % n FROM nodes, nn) u
+      | WHERE dst <> src)""".stripMargin
+
   /** One unrolled PageRank round as a DuckDB CTE pair; `prev` is the
     * rank relation of the previous round. */
   private def prRound(i: Int, prev: String): String =
@@ -474,13 +494,7 @@ object CurationOps {
     // fixed-point recurrence — every floor div mirrored, so the final
     // per-group totals/extrema/XOR must match bit-for-bit.
     "q_link_pagerank" ->
-      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
-         |nodes AS (SELECT doc_id AS v FROM documents),
-         |e0 AS (SELECT DISTINCT src, dst FROM (
-         |  SELECT v AS src, v % 13 AS dst FROM nodes
-         |  UNION ALL SELECT v, (v*v + 7) % n FROM nodes, nn
-         |  UNION ALL SELECT v, (v*29 + 11) % n FROM nodes, nn) u
-         | WHERE dst <> src),
+      s"""WITH $linkGraphCteSql,
          |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
          |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
          |r0 AS (SELECT v, 1000000000000 // n AS r FROM nodes, nn),
@@ -607,14 +621,8 @@ object CurationOps {
     // anchor stated the window way (the Spark side must reproduce it
     // from bounded-state min_by).
     "q_anchor_text" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |nodes AS (SELECT doc_id AS v FROM documents),
-        |e0 AS (SELECT DISTINCT src, dst FROM (
-        |  SELECT v AS src, v % 13 AS dst FROM nodes
-        |  UNION ALL SELECT v, (v*v + 7) % n FROM nodes, nn
-        |  UNION ALL SELECT v, (v*29 + 11) % n FROM nodes, nn) u
-        | WHERE dst <> src),
-        |a AS (SELECT doc_id, array_to_string(string_split_regex(text, '\s+')[1:2], ' ') AS anchor
+      s"""WITH $linkGraphCteSql,
+        |a AS (SELECT doc_id, array_to_string(string_split_regex(text, '\\s+')[1:2], ' ') AS anchor
         |      FROM documents),
         |ea AS (SELECT e0.dst, a.anchor FROM e0 JOIN a ON a.doc_id = e0.src
         |       WHERE e0.dst < 13),

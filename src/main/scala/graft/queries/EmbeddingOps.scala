@@ -656,14 +656,21 @@ object EmbeddingOps {
       .map(i => s"(CASE WHEN q[${b * BitsPerBand + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
       .mkString(" + ") + s" + ${b * TableSpan}"
 
-  private val bandsSql = (0 until NumBands)
-    .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM v")
+  /** Banding/capping oracle SQL parameterized by the source CTE name —
+    * one body serving both the bare-named CTE chain (the per-key
+    * oracles below) and [[embedPairsCteSql]]'s e-prefixed namespace,
+    * so the capping rule can never fork between them. */
+  private def bandsSqlFrom(src: String): String = (0 until NumBands)
+    .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM $src")
     .mkString(" UNION ALL ")
 
-  private val cappedSql =
+  private def cappedSqlFrom(src: String): String =
     s"""SELECT vec_id, band FROM (
        |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
-       |  FROM bands) WHERE rn <= $BucketCap""".stripMargin
+       |  FROM $src) WHERE rn <= $BucketCap""".stripMargin
+
+  private val bandsSql = bandsSqlFrom("v")
+  private val cappedSql = cappedSqlFrom("bands")
 
   /** The embedding near-dup pipeline as reusable oracle CTEs in an
     * `e`-prefixed namespace — safe to combine in one WITH clause with
@@ -675,12 +682,8 @@ object EmbeddingOps {
   private[queries] val embedPairsCteSql: String =
     s"""ev AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
        |en AS (SELECT vec_id, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq FROM ev),
-       |ebands AS (${(0 until NumBands)
-            .map(b => s"SELECT vec_id, ${bandSqlFor(b)} AS band FROM ev")
-            .mkString(" UNION ALL ")}),
-       |ecapped AS (SELECT vec_id, band FROM (
-       |  SELECT vec_id, band, row_number() OVER (PARTITION BY band ORDER BY vec_id) AS rn
-       |  FROM ebands) WHERE rn <= $BucketCap),
+       |ebands AS (${bandsSqlFrom("ev")}),
+       |ecapped AS (${cappedSqlFrom("ebands")}),
        |ecand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
        |          FROM ecapped a JOIN ecapped b ON b.band = a.band AND b.vec_id > a.vec_id),
        |eterms AS (

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * lang, source) rows with plain Scala collections and compares every
   * output cell, so an error that happened to be mirrored into the
   * DuckDB SQL (shared-blindness, the one failure mode a two-engine
-  * gate can't see) still fails here. sf0.001 = 50 docs, so the replays
+  * gate can't see) still fails here. sf0.001 = 500 docs, so the replays
   * are trivial driver work. */
 class CurationSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
@@ -61,7 +61,7 @@ class CurationSpec extends AnyFunSuite {
     val rows = CurationOps.qLinkPagerank(spark, dir).collect()
     val total = rows.map(_.getLong(2)).sum
     // each round can only LOSE mass (floor divs truncate; dangling
-    // nodes leak); 50 nodes x 3 rounds of sub-unit truncation plus the
+    // nodes leak); 500 nodes x 3 rounds of sub-unit truncation plus the
     // damping remainder stays within a few thousand units of 10^12
     assert(total <= 1000000000000L, s"mass grew: $total")
     assert(total > 999999900000L, s"mass leaked too much: $total")
@@ -104,7 +104,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("q_line_dedup drops exactly the corpus-frequent lines at sf0.001") {
-    // 50 docs: banner3 on 17 docs, banner5 on 10 — both over the
+    // 500 docs: banner3 on 167 docs, banner5 on 100 — both over the
     // threshold, so every banner line (and nothing whose corpus
     // frequency is < 5) is dropped.
     val rows = CurationOps.qLineDedup(spark, dir).collect()
