@@ -20,6 +20,37 @@ import org.apache.spark.sql.SparkSession
   * run recorded 7.34 s for a 0.55 s query (BASELINE.md r9 A/B).
   */
 object Bench {
+
+  /** The two result lines, extracted so BenchSpec can guard their
+    * shape: the FULL line (per-query map — grows with the suite, goes
+    * to bench.json / BENCH_OFFICIAL.json and stdout for humans) and
+    * the COMPACT line (no per-query map — its length must stay under
+    * the driver's ~2000-char output-tail capture at ANY suite size;
+    * ANCHORS.json r11_official records what truncation did before the
+    * compact form existed). */
+  private[graft] def resultLines(
+      results: Seq[(String, Double)], staged: Set[String],
+      calibs: Seq[Double], errors: List[String], sfDir: String): (String, String) = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Full JSON escaping (incl. control chars): exception messages are
+    // routinely multi-line, and a raw \n here would split the one-line
+    // JSON across lines on every channel — unparseable exactly when
+    // there are errors to report.
+    val errJson = errors.map(Json.quote).mkString("[", ",", "]")
+    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // Tag the keys whose timing is a staged-artifact read-back (the
+    // streaming gate keys): their minima are NOT streaming throughput
+    // and must not be compared as such (r14 advice).
+    val stagedJson = staged.toSeq.sorted.map(Json.quote).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staged_readback":$stagedJson,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // "compact":true disambiguates this line from the full one above
+    // for any consumer that greps by metric instead of taking the
+    // absolute last line — both lines share "metric":"total".
+    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    (line, compact)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,31 +115,15 @@ object Bench {
       }
     }
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // Full JSON escaping (incl. control chars): exception messages are
-    // routinely multi-line, and a raw \n here would split the one-line
-    // JSON across lines on every channel — unparseable exactly when
-    // there are errors to report.
-    val errJson = errors.reverse.map(Json.quote).mkString("[", ",", "]")
-    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
-    // Tag the keys whose timing is a staged-artifact read-back (the
-    // streaming gate keys): their minima are NOT streaming throughput
-    // and must not be compared as such (r14 advice).
-    val stagedJson = SparkEntry.stagedReadbackKeys.toSeq.sorted
-      .map(Json.quote).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staged_readback":$stagedJson,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map has grown past what the driver's output tail
     // buffer retains (~3.5 KB at 84 queries): four rounds running the
     // full line was captured starting mid-map and failed to parse. So
     // the ABSOLUTE last line on both streams is a compact summary with
-    // no per-query map — it fits any tail buffer. The full line still
-    // goes out first on both streams and to bench.json for humans and
-    // for the per-query history.
-    // "compact":true disambiguates this line from the full one above
-    // for any consumer that greps by metric instead of taking the
-    // absolute last line — both lines share "metric":"total".
-    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // no per-query map — it fits any tail buffer (guarded by BenchSpec
+    // at 250+ keys). The full line still goes out first on both streams
+    // and to bench.json for humans and for the per-query history.
+    val (line, compact) = resultLines(results, SparkEntry.stagedReadbackKeys,
+      calibs.toSeq, errors.reverse, sfDir)
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three
     // rounds running. Emit it on all three channels: stdout, a known

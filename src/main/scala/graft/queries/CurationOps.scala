@@ -123,6 +123,17 @@ object CurationOps {
   private val Banner3 = "subscribe to our newsletter today"
   private val Banner5 = "all rights reserved contact us"
 
+  /** Oracle-side per-doc position-unroll bound (DuckDB lacks WITH
+    * ORDINALITY, so the q_line_dedup / q_phrase_search oracles
+    * enumerate positions with `generate_series(0, cap)`). The bound
+    * was previously a bare `4000` in two oracle strings (r15 advice):
+    * a fixture doc exceeding it would truncate the ORACLE side only —
+    * a confusing hash mismatch with no pointer to the cap. Now both
+    * oracles interpolate this constant and both Spark sides carry an
+    * `assert_true` guard naming it, so a cap violation fails loudly
+    * on the engine side with a message that says what to raise. */
+  private[queries] val OracleUnrollCap = 4000
+
   /** Line-level corpus dedup (RefinedWeb-style): remove LINES that
     * repeat across many documents, keep the documents.
     *
@@ -160,6 +171,10 @@ object CurationOps {
            |    x -> x IS NOT NULL),
            |  transform(sequence(0, CAST((size(ws) + 15) DIV 16 AS INT) - 1),
            |    c -> array_join(slice(ws, c * 16 + 1, 16), ' ')))""".stripMargin).as("lines"))
+      // loud guard for the oracle's unroll bound — see [[OracleUnrollCap]]
+      .filter(expr(s"coalesce(assert_true(size(lines) <= $OracleUnrollCap, " +
+        s"'q_line_dedup: doc exceeds OracleUnrollCap=$OracleUnrollCap lines; " +
+        "the DuckDB oracle unroll would truncate — raise the shared cap in CurationOps'), true)"))
     val lx = lined
       .select($"doc_id", posexplode($"lines").as(Seq("ln", "line")))
       .withColumn("lh",
@@ -342,6 +357,10 @@ object CurationOps {
     val tokpos = docs(s, dir)
       .select($"doc_id", posexplode(expr(Hashing.wordHashSql)).as(Seq("pos", "th")))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"th")
+      // loud guard for the oracle's unroll bound — see [[OracleUnrollCap]]
+      .filter(expr(s"coalesce(assert_true(pos <= $OracleUnrollCap, " +
+        s"'q_phrase_search: token position exceeds OracleUnrollCap=$OracleUnrollCap; " +
+        "the DuckDB oracle unroll would truncate — raise the shared cap in CurationOps'), true)"))
     val ph = docs(s, dir)
       .where($"doc_id" % 7 === 0 && $"doc_id" < 56)
       .select(expr("doc_id DIV 7").as("query_id"),
@@ -527,7 +546,7 @@ object CurationOps {
          |lx AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS ln, lines[i+1] AS line,
          |         CAST('0x' || substring(md5(lines[i+1]), 1, 15) AS BIGINT) AS lh
-         |  FROM lined, (SELECT unnest(generate_series(0, 4000)) AS i) t
+         |  FROM lined, (SELECT unnest(generate_series(0, $OracleUnrollCap)) AS i) t
          |  WHERE i < len(lines)),
          |freq AS (SELECT lh, count(DISTINCT doc_id) AS df FROM lx GROUP BY lh)
          |SELECT lx.doc_id,
@@ -587,7 +606,7 @@ object CurationOps {
       s"""WITH tokpos AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos, hs[i+1] AS th
          |  FROM (SELECT doc_id, ${Hashing.wordHashListSql} AS hs FROM documents),
-         |       (SELECT unnest(generate_series(0, 4000)) AS i) t
+         |       (SELECT unnest(generate_series(0, $OracleUnrollCap)) AS i) t
          |  WHERE i < len(hs)),
          |ph AS (
          |  SELECT DISTINCT doc_id // 7 AS query_id, hs[1] AS th1, hs[2] AS th2
@@ -641,11 +660,7 @@ object CurationOps {
     // join — the audit cannot disagree with the audited keys.
     "q_dedup_agreement" ->
       s"""WITH ${TextOps.minhashCteSql},
-         |text_pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sizes na ON na.doc_id = doc_a
-         |             JOIN sizes nb ON nb.doc_id = doc_b
-         |  WHERE inter * 2 >= na.n + nb.n - inter),
+         |${TextOps.textPairsCteSql("text_pairs")},
          |${EmbeddingOps.embedPairsCteSql},
          |allp AS (
          |  SELECT coalesce(t.doc_a, e.va) AS doc_a,

@@ -284,9 +284,14 @@ object Relational {
     import s.implicits._
     t(s, dir, "events")
       .select($"event_type", expr(
+        // the fixture contract says every props carries $.k; concat is
+        // null-propagating, so a missing $.k would otherwise yield a
+        // silent NULL variant that only surfaces as an aggregate
+        // mismatch (r15 advice) — fail loudly at the source instead
         """parse_json(concat(
           |  '{"who":{"id":', user_id, ',"t":"', event_type, '"},',
-          |  '"k":', get_json_object(props, '$.k'),
+          |  '"k":', coalesce(get_json_object(props, '$.k'),
+          |            raise_error('q_variant_extract: events row missing $.k in props — fixture contract violated')),
           |  IF(event_id % 7 = 0, concat(',"extra":', event_id % 100), ''),
           |  '}'))""".stripMargin).as("v"))
       .select($"event_type",

@@ -496,7 +496,7 @@ object TextOps {
   def qMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Banding.verifiedPairs(minhashBandRows(s, dir), "doc_id",
-        "doc_a", "doc_b", keep = "p -> p.inter * 2 >= p.sz - p.inter") // jaccard >= 0.5
+        "doc_a", "doc_b", keep = JaccardKeepHof) // jaccard >= 0.5
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -584,7 +584,7 @@ object TextOps {
     * presentation orderBy. */
   private[queries] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     Banding.verifiedPairs(stagedBandRows(s, dir), "doc_id",
-      "doc_a", "doc_b", keep = "p -> p.inter * 2 >= p.sz - p.inter")
+      "doc_a", "doc_b", keep = JaccardKeepHof)
 
   /** The capped minhash band rows WITH the verify payload (n, hs) —
     * the candidate-generation half shared by the Jaccard and
@@ -1664,6 +1664,26 @@ object TextOps {
     "q_leak_safe_split" -> qLeakSafeSplit,
   )
 
+  /** The Jaccard ≥ 0.5 near-dup keep rule, defined ONCE in both of its
+    * dialects (r15 advice: it had drifted into three inlined copies).
+    * HOF form is over [[Banding.verifiedPairs]]'s verify struct
+    * (`inter`, `sz` = |A|+|B|); SQL form is over [[minhashCteSql]]'s
+    * `inter`/`sizes(na, nb)` columns. An edit to the threshold now
+    * moves every producer AND the q_dedup_agreement audit together. */
+  private[queries] val JaccardKeepHof = "p -> p.inter * 2 >= p.sz - p.inter"
+  private[queries] val jaccardKeepSql = "inter * 2 >= na.n + nb.n - inter"
+
+  /** The verified text near-dup pair CTE over [[minhashCteSql]] —
+    * shared by the q_minhash_pairs / q_dedup_funnel oracles and
+    * CurationOps' q_dedup_agreement audit, so the audit can never
+    * disagree with the audited key about what a text pair is. */
+  private[queries] def textPairsCteSql(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sizes na ON na.doc_id = doc_a
+       |             JOIN sizes nb ON nb.doc_id = doc_b
+       |  WHERE $jaccardKeepSql)""".stripMargin
+
   /** The minhash candidate/verify pipeline as reusable CTEs — shared
     * verbatim between the pairs oracle and the funnel oracle so the
     * two can never disagree about what a near-dup pair is. */
@@ -2089,7 +2109,7 @@ object TextOps {
          |SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS uni
          |FROM inter JOIN sizes na ON na.doc_id = doc_a
          |           JOIN sizes nb ON nb.doc_id = doc_b
-         |WHERE inter * 2 >= na.n + nb.n - inter
+         |WHERE $jaccardKeepSql
          |ORDER BY doc_a, doc_b""".stripMargin,
     // Containment nests the SAME candidate/verify CTEs; only the keep
     // rule and reported metrics differ — asymmetric in the set sizes.
@@ -2104,11 +2124,7 @@ object TextOps {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_funnel" ->
       s"""WITH $minhashCteSql,
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sizes na ON na.doc_id = doc_a
-         |             JOIN sizes nb ON nb.doc_id = doc_b
-         |  WHERE inter * 2 >= na.n + nb.n - inter),
+         |${textPairsCteSql("pairs")},
          |canon AS (SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
          |                 min(doc_id) AS doc_id
          |          FROM documents GROUP BY 1),
