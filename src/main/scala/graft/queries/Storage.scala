@@ -398,7 +398,108 @@ object Storage {
       .orderBy($"l_linestatus")
   }
 
+  /** The WARC fixture corpus, in ONE SQL dialect shared verbatim by
+    * the Spark builder and the DuckDB oracle (both engines accept
+    * `||` concat and `chr`, and the corpus is ASCII so `length` is
+    * byte length in both) — the planted records cannot drift between
+    * the builder and the replay. Per document: one `response` record
+    * whose block is an HTML page wrapping the doc text, plus (every
+    * 4th doc) a preceding `request` record; each file opens with one
+    * constant `warcinfo` record. Every 6th page plants the bytes
+    * `CRLF CRLF WARC/1.0 CRLF Content-Length: 0 CRLF CRLF` INSIDE its
+    * block — a fake embedded record header, so only a parser that
+    * honors Content-Length delimitation (never separator scanning)
+    * reproduces the oracle's offsets. */
+  private[queries] object WarcFixture {
+    val Crlf = "chr(13) || chr(10)"
+
+    /** Render a Scala string containing CRLFs into the shared SQL
+      * dialect (single quotes / control chars never appear in the
+      * fixture constants by construction). */
+    def sqlLit(s: String): String =
+      s.split("\r\n", -1).map(p => s"'$p'").mkString(s" || $Crlf || ")
+
+    val uriSql = "'http://example.com/doc/' || doc_id"
+    private val hazardSql =
+      s"CASE WHEN doc_id % 6 = 0 THEN '<!--' || $Crlf || 'WARC/1.0' || $Crlf || " +
+        s"'Content-Length: 0' || $Crlf || $Crlf || '-->' ELSE '' END"
+    val respPayloadSql: String =
+      s"'<html><head><title>doc ' || doc_id || '</title></head><body>' || " +
+        s"($hazardSql) || '<p>' || text || '</p></body></html>'"
+    val reqPayloadSql: String =
+      s"'GET /doc/' || doc_id || ' HTTP/1.1' || $Crlf || 'host: example.com' || $Crlf || $Crlf"
+
+    private def recordSql(warcType: String, recIdPrefix: String,
+        contentType: Option[String], payloadCol: String): String = {
+      val ct = contentType.map(c => s" || 'Content-Type: $c' || $Crlf").getOrElse("")
+      s"'WARC/1.0' || $Crlf || 'WARC-Type: $warcType' || $Crlf || " +
+        s"'WARC-Record-ID: <urn:graft:$recIdPrefix-' || doc_id || '>' || $Crlf || " +
+        s"'WARC-Target-URI: ' || ($uriSql) || $Crlf$ct || " +
+        s"'Content-Length: ' || length($payloadCol) || $Crlf || $Crlf || " +
+        s"$payloadCol || $Crlf || $Crlf"
+    }
+    val respRecordSql: String = recordSql("response", "doc", Some("text/html"), "rp")
+    val reqRecordSql: String = recordSql("request", "req", None, "qp")
+
+    val infoPayload: String = "software: graft\r\nformat: WARC/1.0\r\n"
+    val infoRecord: String =
+      s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: ${infoPayload.length}" +
+        s"\r\n\r\n$infoPayload\r\n\r\n"
+  }
+
+  /** WARC ingest — the carrier every public crawl corpus actually
+    * arrives in (r15 verdict item 1), completing the ingest family
+    * (CSV / JSONL / ORC / parquet). The fixture BUILDS a multi-record
+    * WARC corpus closed-form from `documents` ([[WarcFixture]] — 8
+    * files, warcinfo + request + response records, an embedded fake
+    * record header as the Content-Length hazard), then the operator
+    * under test — [[graft.sources.warc.WarcCodec]], a real ISO 28500
+    * byte parser at the same codec seam as the image/audio decoders —
+    * re-extracts every record, and the HTML block feeds the crawl
+    * front's extraction shape (`<p>` body pulled by regex, as in
+    * q_html_extract). The oracle never parses: it rebuilds record
+    * strings from the SAME shared SQL and derives offsets as window
+    * sums of record lengths, so one byte of drift anywhere in
+    * build → parse → extract moves a gated offset or md5.
+    *
+    * Scale shape: at 100 TB the .warc files already exist on disk —
+    * one task per file (or per gzip member; the standard
+    * record-per-member .warc.gz layout splits at member boundaries)
+    * runs the same sequential byte scan where the bytes live. Payload
+    * bytes never shuffle: the per-file parse projects records, and
+    * only fixed-width fields + md5s leave the partition. The fixture's
+    * group-by-file assembly exists only to PLANT the corpus. */
+  def qWarcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents").selectExpr(
+      "doc_id", "doc_id % 8 AS file_id",
+      s"${WarcFixture.respPayloadSql} AS rp",
+      s"${WarcFixture.reqPayloadSql} AS qp")
+    val resp = d.selectExpr("file_id", "doc_id", "1 AS kind",
+      s"${WarcFixture.respRecordSql} AS rec")
+    val req = d.where("doc_id % 4 = 0").selectExpr("file_id", "doc_id", "0 AS kind",
+      s"${WarcFixture.reqRecordSql} AS rec")
+    val files = resp.unionByName(req)
+      .groupBy($"file_id")
+      .agg(concat(lit(WarcFixture.infoRecord),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, kind, rec))), x -> x.rec), '')"))
+        .as("wtext"))
+      .select($"file_id".cast("long").as("file_id"),
+        encode($"wtext", "UTF-8").as("bytes"))
+    val parsed = files.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, b) =>
+        graft.sources.warc.WarcCodec.parse(fid, b) })
+      .toDF()
+    parsed.select($"file_id", $"rec_idx", $"warc_type", $"target_uri",
+        $"rec_offset", $"content_length",
+        md5($"payload").as("payload_md5"),
+        md5(coalesce(regexp_extract($"payload", "<p>(.*)</p>", 1), lit("")))
+          .as("body_md5"))
+      .orderBy($"file_id", $"rec_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_ingest" -> qWarcIngest,
     "q_parquet_dpp" -> qParquetDpp,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
@@ -413,6 +514,43 @@ object Storage {
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
   val oracles: Map[String, String] = Map(
+    // The oracle never runs the parser: it rebuilds every record
+    // string from the SAME shared SQL fixture and derives each
+    // record's byte offset as the warcinfo length plus a window sum
+    // of the lengths of the records before it — so the parser's
+    // offsets/md5s must reproduce the construction bit-for-bit.
+    "q_warc_ingest" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS file_id, text,
+         |             ${WarcFixture.respPayloadSql} AS rp,
+         |             ${WarcFixture.reqPayloadSql} AS qp
+         |           FROM documents),
+         |recs AS (
+         |  SELECT file_id, doc_id, 1 AS kind, 'response' AS warc_type,
+         |         ${WarcFixture.uriSql} AS target_uri,
+         |         ${WarcFixture.respRecordSql} AS rec, rp AS payload, text AS body
+         |  FROM d
+         |  UNION ALL
+         |  SELECT file_id, doc_id, 0, 'request', ${WarcFixture.uriSql},
+         |         ${WarcFixture.reqRecordSql}, qp, ''
+         |  FROM d WHERE doc_id % 4 = 0),
+         |o AS (SELECT *,
+         |        row_number() OVER (PARTITION BY file_id ORDER BY doc_id, kind) AS rn,
+         |        coalesce(sum(length(rec)) OVER (PARTITION BY file_id
+         |          ORDER BY doc_id, kind
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM recs)
+         |SELECT file_id, CAST(0 AS BIGINT) AS rec_idx, 'warcinfo' AS warc_type,
+         |       '' AS target_uri, CAST(0 AS BIGINT) AS rec_offset,
+         |       CAST(${WarcFixture.infoPayload.length} AS BIGINT) AS content_length,
+         |       md5(${WarcFixture.sqlLit(WarcFixture.infoPayload)}) AS payload_md5,
+         |       md5('') AS body_md5
+         |FROM (SELECT DISTINCT file_id FROM d)
+         |UNION ALL
+         |SELECT file_id, CAST(rn AS BIGINT), warc_type, target_uri,
+         |       CAST(${WarcFixture.infoRecord.length} + prior AS BIGINT),
+         |       CAST(length(payload) AS BIGINT), md5(payload), md5(body)
+         |FROM o
+         |ORDER BY file_id, rec_idx""".stripMargin,
     // the layout + runtime pruning must be result-invisible: the
     // oracle joins the RAW table to the same dim.
     "q_parquet_dpp" ->

@@ -1,0 +1,89 @@
+package graft.sources.warc
+
+/** One parsed WARC record, field names = gate output columns. The
+  * payload travels as a decoded string (the fixture corpus is ASCII;
+  * Content-Length is in BYTES and the slice happens before decode, so
+  * a UTF-8 corpus parses identically). */
+final case class WarcRecord(
+    file_id: Long, rec_idx: Long, warc_type: String, target_uri: String,
+    rec_offset: Long, content_length: Long, payload: String)
+
+/** A real ISO 28500 (WARC/1.0) record parser over concatenated record
+  * bytes — the carrier format every public crawl corpus (Common Crawl
+  * et al.) actually arrives in.
+  *
+  * Grammar parsed: `version-line CRLF header* CRLF block CRLFCRLF`,
+  * repeated to end-of-buffer. Headers are `Name: value` with
+  * case-insensitive names; the block is delimited by `Content-Length`
+  * ONLY — never by scanning for separators, because a block may (and
+  * in the gated fixture deliberately does) contain the bytes
+  * `CRLF CRLF WARC/1.0 CRLF` verbatim. Every malformation fails
+  * loudly with the byte offset (`require`), never by resynchronizing
+  * past bad bytes: a corrupt record in a training-data ingest should
+  * surface, not silently shift every following offset.
+  *
+  * Scale shape: this is the same per-partition codec seam as the
+  * image/audio decoders (`Multimodal.scala`) — bytes are parsed where
+  * they live and never shuffle; only projected fields leave the
+  * partition. At 100 TB the input is real `.warc` / `.warc.gz` files:
+  * one task per file (or per gzip member — the standard
+  * record-per-member layout makes .warc.gz splittable at member
+  * boundaries), each task running exactly this sequential scan, which
+  * is I/O-bound and embarrassingly parallel across files. */
+object WarcCodec {
+
+  def parse(fileId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+    val CR = '\r'.toByte
+    val LF = '\n'.toByte
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var idx = 0L
+    def readLine(): String = {
+      val start = pos
+      while (pos + 1 < bytes.length && !(bytes(pos) == CR && bytes(pos + 1) == LF)) pos += 1
+      require(pos + 1 < bytes.length,
+        s"warc[$fileId]: unterminated header line at byte $start")
+      val s = new String(bytes, start, pos - start, java.nio.charset.StandardCharsets.UTF_8)
+      pos += 2
+      s
+    }
+    while (pos < bytes.length) {
+      val off = pos
+      val version = readLine()
+      require(version.startsWith("WARC/"),
+        s"warc[$fileId]: expected version line at byte $off, got '$version'")
+      var typ = ""
+      var uri = ""
+      var clen = -1L
+      var line = readLine()
+      while (line.nonEmpty) {
+        val i = line.indexOf(':')
+        require(i > 0, s"warc[$fileId]: malformed header '$line' at byte $off")
+        val k = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(i + 1).trim
+        k match {
+          case "warc-type" => typ = v
+          case "warc-target-uri" => uri = v
+          case "content-length" => clen = v.toLong
+          case _ => () // record-id, content-type, ... — consumed, not projected
+        }
+        line = readLine()
+      }
+      require(clen >= 0, s"warc[$fileId]: record at byte $off has no Content-Length")
+      require(typ.nonEmpty, s"warc[$fileId]: record at byte $off has no WARC-Type")
+      require(pos + clen + 4 <= bytes.length,
+        s"warc[$fileId]: record at byte $off declares $clen payload bytes past end of file")
+      val payload = new String(bytes, pos, clen.toInt,
+        java.nio.charset.StandardCharsets.UTF_8)
+      pos += clen.toInt
+      require(bytes(pos) == CR && bytes(pos + 1) == LF &&
+          bytes(pos + 2) == CR && bytes(pos + 3) == LF,
+        s"warc[$fileId]: record at byte $off missing CRLFCRLF separator " +
+          s"after declared Content-Length $clen")
+      pos += 4
+      out += WarcRecord(fileId, idx, typ, uri, off.toLong, clen, payload)
+      idx += 1
+    }
+    out.result()
+  }
+}
