@@ -215,6 +215,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "strip_accents expects exactly 1 argument")
         StripAccents(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "bpe_encode expects bpe_encode(word) or bpe_encode(word, 'l r;l r;…' spec literal)")
+        val merges = if (children.size == 1) BpeTokenizer.Merges else {
+          // the vocabulary is DATA shipped as a plan constant — must
+          // fold at analysis so the table builds once, loudly, here
+          require(children(1).foldable,
+            "bpe_encode: the merge-table spec must be a literal")
+          BpeEncode.parseSpec(String.valueOf(children(1).eval(null)))
+        }
+        BpeEncode(children.head, merges)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -238,6 +253,14 @@ object GraftFunctions {
 
   def stripAccents(s: Column): Column =
     call_function("strip_accents", s)
+
+  def bpeEncode(w: Column): Column =
+    call_function("bpe_encode", w)
+
+  /** Encode against a custom vocabulary shipped as a spec literal
+    * ([[BpeEncode.toSpec]]) — the production-size path. */
+  def bpeEncode(w: Column, spec: String): Column =
+    call_function("bpe_encode", w, org.apache.spark.sql.functions.lit(spec))
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

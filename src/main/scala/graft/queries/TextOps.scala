@@ -176,6 +176,41 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Tokenization through the NATIVE [[graft.functions.BpeEncode]]
+    * expression — the production-scale path (r15 verdict item 2): a
+    * heap-driven lowest-rank-pair merge loop, per-row O(len·log len)
+    * INDEPENDENT of vocabulary size, where [[qBpeTokens]]'s replace
+    * chain grows an expression node per rule and tops out long before
+    * a real 32k-merge vocab (BpeEncodeSpec runs the native form on a
+    * 1,500-rule table the chain cannot compile). The gate is the
+    * cross-ALGORITHM proof on the shared 40-rule table: the Spark
+    * side encodes with the heap loop, the DuckDB oracle replays the
+    * rank-order replace chain generated from the same table, and the
+    * md5 over every framed encoded word in every document matches
+    * only if the two formulations are bit-identical — the classic
+    * BPE equivalence (priority merges ≡ one global pass per rule in
+    * rank order, for well-formed tables), here made a gated fact
+    * rather than an assumption.
+    *
+    * Scale shape: identical to [[qBpeTokens]] — per-row map work
+    * inside whole-stage codegen (the expression emits one static
+    * call), merge table rides the plan, no shuffle beyond the
+    * presentation sort. */
+  def qBpeEncodeNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{BpeTokenizer, GraftFunctions}
+    val words = regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))
+    docs(s, dir)
+      .select($"doc_id",
+        size(words).cast("long").as("n_words"),
+        aggregate(
+          transform(words, w => BpeTokenizer.tokenCount(GraftFunctions.bpeEncode(w))),
+          lit(0L), (acc, x) => acc + x).as("n_tokens"),
+        md5(concat_ws(" ", transform(words, w => GraftFunctions.bpeEncode(w))))
+          .as("encoded_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Number of BPE merges [[qBpeLearn]] learns; the oracle generator
     * unrolls the same count. Small because each merge is one full
     * argmax round — the gate's job is pinning the ALGORITHM (count →
@@ -1648,6 +1683,7 @@ object TextOps {
     "q_strip_accents" -> qStripAccents,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
+    "q_bpe_encode_native" -> qBpeEncodeNative,
     "q_bpe_learn" -> qBpeLearn,
     "q_lang_id" -> qLangId,
     "q_repetition_ratio" -> qRepetitionRatio,
@@ -1971,6 +2007,23 @@ object TextOps {
          |  CAST(len(l) AS BIGINT) AS n_words,
          |  CAST(coalesce(list_sum(list_transform(l, w -> $tc)), 0) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(list_sum(list_transform(l, w -> length(w))), 0) AS BIGINT) AS n_chars
+         |FROM ws ORDER BY doc_id""".stripMargin
+    },
+    // The cross-algorithm gate: the oracle replays the rank-order
+    // REPLACE CHAIN generated from the shared table; the Spark side
+    // ran the native heap-merge expression. The per-doc md5 over every
+    // framed encoded word matches only if the two BPE formulations are
+    // bit-identical.
+    "q_bpe_encode_native" -> {
+      val enc = graft.functions.BpeTokenizer.oracleEncodeSql("w")
+      val tc = graft.functions.BpeTokenizer.oracleTokenCountSql(enc)
+      s"""WITH ws AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(l) AS BIGINT) AS n_words,
+         |  CAST(coalesce(list_sum(list_transform(l, w -> $tc)), 0) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_transform(l, w -> $enc), ' ')) AS encoded_md5
          |FROM ws ORDER BY doc_id""".stripMargin
     },
     "q_token_count" ->
