@@ -955,6 +955,85 @@ object Connector {
      .orderBy("action", "fqdn")
   }
 
+  /** Zone-SET change across a streaming restart (r15 verdict item 5 —
+    * the reference quirk §2.3.3 made a gate: DnsStreamingSource
+    * .java:145-149's null-guard for a zone absent from committed
+    * progress is unreachable in the reference because its progress
+    * map is keyed by the CURRENT option list; this connector's
+    * restore keys by zone NAME, so the contract is testable and
+    * gated). Run 1 streams zones {a, b}: both AXFR from serial 0.
+    * Between runs: zone a changes (2 adds, 1 delete), zone b ALSO
+    * changes (an add that must never surface), and a brand-new zone c
+    * is seeded. Run 2 — SAME checkpoint, zone list {a, c} — must:
+    * carry a's committed serial over (only the IXFR delta transfers,
+    * never a re-AXFR), start c at serial 0 (full AXFR), and plan
+    * nothing for the dropped b (its post-drop add stays invisible,
+    * and its run-1 rows stay in the output untouched). The oracle
+    * pins the exact union: a duplicated AXFR, a lost serial, a
+    * leaked b-add, or a c started at the wrong serial each move the
+    * hash. */
+  def qDnsZoneChange(s: SparkSession, dir: String): DataFrame = {
+   val staged = Scratch.staged("dns_zone_change_result", dir) { sb =>
+    val port = freshPort("q_dns_zone_change")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("zca.graft.", (0 to 3).map(i => ARecord(s"a$i.zca.graft.", s"10.6.0.$i")))
+    srv.addZone("zcb.graft.", (0 to 2).map(i => ARecord(s"b$i.zcb.graft.", s"10.6.1.$i")))
+
+    val base = Scratch.fresh("dns_zone_change", dir)
+    val out = s"$base/out"
+    val ck = s"$base/ck"
+
+    def runOnce(zones: String): Unit = {
+      val q = s.readStream.format("dns")
+        .option("server", Host).option("port", port.toString)
+        .option("organization", "graft").option("zones", zones)
+        .option("fixed-timestamp-micros", TsMicros.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.Once())
+        .start()
+      require(q.awaitTermination(180000), "dns zone-change stream run did not terminate")
+    }
+
+    runOnce("zca.graft,zcb.graft") // both AXFR from 0
+    srv.update("zca.graft.",
+      (4 to 5).map(i => ARecord(s"a$i.zca.graft.", s"10.6.0.$i")),
+      Seq(ARecord("a0.zca.graft.", "10.6.0.0")))
+    srv.update("zcb.graft.", Seq(ARecord("b9.zcb.graft.", "10.6.1.9")), Nil)
+    srv.addZone("zcc.graft.", (0 to 4).map(i => ARecord(s"c$i.zcc.graft.", s"10.6.2.$i")))
+    runOnce("zca.graft,zcc.graft") // a: IXFR delta; c: AXFR from 0; b: dropped
+
+    s.read.parquet(out)
+      .select("action", "fqdn", "ip", "zone")
+      .write.parquet(new java.io.File(sb, "result").toString)
+   }
+   s.read.parquet(new java.io.File(staged, "result").toString)
+     .orderBy("action", "fqdn")
+  }
+
+  private val qDnsZoneChangeOracle: String =
+    """WITH axfr_a AS (
+      |  SELECT 'AXFR' AS action, 'a'||i||'.zca.graft.' AS fqdn,
+      |         '10.6.0.'||i AS ip, 'zca.graft.' AS zone
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS i)),
+      |axfr_b AS (
+      |  SELECT 'AXFR', 'b'||i||'.zcb.graft.', '10.6.1.'||i, 'zcb.graft.'
+      |  FROM (SELECT unnest(generate_series(0, 2)) AS i)),
+      |axfr_c AS (
+      |  SELECT 'AXFR', 'c'||i||'.zcc.graft.', '10.6.2.'||i, 'zcc.graft.'
+      |  FROM (SELECT unnest(generate_series(0, 4)) AS i)),
+      |adds_a AS (
+      |  SELECT 'IXFR_ADD', 'a'||i||'.zca.graft.', '10.6.0.'||i, 'zca.graft.'
+      |  FROM (SELECT unnest(generate_series(4, 5)) AS i)),
+      |dels_a AS (SELECT 'IXFR_DELETE', 'a0.zca.graft.', '10.6.0.0', 'zca.graft.')
+      |SELECT * FROM (
+      |  SELECT * FROM axfr_a UNION ALL SELECT * FROM axfr_b
+      |  UNION ALL SELECT * FROM axfr_c UNION ALL SELECT * FROM adds_a
+      |  UNION ALL SELECT * FROM dels_a)
+      |ORDER BY action, fqdn""".stripMargin
+
   private val qDnsStreamOracle: String =
     """WITH axfr AS (
       |  SELECT 'AXFR' AS action, 'h'||i||'.st.graft.' AS fqdn, '10.5.0.'||i AS ip
@@ -1187,6 +1266,7 @@ object Connector {
     "q_dns_sql" -> qDnsSql,
     "q_dns_sql_insert" -> qDnsSqlInsert,
     "q_dns_stream" -> qDnsStream,
+    "q_dns_zone_change" -> qDnsZoneChange,
     "q_dns_stream_sink" -> qDnsStreamSink,
     "q_dns_ignore_failures" -> qDnsIgnoreFailures,
     "q_dns_validate" -> qDnsValidate,
@@ -1204,7 +1284,8 @@ object Connector {
   /** Same discipline as [[graft.streaming.StreamingOps.stagedReadbackKeys]]:
     * these two keys' timed passes read the once-per-JVM staged replay
     * result, not a fresh streaming-query lifecycle. */
-  val stagedReadbackKeys: Set[String] = Set("q_dns_stream", "q_dns_stream_sink")
+  val stagedReadbackKeys: Set[String] =
+    Set("q_dns_stream", "q_dns_stream_sink", "q_dns_zone_change")
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
     * transport and registration surface must never change results. */
@@ -1220,6 +1301,7 @@ object Connector {
     "q_dns_sql" -> qDnsReadOracle,
     "q_dns_sql_insert" -> qDnsSqlInsertOracle,
     "q_dns_stream" -> qDnsStreamOracle,
+    "q_dns_zone_change" -> qDnsZoneChangeOracle,
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
     "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
     "q_dns_validate" -> qDnsValidateOracle,

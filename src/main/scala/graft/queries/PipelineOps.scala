@@ -846,22 +846,31 @@ object PipelineOps {
     * are), so pair volume is bounded by rare-window co-occurrence —
     * linear in duplicated content, never corpus². All joins are
     * whash/pair equi-joins; the island window is partitioned by
-    * (pair, diagonal), never global. Output per pair with a ≥ 16-word
-    * maximal span: span count, total shared windows, longest span. */
-  def qSharedSpans(s: SparkSession, dir: String): DataFrame = {
+    * (pair, diagonal), never global. Output is tiered pair rows:
+    * `primary` (≥ 16-word maximal spans — span count, total shared
+    * windows, longest span), the SHORT-REGION `tail` (4-word-window
+    * pass, maximal spans of 6–15 words — what the primary pass
+    * structurally misses), and one `tail_noise` summary row counting
+    * the excluded 4–5-word coincidence spans (see the inline note).
+    * The scrub key's ≥ 16 cut deliberately stays (the Lee et al.
+    * policy); the tail measures what a lower cut would touch. */
+  /** The k-word shared-window span frame behind [[qSharedSpans]]:
+    * window-hash every k-word window, apply the ≤ 32-occurrence
+    * rare-window guard (the COUNT window shares the whash exchange
+    * with both self-join sides — ReusedExchange), pair up window
+    * instances across docs, and merge diagonal runs into maximal
+    * spans. Returns one row per (doc_a, doc_b, span) with `n_win`
+    * (windows in the span) and `span_words` (= n_win + k − 1). */
+  private def sharedSpanFrame(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val win = docs(s, dir)
       .select($"doc_id", expr(s"$wordHashSql").as("hs"))
-      .filter(size($"hs") >= 8)
+      .filter(size($"hs") >= k)
       .select($"doc_id", posexplode(expr(
-        """transform(sequence(0, size(hs) - 8),
-          |  i -> aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
-          |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
+        s"""transform(sequence(0, size(hs) - $k),
+           |  i -> aggregate(slice(hs, i + 1, $k), CAST(0 AS BIGINT),
+           |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
         .as(Seq("pos", "whash")))
-    // The rare-window guard as a COUNT window on the same whash
-    // partitioning the self-join needs — one exchange feeds the
-    // filter and both join sides (ReusedExchange), instead of a
-    // separate aggregate + membership join.
     val w2 = win
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy($"whash")))
       .filter($"n_occ" <= 32).drop("n_occ")
@@ -869,18 +878,54 @@ object PipelineOps {
       .join(w2.as("b"), $"a.whash" === $"b.whash" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.pos".as("pa"), $"b.pos".as("pb"))
-    val spans = pairs
+    pairs
       .withColumn("isl", $"pa" - row_number().over(
         Window.partitionBy($"doc_a", $"doc_b", $"pa" - $"pb").orderBy($"pa")))
       .groupBy($"doc_a", $"doc_b", ($"pa" - $"pb").as("diag"), $"isl")
       .agg(count(lit(1)).as("n_win"))
-      .withColumn("span_words", $"n_win" + 7)
-    spans.groupBy($"doc_a", $"doc_b")
+      .withColumn("span_words", $"n_win" + lit(k - 1))
+  }
+
+  def qSharedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val main = sharedSpanFrame(s, dir, 8)
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_spans"),
         sum($"n_win").as("n_shared_windows"),
         max($"span_words").as("max_span_words"))
       .filter($"max_span_words" >= 16)
-      .orderBy($"doc_a", $"doc_b")
+      .select(lit("primary").as("tier"), $"doc_a", $"doc_b",
+        $"n_spans", $"n_shared_windows", $"max_span_words")
+    // The SHORT-REGION TAIL (r15 verdict item 7): 8-word windows
+    // cannot see 4-7-word verbatim overlaps at all, and the >= 16
+    // report threshold hides 8-15-word ones. A second pass with
+    // 4-word windows behind ITS OWN rare-window guard merges spans
+    // the same way; maximal spans of 6-15 words become per-pair
+    // `tail` rows (>= 16-word spans are excluded — the primary owns
+    // them), and the 4-5-word spans — measured 37.6k pairs at sf0.1
+    // vs 54 signal pairs, pure n-gram coincidence at ~700x the
+    // volume — are EXCLUDED from per-pair reporting but counted in
+    // one gated `tail_noise` summary row (doc ids -1), so the
+    // precision/volume trade is in the output itself, never a silent
+    // cap. Both tiers come out of ONE aggregation over the 4-word
+    // frame (tier tagged before the groupBy), so the trade costs one
+    // pass. On this corpus the tiers select DISJOINT pair sets: the
+    // near-dup pairs share one long region, the tail pairs share
+    // short phrases. Growth per tier measured in SCALE.md at 10x.
+    val tail = sharedSpanFrame(s, dir, 4)
+      .filter($"span_words" <= 15)
+      .withColumn("tier",
+        when($"span_words" >= 6, lit("tail")).otherwise(lit("tail_noise")))
+      .select($"tier",
+        when($"tier" === "tail", $"doc_a").otherwise(lit(-1L)).as("doc_a"),
+        when($"tier" === "tail", $"doc_b").otherwise(lit(-1L)).as("doc_b"),
+        $"n_win", $"span_words")
+      .groupBy($"tier", $"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"n_win").as("n_shared_windows"),
+        max($"span_words").as("max_span_words"))
+    main.unionByName(tail)
+      .orderBy($"tier", $"doc_a", $"doc_b")
   }
 
   /** ExactSubstr SCRUB — the acting half of [[qSharedSpans]] (Lee et
@@ -1973,29 +2018,44 @@ object PipelineOps {
          |FROM e ORDER BY sa, sb""".stripMargin,
     // Shared spans replayed in full: same windows with positions, the
     // same <= 32-occurrence boilerplate guard, the same diagonal
-    // island arithmetic.
-    "q_shared_spans" ->
+    // island arithmetic — once at k=8 (primary) and once at k=4 (the
+    // short-region tail), via one generated chain per k.
+    "q_shared_spans" -> {
+      def chain(k: Int, sfx: String): String =
+        s"""w$sfx AS (SELECT doc_id, i AS pos,
+           |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + $k]),
+           |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
+           |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t$sfx
+           |      WHERE len(hs) >= $k AND i <= len(hs) - $k),
+           |rare$sfx AS (SELECT whash FROM w$sfx GROUP BY whash HAVING count(*) <= 32),
+           |w2$sfx AS (SELECT w$sfx.* FROM w$sfx JOIN rare$sfx USING (whash)),
+           |p$sfx AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+           |      FROM w2$sfx a JOIN w2$sfx b ON a.whash = b.whash AND a.doc_id < b.doc_id),
+           |i2$sfx AS (SELECT doc_a, doc_b, pa - pb AS diag,
+           |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+           |       FROM p$sfx),
+           |sp$sfx AS (SELECT doc_a, doc_b, count(*) AS n_win
+           |       FROM i2$sfx GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
       s"""WITH d AS (SELECT doc_id, $wordHashListSql AS hs FROM documents),
-         |w AS (SELECT doc_id, i AS pos,
-         |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + 8]),
-         |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
-         |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t
-         |      WHERE len(hs) >= 8 AND i <= len(hs) - 8),
-         |rare AS (SELECT whash FROM w GROUP BY whash HAVING count(*) <= 32),
-         |w2 AS (SELECT w.* FROM w JOIN rare USING (whash)),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         |      FROM w2 a JOIN w2 b ON a.whash = b.whash AND a.doc_id < b.doc_id),
-         |i2 AS (SELECT doc_a, doc_b, pa - pb AS diag,
-         |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
-         |       FROM p),
-         |sp AS (SELECT doc_a, doc_b, count(*) AS n_win
-         |       FROM i2 GROUP BY doc_a, doc_b, diag, isl)
-         |SELECT doc_a, doc_b, count(*) AS n_spans,
-         |  CAST(sum(n_win) AS BIGINT) AS n_shared_windows,
-         |  CAST(max(n_win) + 7 AS BIGINT) AS max_span_words
-         |FROM sp GROUP BY doc_a, doc_b
-         |HAVING max(n_win) + 7 >= 16
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |${chain(8, "")},
+         |${chain(4, "t")}
+         |SELECT * FROM (
+         |  SELECT 'primary' AS tier, doc_a, doc_b, count(*) AS n_spans,
+         |    CAST(sum(n_win) AS BIGINT) AS n_shared_windows,
+         |    CAST(max(n_win) + 7 AS BIGINT) AS max_span_words
+         |  FROM sp GROUP BY doc_a, doc_b
+         |  HAVING max(n_win) + 7 >= 16
+         |  UNION ALL
+         |  SELECT CASE WHEN n_win + 3 >= 6 THEN 'tail' ELSE 'tail_noise' END,
+         |    CASE WHEN n_win + 3 >= 6 THEN doc_a ELSE -1 END,
+         |    CASE WHEN n_win + 3 >= 6 THEN doc_b ELSE -1 END,
+         |    count(*),
+         |    CAST(sum(n_win) AS BIGINT),
+         |    CAST(max(n_win) + 3 AS BIGINT)
+         |  FROM spt WHERE n_win + 3 <= 15
+         |  GROUP BY 1, 2, 3)
+         |ORDER BY tier, doc_a, doc_b""".stripMargin
+    },
     // Rebuilds the same formulaic PII view, counts, and redacts with
     // the same patterns in the same order — detection AND rewrite
     // both hash-gated.
