@@ -105,24 +105,35 @@ class BpeEncodeSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getString(1) == r.getString(2), r.getString(0)))
   }
 
-  test("the replace-chain form cannot execute the 1,500-rule table; native can") {
+  test("the replace-chain form cannot execute a production-size table; native can") {
     // the r15 verdict's production-size claim, pinned empirically: the
     // chain builds one nested expression node per rule, and Catalyst's
-    // recursive tree walks blow the stack around ~1k rules (BpeProf
-    // measures: chain StackOverflowError at 1500 and 8000 rules, native
-    // ok and FASTER at more rules — more merges, shorter outputs)
+    // recursive tree walks blow the stack (BpeProf measures: chain
+    // StackOverflowError at 1,500 and 8,000 rules on the default
+    // stack, native ok and FASTER at more rules — more merges,
+    // shorter outputs). The probe runs on a thread with a PINNED
+    // 512 KiB stack so the overflow is deterministic across JIT
+    // states (on the main thread, frame sizes vary enough with
+    // inlining that a 1,500-deep walk sometimes squeaked through —
+    // observed as a same-code pass/fail flip between suite runs).
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
+    val huge = graft.tools.BpeProf.table(8000)
     val df = Seq("abcabc").toDF("w")
     val nativeOut = df.select(
-      GraftFunctions.bpeEncode($"w", BpeEncode.toSpec(bigTable))).collect()
+      GraftFunctions.bpeEncode($"w", BpeEncode.toSpec(huge))).collect()
     assert(nativeOut.head.getString(0) == "|abc||abc|")
-    val chainRes = try {
-      Left(df.select(graft.tools.BpeProf.chainColumn($"w", bigTable)).collect())
-    } catch { case t: Throwable => Right(t) }
+    var chainRes: Either[Array[org.apache.spark.sql.Row], Throwable] = null
+    val probe = new Thread(null, () => {
+      chainRes =
+        try Left(df.select(graft.tools.BpeProf.chainColumn($"w", huge)).collect())
+        catch { case t: Throwable => Right(t) }
+    }, "bpe-chain-probe", 512 * 1024)
+    probe.start(); probe.join(120000)
+    assert(chainRes != null, "chain probe did not finish")
     chainRes match {
       case Left(_) => fail(
-        "the 1,500-rule replace chain unexpectedly executed — revisit the scale story")
+        "the 8,000-rule replace chain unexpectedly executed — revisit the scale story")
       case Right(t) =>
         def classes(x: Throwable): Seq[String] =
           if (x == null) Nil else x.getClass.getName +: classes(x.getCause)
