@@ -27,7 +27,7 @@
 #             default-locale case fold in any path the gate touches
 #             (the i/I pathology) — the full-gate twin of LocaleSpec
 #   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on all but the
-#             25 SF-independent keys (DNS fixtures incl. the r13 pushdown
+#             26 SF-independent keys (DNS fixtures incl. the r13 pushdown
 #             pair q_dns_pushed_count/q_dns_limit, q_distinct_estimate,
 #             q_dns_runtime_prune, q_tws_metadata, q_dns_metadata_cols,
 #             q_dns_auto_broadcast, q_dns_sql_delete, the r14
@@ -79,19 +79,21 @@ echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
 nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
 nok=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^OK ')
 echo "negctl: $nfail FAIL / $nok OK"
-# the known SF-independent set is 25 keys (the r12 set of 14 fixture
+# the known SF-independent set is 26 keys (the r12 set of 14 fixture
 # keys + q_dns_runtime_prune + q_tws_metadata + the r13 additions
 # q_dns_metadata_cols / q_dns_auto_broadcast / q_dns_sql_delete /
 # q_dns_pushed_count / q_dns_limit / q_dns_spj + the r14 addition
-# q_dns_overwrite + the r15 pushdown pair q_dns_topn / q_dns_offset,
-# all pure fixture or replay-construction oracles);
+# q_dns_overwrite + the r15 pushdown pair q_dns_topn / q_dns_offset +
+# the r16 addition q_dns_zone_change (pure DNS-fixture streaming
+# lifecycle, no parquet input), all pure fixture or
+# replay-construction oracles);
 # a growing OK count means new keys are accidentally SF-independent
 # (weak gate) — flag it
 negok=true
-if [ "$nok" -gt 25 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 25)"; rc=1; negok=false; fi
+if [ "$nok" -gt 26 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 26)"; rc=1; negok=false; fi
 if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; negok=false; fi
 
-printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":25},"rc":%s}\n' \
+printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":26},"rc":%s}\n' \
   "$cells_json" "$negok" "$nfail" "$nok" "$rc" > "$OUT"
 echo "=== matrix done, rc=$rc -> $OUT ==="
 exit $rc
