@@ -449,6 +449,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("partial_count"), s)
   }
 
+  test("q_compression_ratio: deflate is per-partition map work — no join, one sort exchange") {
+    // the codec seam must stay a map pass: one object-seam
+    // mapPartitions, then the band projection; the ONLY exchange is
+    // the presentation orderBy
+    val p = executed(TextOps.qCompressionRatio(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s)
+    val exchanges = collectNodes(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"expected only the orderBy exchange:\n$s")
+  }
+
+  test("q_sentence_split: boundary detection is HOF-only — no join, no explode") {
+    val p = executed(TextOps.qSentenceSplit(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s) // tokens/bounds stay in-array
+    val exchanges = collectNodes(p).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.size <= 1, s"expected only the orderBy exchange:\n$s")
+  }
+
+  test("q_bpe_encode_native: the native expression is in the plan, no join, no explode") {
+    val p = executed(TextOps.qBpeEncodeNative(spark, dir))
+    val s = p.toString
+    assert(s.contains("bpe_encode"), s) // the heap-merge expression, not a chain
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s)
+  }
+
+  test("q_warc_ingest: parse feeds projections without any join; fixture grouping is keyed") {
+    val p = executed(graft.queries.Storage.qWarcIngest(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("MapPartitions"), s) // the codec seam is an object seam
+  }
+
   test("q_variant_extract: parse-once probe-many is map work — no join, one rollup") {
     val s = planString(Relational.qVariantExtract(spark, dir))
     assert(!s.contains("Join"), s)
