@@ -36,7 +36,7 @@
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
-OUT=${1:-MATRIX_r13.json}
+OUT=${1:-MATRIX_r16.json}
 mkdir -p "$BASE"
 rc=0
 cells_json=""
