@@ -38,7 +38,12 @@ object Bench {
     // JSON across lines on every channel — unparseable exactly when
     // there are errors to report.
     val errJson = errors.map(Json.quote).mkString("[", ",", "]")
-    val calibJson = calibs.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // Locale.ROOT pinned: the f"" interpolator uses the DEFAULT locale,
+    // which renders 0,083 under tr/de and corrupts the JSON — exactly
+    // the pathology the matrix's tr_locale cell exists to catch.
+    val calibJson = calibs.map(c =>
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
+      .mkString("[", ",", "]")
     // Tag the keys whose timing is a staged-artifact read-back (the
     // streaming gate keys): their minima are NOT streaming throughput
     // and must not be compared as such (r14 advice).
@@ -47,7 +52,18 @@ object Bench {
     // "compact":true disambiguates this line from the full one above
     // for any consumer that greps by metric instead of taking the
     // absolute last line — both lines share "metric":"total".
-    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // The compact line must fit the driver's ~2000-char tail buffer
+    // even when queries FAIL — multi-KB exception texts ride only in
+    // the full line / bench.json; here each message truncates to 150
+    // chars and at most 3 are shown (BenchSpec pins the bound).
+    val compactErrs = {
+      val shown = errors.take(3).map(e =>
+        Json.quote(if (e.length > 150) e.take(150) + "…" else e))
+      val more = errors.size - 3
+      (if (more > 0) shown :+ Json.quote(s"(+$more more — see bench.json)")
+       else shown).mkString("[", ",", "]")
+    }
+    val compact = s"""{"metric":"total","compact":true,"value":$total,"unit":"sec","calib":$calibJson,"errors":$compactErrs,"sf":"$sfDir"}"""
     (line, compact)
   }
 

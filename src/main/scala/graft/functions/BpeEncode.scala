@@ -125,29 +125,42 @@ object BpeEncode {
     * the same table. */
   def encodeWord(u: UTF8String, table: Table): UTF8String = {
     val s = u.toString
-    val n = s.length
-    if (n == 0) return UTF8String.EMPTY_UTF8
-    // token i (i = start char index, stable under merges) covers
-    // s[sta(i), end(i)); the linked list threads the alive tokens
+    if (s.isEmpty) return UTF8String.EMPTY_UTF8
+    // Initial tokens are CODE POINTS, not UTF-16 units: the chain's
+    // frame regex `(.)` matches per code point (Java regex and RE2
+    // both do), so splitting a surrogate pair here would corrupt
+    // non-BMP input AND diverge from the chain the gate compares
+    // against. `starts` maps token index -> char offset; merges only
+    // ever extend `end`, so token index stays position-ordered.
+    val starts = {
+      val b = new Array[Int](s.length)
+      var c = 0; var k = 0
+      while (c < s.length) { b(k) = c; k += 1; c += Character.charCount(s.codePointAt(c)) }
+      java.util.Arrays.copyOf(b, k)
+    }
+    val n = starts.length
+    // token i covers chars s[starts(i), end(i)); the linked list
+    // threads the alive tokens
     val end = new Array[Int](n)
     val prev = new Array[Int](n)
     val next = new Array[Int](n)
     val alive = new Array[Boolean](n)
     var i = 0
     while (i < n) {
-      end(i) = i + 1; prev(i) = i - 1; next(i) = i + 1; alive(i) = true
+      end(i) = if (i + 1 < n) starts(i + 1) else s.length
+      prev(i) = i - 1; next(i) = i + 1; alive(i) = true
       i += 1
     }
     def rankOf(l: Int, r: Int): Int = {
-      // key built by index — no intermediate token strings
-      val sb = new java.lang.StringBuilder(end(r) - l + 1)
-      sb.append(s, l, end(l)).append('\u0000').append(s, r, end(r))
+      // key built by offsets — no intermediate token strings
+      val sb = new java.lang.StringBuilder(end(r) - starts(l) + 1)
+      sb.append(s, starts(l), end(l)).append('\u0000').append(s, starts(r), end(r))
       val v = table.rank.get(sb.toString)
       if (v == null) -1 else v.intValue()
     }
     // candidates packed (rank << 32 | leftIdx): natural long order =
-    // rank asc, then leftmost-first (leftIdx IS the left token's
-    // start char, which never changes)
+    // rank asc, then leftmost-first (token index is position-ordered
+    // and never changes — merges only extend a token's end)
     val heap = new java.util.PriorityQueue[java.lang.Long]()
     i = 0
     while (i < n - 1) {
@@ -178,10 +191,10 @@ object BpeEncode {
     // walk the alive chain: token 0 always survives (a merge kills
     // only its RIGHT member), and next() of an alive token threads
     // alive tokens only
-    val out = new java.lang.StringBuilder(3 * n)
+    val out = new java.lang.StringBuilder(s.length + 2 * n)
     var t = 0
     while (t < n) {
-      out.append('|').append(s, t, end(t)).append('|')
+      out.append('|').append(s, starts(t), end(t)).append('|')
       t = next(t)
     }
     UTF8String.fromString(out.toString)

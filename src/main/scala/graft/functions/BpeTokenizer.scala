@@ -57,11 +57,15 @@ object BpeTokenizer {
   /** The encode chain: the framed word rewritten by every merge rule
     * in rank order. Plain column expressions end to end — Catalyst
     * constant-folds the patterns and codegen emits a straight-line
-    * String.replace chain. */
-  def encode(word: Column): Column =
-    Merges.foldLeft(frame(word)) { case (c, (l, r)) =>
+    * String.replace chain. The table-parameterized form exists for
+    * the chain-vs-native measurements (BpeProf/BpeEncodeSpec) so the
+    * profiler provably measures THIS chain, not a reimplementation. */
+  def encode(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(frame(word)) { case (c, (l, r)) =>
       replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
     }
+
+  def encode(word: Column): Column = encode(word, Merges)
 
   /** Token count of an encoded word: every token carries exactly two
     * delimiters. */

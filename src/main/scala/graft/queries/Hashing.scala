@@ -11,6 +11,16 @@ package graft.queries
   * reproducible bit-for-bit in any engine with md5. */
 private[queries] object Hashing {
 
+  /** Oracle-side per-doc word-position unroll bound: DuckDB lacks
+    * WITH ORDINALITY, so position-indexed oracles enumerate with
+    * `generate_series(0, cap)` — a doc whose word count exceeds it
+    * would truncate the ORACLE side only, a confusing hash mismatch
+    * with no pointer to the cap (the r15-advice hazard class; the
+    * line/phrase twin lives in CurationOps.OracleUnrollCap). New
+    * position-unrolled oracles interpolate this constant and guard
+    * the Spark side with an assert_true naming it. */
+  val WordUnrollCap = 2000
+
   /** Per-word 32-bit hash list over whitespace-split text (Spark SQL). */
   val wordHashSql: String =
     "transform(split(text, '\\\\s+'), x -> CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"

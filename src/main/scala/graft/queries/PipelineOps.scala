@@ -865,6 +865,12 @@ object PipelineOps {
     import s.implicits._
     val win = docs(s, dir)
       .select($"doc_id", expr(s"$wordHashSql").as("hs"))
+      // loud guard for the oracle's unroll bound (the generated k=8/k=4
+      // chains enumerate positions with generate_series) — see
+      // [[Hashing.WordUnrollCap]]
+      .filter(expr(s"coalesce(assert_true(size(hs) <= ${Hashing.WordUnrollCap}, " +
+        s"'q_shared_spans: doc exceeds Hashing.WordUnrollCap=${Hashing.WordUnrollCap} words; " +
+        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)"))
       .filter(size($"hs") >= k)
       .select($"doc_id", posexplode(expr(
         s"""transform(sequence(0, size(hs) - $k),
@@ -2025,7 +2031,7 @@ object PipelineOps {
         s"""w$sfx AS (SELECT doc_id, i AS pos,
            |        list_reduce(list_prepend(CAST(0 AS BIGINT), hs[i + 1:i + $k]),
            |                    (acc, h) -> (acc * 31 + h) % 1000000007) AS whash
-           |      FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) t$sfx
+           |      FROM d, (SELECT unnest(generate_series(0, ${Hashing.WordUnrollCap})) AS i) t$sfx
            |      WHERE len(hs) >= $k AND i <= len(hs) - $k),
            |rare$sfx AS (SELECT whash FROM w$sfx GROUP BY whash HAVING count(*) <= 32),
            |w2$sfx AS (SELECT w$sfx.* FROM w$sfx JOIN rare$sfx USING (whash)),

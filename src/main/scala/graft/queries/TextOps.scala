@@ -182,6 +182,15 @@ object TextOps {
   private[queries] val DeflateBandLowBp = 1100L
   private[queries] val DeflateBandMidBp = 4100L
 
+  /** The planted repetition factor k ∈ {1, 4, 16} by doc_id % 3 — ONE
+    * definition for the Spark builder, the DuckDB oracle (both take
+    * the SQL form; the dialects agree on CASE), and DeflateRatioSpec's
+    * in-JVM replay (the Scala form). An edit to the repetition plan
+    * moves all four consumers together. */
+  private[queries] val RepKSql =
+    "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END"
+  private[queries] def repK(docId: Long): Int = Seq(1, 4, 16)((docId % 3).toInt)
+
   /** Per-doc deflate compression ratio (r15 verdict item 4) — the
     * Gopher/C4-family boilerplate/repetition proxy: highly repetitive
     * text deflates small. The JDK `Deflater` runs at the same
@@ -211,11 +220,8 @@ object TextOps {
   def qCompressionRatio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planted = docs(s, dir).select($"doc_id",
-        expr("CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END AS BIGINT)")
-          .as("rep_k"),
-        expr("repeat(substring(text, 1, 200), " +
-          "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END AS INT))")
-          .as("body"))
+        expr(s"CAST($RepKSql AS BIGINT)").as("rep_k"),
+        expr(s"repeat(substring(text, 1, 200), CAST($RepKSql AS INT))").as("body"))
       .as[(Long, Long, String)]
     val sized = planted.mapPartitions { it =>
       val d = new java.util.zip.Deflater(6)
@@ -271,6 +277,10 @@ object TextOps {
     val abbrevArr = SentenceAbbrevs.map(a => s"'$a'").mkString("array(", ", ", ")")
     docs(s, dir)
       .select($"doc_id", split($"text", "\\s+").as("ws"))
+      // loud guard for the oracle's unroll bound — see [[Hashing.WordUnrollCap]]
+      .filter(expr(s"coalesce(assert_true(size(ws) <= ${Hashing.WordUnrollCap}, " +
+        s"'q_sentence_split: doc exceeds Hashing.WordUnrollCap=${Hashing.WordUnrollCap} words; " +
+        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)"))
       .withColumn("toks", expr(
         """transform(ws, (w, i) -> CASE
           |  WHEN i % 11 = 3 THEN 'dr.'
@@ -2139,12 +2149,11 @@ object TextOps {
     // honesty note) — any doc deflating into the wrong band flips a
     // gated row. Exact in-band values are pinned by DeflateRatioSpec.
     "q_compression_ratio" ->
-      """SELECT doc_id,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END AS BIGINT) AS rep_k,
-        |  CAST((CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 16 END)
-        |       * length(substring(text, 1, 200)) AS BIGINT) AS raw_bytes,
-        |  CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'mid' ELSE 'low' END AS ratio_band
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST($RepKSql AS BIGINT) AS rep_k,
+         |  CAST(($RepKSql) * length(substring(text, 1, 200)) AS BIGINT) AS raw_bytes,
+         |  CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'mid' ELSE 'low' END AS ratio_band
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // Replays the planted prose (same abbreviation/terminator cycles
     // over word positions) and re-derives every boundary offset; the
     // guard table is interpolated from the SAME Scala constant.
@@ -2158,7 +2167,7 @@ object TextOps {
          |                                     WHEN i % 9 = 8 THEN '!'
          |                                     WHEN i % 6 = 5 THEN '.'
          |                                     ELSE '' END) END AS t
-         |        FROM d, (SELECT unnest(generate_series(0, 2000)) AS i) x
+         |        FROM d, (SELECT unnest(generate_series(0, ${Hashing.WordUnrollCap})) AS i) x
          |        WHERE i < len(ws)),
          |b AS (SELECT doc_id, i FROM tok
          |      WHERE regexp_matches(t, '[.!?]$$') AND NOT list_contains($abbrevList, t)),

@@ -19,10 +19,10 @@ object BpeProf {
     ((layer1 ++ layer2) take n).toSeq
   }
 
+  /** The REAL gated chain, table-parameterized — never a profiler
+    * reimplementation that could drift from what the gate runs. */
   def chainColumn(w: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(regexp_replace(w, "(.)", "|$1|")) { case (c, (l, r)) =>
-      replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
-    }
+    graft.functions.BpeTokenizer.encode(w, merges)
 
   def main(args: Array[String]): Unit = {
     val counts = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(40, 676, 1500)

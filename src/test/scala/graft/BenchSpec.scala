@@ -54,4 +54,17 @@ class BenchSpec extends AnyFunSuite {
     assert(!full.contains('\n') && !compact.contains('\n'))
     assert(compact.contains("\\n") && compact.contains("\\\""))
   }
+
+  test("compact line stays bounded even when many queries fail with huge messages") {
+    // the capture-limit property must hold exactly when it matters —
+    // failures: each compact error truncates to 150 chars, at most 3
+    // shown, the rest summarized (full detail rides the full line)
+    val errs = (1 to 10).map(i => s"q_$i: " + ("Caused by: boom\n" * 200)).toList
+    val (full, compact) = lines(250, errs)
+    assert(compact.length < DriverCaptureLimit,
+      s"compact line with failures is ${compact.length} chars")
+    assert(compact.contains("+7 more"))
+    assert(full.contains("q_10")) // the full line keeps every message
+    assert(!compact.contains('\n'))
+  }
 }

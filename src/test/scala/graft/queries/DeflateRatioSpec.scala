@@ -26,7 +26,7 @@ class DeflateRatioSpec extends AnyFunSuite {
     val d = new java.util.zip.Deflater(6)
     val margin = 200L
     docs.foreach { case (id, text) =>
-      val k = Seq(1, 4, 16)((id % 3).toInt)
+      val k = TextOps.repK(id) // the SAME planted factor the key uses
       val bp = deflateBp(d, (text.take(200) * k).getBytes("UTF-8"))
       k match {
         case 16 => assert(bp < TextOps.DeflateBandLowBp - margin,
