@@ -107,9 +107,12 @@ object BpeEncode {
       val outputs = new java.util.HashSet[String]()
       merges.zipWithIndex.foreach { case ((l, r), k) =>
         require(l.nonEmpty && r.nonEmpty, s"bpe_encode: empty side in rule $k")
-        require(l.length == 1 || outputs.contains(l),
+        // "single char" means one CODE POINT, matching encodeWord's
+        // initial tokenization: a non-BMP code point is 2 UTF-16 units
+        // but still a valid atomic side (advice r16).
+        require(l.codePointCount(0, l.length) == 1 || outputs.contains(l),
           s"bpe_encode: rule $k left side '$l' is neither a char nor an earlier output")
-        require(r.length == 1 || outputs.contains(r),
+        require(r.codePointCount(0, r.length) == 1 || outputs.contains(r),
           s"bpe_encode: rule $k right side '$r' is neither a char nor an earlier output")
         require(!l.contains('\u0000') && !r.contains('\u0000'),
           s"bpe_encode: rule $k contains NUL (the rank-key separator)")

@@ -385,16 +385,26 @@ object Storage {
           .as("o_date_us"),
         concat(lit("v\n\t\""), $"o_orderpriority", lit("\\x")).as("hazard"))
       .as[AvroOrder]
-    // eager write action: one OCF file per task, deterministic names
+    // eager write action: one OCF file per task. Each ATTEMPT writes
+    // to its own temp name and renames into place — Linux rename(2)
+    // replaces the target atomically, so concurrent speculative
+    // attempts of the same partition can never interleave bytes in
+    // one file (advice r16; the old create-truncates scheme was only
+    // safe because local[N] never speculates).
     src.repartition(4, $"o_orderkey")
       .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        Iterator.single(AvroCodec.write(s"$base/part_$pid.avro", it))
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = new java.io.File(s"$base/part_$pid.avro.attempt_${tc.taskAttemptId()}")
+        val n = AvroCodec.write(tmp.getAbsolutePath, it)
+        require(tmp.renameTo(new java.io.File(s"$base/part_$pid.avro")),
+          s"avro_roundtrip: rename failed for $tmp")
+        Iterator.single(n)
       }.reduce(_ + _): Unit
     val files = new java.io.File(base).listFiles()
       .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).toSeq.sorted
     s.createDataset(files).repartition(files.size)
-      .flatMap(AvroCodec.read)
+      .flatMap(p => AvroCodec.readAll(p))
       .toDF()
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -539,7 +549,12 @@ object Storage {
     parsed.select($"file_id", $"rec_idx", $"warc_type", $"target_uri",
         $"rec_offset", $"content_length",
         md5($"payload").as("payload_md5"),
-        md5(coalesce(regexp_extract($"payload", "<p>(.*)</p>", 1), lit("")))
+        // (?s) so '.' crosses line terminators: the doc text itself is
+        // newline-free by fixture construction, but the hazard comment
+        // preceding <p> embeds CRLFs, and a non-DOTALL '.' would make
+        // any future multi-line body silently hash '' while the oracle
+        // hashes the text (advice r16).
+        md5(coalesce(regexp_extract($"payload", "(?s)<p>(.*)</p>", 1), lit("")))
           .as("body_md5"))
       .orderBy($"file_id", $"rec_idx")
   }

@@ -2144,14 +2144,17 @@ object TextOps {
          |FROM ws ORDER BY doc_id""".stripMargin
     },
     // DuckDB cannot deflate: the oracle pins the planted repetition
-    // factor, the exact raw byte count, and the closed-form band the
+    // factor, the exact raw byte count (strlen = UTF-8 BYTES, matching
+    // the Spark side's getBytes length even on non-ASCII text — advice
+    // r16; substring stays character-based in both engines), and the
+    // closed-form band the
     // measured ratios sit ≥ 700 bp inside (see qCompressionRatio's
     // honesty note) — any doc deflating into the wrong band flips a
     // gated row. Exact in-band values are pinned by DeflateRatioSpec.
     "q_compression_ratio" ->
       s"""SELECT doc_id,
          |  CAST($RepKSql AS BIGINT) AS rep_k,
-         |  CAST(($RepKSql) * length(substring(text, 1, 200)) AS BIGINT) AS raw_bytes,
+         |  CAST(($RepKSql) * strlen(substring(text, 1, 200)) AS BIGINT) AS raw_bytes,
          |  CASE doc_id % 3 WHEN 0 THEN 'high' WHEN 1 THEN 'mid' ELSE 'low' END AS ratio_band
          |FROM documents ORDER BY doc_id""".stripMargin,
     // Replays the planted prose (same abbreviation/terminator cycles

@@ -47,7 +47,10 @@ object AvroCodec {
   private def schema: Schema = new Schema.Parser().parse(SchemaJson)
 
   /** Write one OCF file from an iterator — called once per writer
-    * task; `create` truncates, so task retries overwrite cleanly. */
+    * task ATTEMPT. Callers must pass an attempt-unique path and
+    * rename into place (see qAvroRoundtrip): `create` truncates, so a
+    * retry on the same path is clean, but two LIVE speculative
+    * attempts sharing a path would interleave writes. */
   def write(path: String, rows: Iterator[AvroOrder]): Long = {
     val sch = schema
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](sch))
@@ -75,8 +78,12 @@ object AvroCodec {
       new GenericDatumReader[GenericRecord]())
     new Iterator[AvroOrder] {
       def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+      // decode failures must not leak the handle (advice r16): close
+      // before rethrowing — an abandoned early-stopped iterator still
+      // leaks until GC, which is why bulk callers should prefer
+      // [[readAll]]'s loan pattern.
       def next(): AvroOrder = {
-        val rec = r.next()
+        val rec = try r.next() catch { case t: Throwable => r.close(); throw t }
         AvroOrder(
           rec.get("o_orderkey").asInstanceOf[Long],
           rec.get("o_orderstatus").toString, // Utf8 → String
@@ -85,5 +92,25 @@ object AvroCodec {
           rec.get("hazard").toString)
       }
     }
+  }
+
+  /** Loan-pattern full read — drains the file and closes the handle in
+    * `finally`, so no caller can leak it by stopping early. */
+  def readAll(path: String): Seq[AvroOrder] = {
+    val r = new DataFileReader(new java.io.File(path),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[AvroOrder]
+      while (r.hasNext) {
+        val rec = r.next()
+        out += AvroOrder(
+          rec.get("o_orderkey").asInstanceOf[Long],
+          rec.get("o_orderstatus").toString,
+          rec.get("o_totalprice").asInstanceOf[Double],
+          rec.get("o_date_us").asInstanceOf[Long],
+          rec.get("hazard").toString)
+      }
+      out.result()
+    } finally r.close()
   }
 }
