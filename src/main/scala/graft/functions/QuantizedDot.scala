@@ -230,6 +230,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BpeEncode(children.head, merges)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode_bytes"),
+      new ExpressionInfo(classOf[BpeEncodeBytes].getName, "bpe_encode_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "bpe_encode_bytes expects bpe_encode_bytes(word) or " +
+            "bpe_encode_bytes(word, 'l r;l r;…' spec literal)")
+        val merges = if (children.size == 1) ByteBpe.Merges else {
+          require(children(1).foldable,
+            "bpe_encode_bytes: the merge-table spec must be a literal")
+          BpeEncode.parseSpec(String.valueOf(children(1).eval(null)))
+        }
+        BpeEncodeBytes(children.head, merges)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_decode_bytes"),
+      new ExpressionInfo(classOf[BpeDecodeBytes].getName, "bpe_decode_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_decode_bytes expects exactly 1 argument")
+        BpeDecodeBytes(children.head)
+      }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
   }
 }
@@ -261,6 +282,18 @@ object GraftFunctions {
     * ([[BpeEncode.toSpec]]) — the production-size path. */
   def bpeEncode(w: Column, spec: String): Column =
     call_function("bpe_encode", w, org.apache.spark.sql.functions.lit(spec))
+
+  /** BYTE-level encode over the GPT-2 remap alphabet ([[ByteBpe]]) —
+    * total on any UTF-8 input, zero OOV. */
+  def bpeEncodeBytes(w: Column): Column =
+    call_function("bpe_encode_bytes", w)
+
+  def bpeEncodeBytes(w: Column, spec: String): Column =
+    call_function("bpe_encode_bytes", w, org.apache.spark.sql.functions.lit(spec))
+
+  /** Inverse of [[bpeEncodeBytes]] — frames off, bytes back, UTF-8. */
+  def bpeDecodeBytes(enc: Column): Column =
+    call_function("bpe_decode_bytes", enc)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

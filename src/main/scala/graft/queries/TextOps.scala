@@ -343,6 +343,104 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The multilingual + non-BMP corpus for the byte-level BPE gates —
+    * ONE shared SQL expression builds the planted string in BOTH
+    * engines (CASE + `||` + regexp_extract agree across dialects):
+    * snippet by doc_id % 8 (Latin-1 accents, CJK incl. katakana,
+    * Greek, 4-byte non-BMP emoji/music, plain ASCII) + one space +
+    * the doc's first [a-z]+ word, so every row varies with the corpus
+    * AND exercises the full alphabet. Snippets contain no `'` (SQL
+    * literal) and no `|` (the frame delimiter the encoder rejects).
+    *
+    * The ORACLE side needs the planted string in REMAP space; the
+    * snippets' remaps are Scala-computed constants ([[graft.functions.ByteBpe.remap]])
+    * interpolated as UTF-8 literals, the space is `Ġ` (U+0120 — the
+    * GPT-2 space marker, pinned here as a cross-engine fact), and an
+    * [a-z]+ word remaps to itself (printable bytes are fixed points).
+    * So the oracle never implements the remap — it replays it
+    * closed-form, and a remap bug on the Spark side flips every md5. */
+  private[queries] object ByteBpeFixture {
+    val Snippets: Seq[String] = Seq(
+      "café crème", "naïve niño", "日本語のテキスト", "Ωμέγα ßeta",
+      "emoji 😀 end", "clef 𝄞 note", "plain ascii words", "straße größe")
+
+    private def caseSql(render: String => String): String =
+      Snippets.zipWithIndex.map { case (t, i) =>
+        s"WHEN $i THEN '${render(t)}'"
+      }.mkString("CASE doc_id % 8 ", " ", " END")
+
+    /** The planted string — shared verbatim by both engines. */
+    val plantedSql: String =
+      s"${caseSql(identity)} || ' ' || coalesce(regexp_extract(lower(text), '[a-z]+', 0), '')"
+
+    /** The planted string already remapped — oracle side only. */
+    val plantedRemapSql: String =
+      s"${caseSql(graft.functions.ByteBpe.remap)} || '${graft.functions.ByteBpe.remap(" ")}'" +
+        " || coalesce(regexp_extract(lower(text), '[a-z]+', 0), '')"
+  }
+
+  /** BYTE-level BPE (r16 verdict item 3) — the GPT-family production
+    * alphabet: UTF-8 bytes remapped to 256 printable chars
+    * ([[graft.functions.ByteBpe]]), so ANY input tokenizes with zero
+    * OOV — the property a 100 TB multilingual crawl needs and a
+    * code-point table cannot give. The Spark side runs the native
+    * heap-merge expression over the remapped planted corpus
+    * ([[ByteBpeFixture]]); the DuckDB oracle replays the rank-order
+    * replace CHAIN generated from the same 40-rule byte table over
+    * the closed-form remapped text — the same cross-ALGORITHM gate as
+    * `q_bpe_encode_native`, now also cross-ALPHABET (both the remap
+    * and the merges must be bit-right for any md5 to match; the
+    * planted rows cover 2-, 3-, and 4-byte sequences incl. two
+    * non-BMP code points).
+    *
+    * Scale shape: identical to the code-point encoder — per-row map
+    * work inside whole-stage codegen, table rides the plan, no
+    * shuffle beyond the presentation sort. */
+  def qBpeBytelevel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{BpeTokenizer, GraftFunctions}
+    docs(s, dir)
+      .withColumn("p", expr(ByteBpeFixture.plantedSql))
+      .withColumn("enc", GraftFunctions.bpeEncodeBytes($"p"))
+      .select($"doc_id",
+        octet_length($"p").cast("long").as("n_bytes"),
+        BpeTokenizer.tokenCount($"enc").as("n_tokens"),
+        md5($"enc").as("encoded_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** Tokenizer DECODE round-trip (r16 verdict item 6) — the lossless-
+    * detokenization audit production pipelines run to catch alphabet
+    * and framing bugs: decode(encode(x)) must equal x, md5-gated per
+    * doc, on all three encoder paths. For the code-point paths decode
+    * is trivially `concat(tokens)` = strip the frames (plain SQL
+    * `replace`); for the byte-level path it is frames off → unremap →
+    * UTF-8 ([[graft.functions.BpeDecodeBytes]]). The oracle never
+    * encodes: it md5s the ORIGINAL words / planted string, so any
+    * loss anywhere in encode→decode (a dropped char, a frame
+    * mis-split, a non-bijective remap entry) flips a gated md5.
+    * `byte_rt_ok` additionally pins equality in-engine, making the
+    * failure mode readable (which doc, not just which hash). */
+  def qBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{BpeTokenizer, GraftFunctions}
+    val words = regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))
+    docs(s, dir)
+      .withColumn("p", expr(ByteBpeFixture.plantedSql))
+      .withColumn("byte_dec",
+        GraftFunctions.bpeDecodeBytes(GraftFunctions.bpeEncodeBytes($"p")))
+      .select($"doc_id",
+        md5(concat_ws(" ",
+          transform(words, w => replace(BpeTokenizer.encode(w), lit("|"), lit("")))))
+          .as("chain_rt_md5"),
+        md5(concat_ws(" ",
+          transform(words, w => replace(GraftFunctions.bpeEncode(w), lit("|"), lit("")))))
+          .as("native_rt_md5"),
+        md5($"byte_dec").as("byte_rt_md5"),
+        ($"byte_dec" === $"p").cast("long").as("byte_rt_ok"))
+      .orderBy($"doc_id")
+  }
+
   /** Number of BPE merges [[qBpeLearn]] learns; the oracle generator
     * unrolls the same count. Small because each merge is one full
     * argmax round — the gate's job is pinning the ALGORITHM (count →
@@ -1816,6 +1914,8 @@ object TextOps {
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
     "q_bpe_encode_native" -> qBpeEncodeNative,
+    "q_bpe_bytelevel" -> qBpeBytelevel,
+    "q_bpe_roundtrip" -> qBpeRoundtrip,
     "q_sentence_split" -> qSentenceSplit,
     "q_compression_ratio" -> qCompressionRatio,
     "q_bpe_learn" -> qBpeLearn,
@@ -2207,6 +2307,35 @@ object TextOps {
          |  md5(array_to_string(list_transform(l, w -> $enc), ' ')) AS encoded_md5
          |FROM ws ORDER BY doc_id""".stripMargin
     },
+    // Byte-level cross-algorithm + cross-alphabet gate: the oracle
+    // rebuilds the planted text already REMAPPED (snippet remaps are
+    // Scala-computed literals; space is the pinned 'Ġ'; [a-z]+ words
+    // are remap fixed points) and replays the rank-order replace
+    // chain from the shared 40-rule byte table. The Spark side ran
+    // the native heap loop on the UNREMAPPED text — remap + merges
+    // must both be bit-right for any encoded_md5 to match.
+    "q_bpe_bytelevel" -> {
+      val enc = graft.functions.ByteBpe.oracleEncodeSql("rp")
+      val tc = graft.functions.BpeTokenizer.oracleTokenCountSql("enc")
+      s"""WITH p AS (
+         |  SELECT doc_id, ${ByteBpeFixture.plantedSql} AS p,
+         |         ${ByteBpeFixture.plantedRemapSql} AS rp
+         |  FROM documents),
+         |e AS (SELECT doc_id, strlen(p) AS n_bytes, $enc AS enc FROM p)
+         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST($tc AS BIGINT) AS n_tokens, md5(enc) AS encoded_md5
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+    // The decode audit's oracle never encodes: it md5s the ORIGINAL
+    // words / planted string. decode(encode(x)) == x is exactly the
+    // claim, so any encode→decode loss flips a gated md5.
+    "q_bpe_roundtrip" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')) AS chain_rt_md5,
+         |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ')) AS native_rt_md5,
+         |  md5(${ByteBpeFixture.plantedSql}) AS byte_rt_md5,
+         |  CAST(1 AS BIGINT) AS byte_rt_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,

@@ -57,6 +57,14 @@ object BpeProf {
       time("native") {
         graft.functions.GraftFunctions.bpeEncode($"w", graft.functions.BpeEncode.toSpec(m))
       }
+      // byte-level mode at the same rule count (a–z rules are remap
+      // fixed points, so the table is valid in both alphabets); the
+      // multilingual suffix makes every row pay the real remap cost
+      // on 2–4-byte sequences — the q_bpe_bytelevel scale measurement
+      time("native-bytes") {
+        graft.functions.GraftFunctions.bpeEncodeBytes(
+          concat($"w", lit(" café 日本 😀")), graft.functions.BpeEncode.toSpec(m))
+      }
       time("chain")(chainColumn($"w", m))
     }
     spark.stop()
