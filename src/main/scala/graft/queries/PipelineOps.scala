@@ -144,6 +144,84 @@ object PipelineOps {
       .orderBy($"host")
   }
 
+  /** WARC → extract → dedup → rollup, END TO END (r16 verdict item 2 —
+    * the second half of the crawl-ingest story `q_warc_ingest` opened):
+    * the fetch corpus arrives as ISO 28500 WARC bytes whose response
+    * records carry the [[crawlUrl]] hazard URL as WARC-Target-URI and
+    * the [[TextOps.htmlPage]] boilerplate page as payload (request +
+    * warcinfo records planted too — the type filter is load-bearing:
+    * an unfiltered warcinfo has no URL and no title and would surface
+    * as a null-host row). ONE fused plan then does what
+    * [[qCrawlPipeline]] does on pre-parsed text: parse records at the
+    * codec seam, keep responses, canonicalize the fetch URL, dedup by
+    * canonical page (first fetch = smallest doc_id, read from the
+    * page's own <title> — the crawl has no side channel), block-strip
+    * ONLY survivors, account per host. The oracle is the capstone's:
+    * survivors and their extraction are closed-form (period-70
+    * canonical space), so a slip in WARC build, parse, filter,
+    * canonicalize, dedup, or strip moves a count or the per-host XOR.
+    *
+    * Scale shape: THREE hash exchanges, no join (plan-asserted) — one
+    * to assemble the planted files (fixture-only; at 100 TB the .warc
+    * files exist on disk and this exchange disappears), the
+    * canonical_url dedup, and the bounded host rollup. Payload bytes
+    * cross the dedup exchange once via min_by — the crawl reality:
+    * post-parse you hold bytes, and extraction must still run AFTER
+    * dedup so its cost scales with unique pages, not fetches. */
+  def qWarcPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val crlf = "\r\n"
+    def record(uri: org.apache.spark.sql.Column, payload: org.apache.spark.sql.Column,
+        typ: String): org.apache.spark.sql.Column =
+      concat(lit(s"WARC/1.0${crlf}WARC-Type: $typ${crlf}WARC-Target-URI: "), uri,
+        lit(s"${crlf}Content-Length: "), length(payload).cast("string"),
+        lit(s"$crlf$crlf"), payload, lit(s"$crlf$crlf"))
+    val d = docs(s, dir).select($"doc_id", ($"doc_id" % 8).as("file_id"),
+      crawlUrl($"doc_id").as("url"), $"text")
+    val resp = d.select($"file_id", $"doc_id", lit(1).as("kind"),
+      record($"url", TextOps.htmlPage($"doc_id", $"text"), "response").as("rec"))
+    val req = d.where($"doc_id" % 4 === 0)
+      .select($"file_id", $"doc_id", lit(0).as("kind"),
+        record($"url", concat(lit("GET "), $"url", lit(s" HTTP/1.1$crlf$crlf")),
+          "request").as("rec"))
+    val files = resp.unionByName(req)
+      .groupBy($"file_id")
+      .agg(concat(lit(Storage.WarcFixture.infoRecord),
+        expr("array_join(transform(array_sort(collect_list(struct(doc_id, kind, rec))), x -> x.rec), '')"))
+        .as("wtext"))
+      .select($"file_id".cast("long").as("file_id"),
+        encode($"wtext", "UTF-8").as("bytes"))
+    // the OPERATOR: codec seam → response filter → canonical dedup →
+    // survivor-only extraction → host rollup
+    files.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (fid, b) =>
+        graft.sources.warc.WarcCodec.parse(fid, b) })
+      .toDF()
+      .filter($"warc_type" === "response")
+      .select(urlCanonical("target_uri").as("canonical_url"),
+        expr("CAST(regexp_extract(payload, '<title>Doc ([0-9]+)</title>', 1) AS BIGINT)")
+          .as("doc_id"),
+        $"payload")
+      .groupBy($"canonical_url")
+      .agg(min_by(struct($"doc_id", $"payload"), $"doc_id").as("s"),
+        count(lit(1)).as("n_raw"))
+      .select(
+        expr("substring_index(substring_index(substring_index(canonical_url, '://', -1), '/', 1), ':', 1)")
+          .as("host"),
+        $"n_raw", $"s.payload".as("html"))
+      .withColumn("blocks", expr(TextOps.htmlBlocksSql))
+      .withColumn("verdicts", expr(TextOps.htmlVerdictsSql))
+      .withColumn("extracted", expr(TextOps.htmlExtractedSql))
+      .groupBy($"host")
+      .agg(
+        sum($"n_raw").as("n_fetched"),
+        count(lit(1)).as("n_pages"),
+        sum(expr("size(filter(verdicts, v -> v = 'content'))")).as("n_content"),
+        expr("bit_xor(CAST(conv(substring(md5(extracted), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_xor"))
+      .orderBy($"host")
+  }
+
   /** The planted robots rule table for [[qRobotsFilter]] — one row per
     * (host index, path prefix, allow). Covers every RFC 9309 decision
     * shape: longest-prefix override (site1 blocks `/p/` but re-allows
@@ -1439,6 +1517,7 @@ object PipelineOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_canonical" -> qUrlCanonical,
     "q_crawl_pipeline" -> qCrawlPipeline,
+    "q_warc_pipeline" -> qWarcPipeline,
     "q_robots_filter" -> qRobotsFilter,
     "q_gdpr_delete" -> qGdprDelete,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -1522,6 +1601,33 @@ object PipelineOps {
         |  CAST(sum(n_raw) AS BIGINT) AS n_fetches,
         |  bit_xor(CAST('0x' || substring(md5(canonical_url), 1, 15) AS BIGINT)) AS url_xor
         |FROM dec GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // The WARC envelope must be TRANSPARENT: parse → filter →
+    // canonicalize → dedup → strip lands exactly where the capstone
+    // lands on pre-parsed text, so the oracle IS the capstone's
+    // closed form — and any WARC-layer slip (a mis-sliced payload, an
+    // unfiltered warcinfo/request, a broken Target-URI) moves a
+    // count, adds a null-host row, or flips the per-host XOR.
+    "q_warc_pipeline" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_raw
+        |  FROM documents GROUP BY doc_id % 70),
+        |d AS (
+        |  SELECT s.n_raw, t.doc_id,
+        |    'www.site' || (t.doc_id % 5) || '.com' AS host,
+        |    trim(substring(t.text, 1, 80)
+        |         || CASE WHEN t.doc_id % 5 = 0 THEN 'source' ELSE '' END) AS m,
+        |    trim(substring(t.text, 81, 60)) AS b2
+        |  FROM surv s JOIN documents t ON t.doc_id = s.doc_id),
+        |e AS (
+        |  SELECT host, n_raw,
+        |    1 + CASE WHEN length(b2) >= 25 THEN 1 ELSE 0 END AS c_content,
+        |    m || CASE WHEN length(b2) >= 25 THEN ' ' || b2 ELSE '' END AS extracted
+        |  FROM d)
+        |SELECT host, CAST(sum(n_raw) AS BIGINT) AS n_fetched,
+        |  count(*) AS n_pages,
+        |  CAST(sum(c_content) AS BIGINT) AS n_content,
+        |  bit_xor(CAST('0x' || substring(md5(extracted), 1, 15) AS BIGINT)) AS text_xor
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // survivors are closed-form (min doc_id per doc_id % 70 group);
     // their extraction replays the q_html_extract closed form; a wrong
     // canonicalize/dedup/strip stage anywhere moves the per-host XOR.

@@ -559,7 +559,69 @@ object Storage {
       .orderBy($"file_id", $"rec_idx")
   }
 
+  /** `.warc.gz` ingest (r16 verdict item 1) — the form Common Crawl
+    * actually ships: ONE record per gzip member, members concatenated
+    * (RFC 1952 multi-member), so the file splits at member boundaries
+    * without decompressing the whole stream. The fixture builds the
+    * SAME [[WarcFixture]] corpus as `q_warc_ingest` but gzips each
+    * record as its own member ([[graft.sources.warc.GzipMembers]] —
+    * deterministic zeroed-MTIME members); the operator under test
+    * splits members by parsing each header + inflating + VERIFYING
+    * the CRC32/ISIZE trailer (loud on corruption, never resync), then
+    * runs the same ISO 28500 parser per member. The oracle rebuilds
+    * every record closed-form (the q_warc_ingest CTE) and derives
+    * member_idx + the member's UNCOMPRESSED length as `length(rec)` —
+    * compressed offsets cannot be oracled (deflate output is
+    * implementation-defined), so the member-boundary RESUME-POINT
+    * property is proven in WarcGzSpec instead (the Avro `sync()`
+    * precedent), and the one-record-per-member invariant is gated
+    * here (`recs_in_member`).
+    *
+    * Scale shape: same codec seam as [[qWarcIngest]] — at 100 TB the
+    * .warc.gz files exist on disk, one task per file or per member
+    * RANGE (the comp_offset surface WarcGzSpec proves), payload bytes
+    * never shuffle. */
+  def qWarcGz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.warc.{GzipMembers, WarcCodec}
+    val d = t(s, dir, "documents").selectExpr(
+      "doc_id", "doc_id % 8 AS file_id",
+      s"${WarcFixture.respPayloadSql} AS rp",
+      s"${WarcFixture.reqPayloadSql} AS qp")
+    val resp = d.selectExpr("file_id", "doc_id", "1 AS kind",
+      s"${WarcFixture.respRecordSql} AS rec")
+    val req = d.where("doc_id % 4 = 0").selectExpr("file_id", "doc_id", "0 AS kind",
+      s"${WarcFixture.reqRecordSql} AS rec")
+    val files = resp.unionByName(req)
+      .groupBy($"file_id")
+      .agg(expr("transform(array_sort(collect_list(struct(doc_id, kind, rec))), x -> x.rec)")
+        .as("recs"))
+      .select($"file_id".cast("long").as("file_id"), $"recs")
+      .as[(Long, Seq[String])]
+    val parsed = files.mapPartitions(_.flatMap { case (fid, recs) =>
+      // the PLANT: record-per-member .warc.gz bytes, warcinfo first —
+      // fixture assembly only; the operator below never sees `recs`
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val bos = new java.io.ByteArrayOutputStream()
+      (WarcFixture.infoRecord +: recs).foreach(r =>
+        bos.write(GzipMembers.gzipMember(r.getBytes(utf8))))
+      // the OPERATOR: split members (header parse + inflate + CRC32/
+      // ISIZE verify), then the ISO 28500 byte parser per member
+      GzipMembers.split(bos.toByteArray).map { m =>
+        val rs = WarcCodec.parse(fid, m.bytes)
+        (fid, m.member_idx, rs.length.toLong, m.bytes.length.toLong, rs.head)
+      }
+    })
+      .toDF("file_id", "member_idx", "recs_in_member", "uncomp_len", "rec")
+    parsed.select($"file_id", $"member_idx", $"recs_in_member", $"uncomp_len",
+        $"rec.warc_type".as("warc_type"), $"rec.target_uri".as("target_uri"),
+        $"rec.content_length".as("content_length"),
+        md5($"rec.payload").as("payload_md5"))
+      .orderBy($"file_id", $"member_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_gz" -> qWarcGz,
     "q_warc_ingest" -> qWarcIngest,
     "q_avro_roundtrip" -> qAvroRoundtrip,
     "q_parquet_dpp" -> qParquetDpp,
@@ -576,6 +638,41 @@ object Storage {
   /** The oracle reads the ORIGINAL lineitem — a correct layout write is
     * invisible to query results. */
   val oracles: Map[String, String] = Map(
+    // The .warc.gz oracle rebuilds every record closed-form (the
+    // q_warc_ingest CTE) and pins member_idx + the one-record-per-
+    // member invariant + each member's UNCOMPRESSED byte length
+    // (= length(rec)); compressed offsets are implementation-defined,
+    // so the resume-point property lives in WarcGzSpec.
+    "q_warc_gz" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS file_id, text,
+         |             ${WarcFixture.respPayloadSql} AS rp,
+         |             ${WarcFixture.reqPayloadSql} AS qp
+         |           FROM documents),
+         |recs AS (
+         |  SELECT file_id, doc_id, 1 AS kind, 'response' AS warc_type,
+         |         ${WarcFixture.uriSql} AS target_uri,
+         |         ${WarcFixture.respRecordSql} AS rec, rp AS payload
+         |  FROM d
+         |  UNION ALL
+         |  SELECT file_id, doc_id, 0, 'request', ${WarcFixture.uriSql},
+         |         ${WarcFixture.reqRecordSql}, qp
+         |  FROM d WHERE doc_id % 4 = 0),
+         |o AS (SELECT *,
+         |        row_number() OVER (PARTITION BY file_id ORDER BY doc_id, kind) AS rn
+         |      FROM recs)
+         |SELECT file_id, CAST(0 AS BIGINT) AS member_idx,
+         |       CAST(1 AS BIGINT) AS recs_in_member,
+         |       CAST(${WarcFixture.infoRecord.length} AS BIGINT) AS uncomp_len,
+         |       'warcinfo' AS warc_type, '' AS target_uri,
+         |       CAST(${WarcFixture.infoPayload.length} AS BIGINT) AS content_length,
+         |       md5(${WarcFixture.sqlLit(WarcFixture.infoPayload)}) AS payload_md5
+         |FROM (SELECT DISTINCT file_id FROM d)
+         |UNION ALL
+         |SELECT file_id, CAST(rn AS BIGINT), CAST(1 AS BIGINT),
+         |       CAST(length(rec) AS BIGINT), warc_type, target_uri,
+         |       CAST(length(payload) AS BIGINT), md5(payload)
+         |FROM o
+         |ORDER BY file_id, member_idx""".stripMargin,
     // The oracle never runs the parser: it rebuilds every record
     // string from the SAME shared SQL fixture and derives each
     // record's byte offset as the warcinfo length plus a window sum

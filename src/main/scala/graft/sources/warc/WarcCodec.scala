@@ -28,8 +28,11 @@ final case class WarcRecord(
   * partition. At 100 TB the input is real `.warc` / `.warc.gz` files:
   * one task per file (or per gzip member — the standard
   * record-per-member layout makes .warc.gz splittable at member
-  * boundaries), each task running exactly this sequential scan, which
-  * is I/O-bound and embarrassingly parallel across files. */
+  * boundaries: [[GzipMembers]] parses concatenated members with
+  * verified CRC32/ISIZE trailers, gated by `q_warc_gz`, and WarcGzSpec
+  * proves a mid-stream member boundary is a valid resume point), each
+  * task running exactly this sequential scan, which is I/O-bound and
+  * embarrassingly parallel across files. */
 object WarcCodec {
 
   def parse(fileId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {

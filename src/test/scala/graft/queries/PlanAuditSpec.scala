@@ -913,6 +913,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!nodes.exists(_.nodeName.contains("Join")), nodes.map(_.nodeName).mkString(","))
   }
 
+  test("q_warc_pipeline: one fused plan — three hash exchanges, no join") {
+    // WARC-parse → response filter → canonicalize → dedup → strip →
+    // host rollup must fuse like the capstone: the plant's file
+    // assembly (fixture-only — on-disk .warc files at deployment),
+    // the canonical_url dedup, and the host rollup, with survivor
+    // payloads carried through min_by rather than joined back and
+    // extraction running after dedup.
+    val df = PipelineOps.qWarcPipeline(spark, dir)
+    val nodes = collectNodes(executed(df))
+    val hashExchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 3, s"expected 3 hash exchanges:\n${hashExchanges.mkString("\n")}")
+    assert(!nodes.exists(_.nodeName.contains("Join")), nodes.map(_.nodeName).mkString(","))
+  }
+
   test("q_orc_roundtrip: the status filter and projection reach the ORC scan") {
     // ORC must keep the same scan-side contract as parquet: the
     // predicate in PushedFilters, the 4-column projection in
