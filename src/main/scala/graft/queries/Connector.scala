@@ -1013,6 +1013,79 @@ object Connector {
      .orderBy("action", "fqdn")
   }
 
+  /** Streaming ADMISSION CONTROL under the oracle gate (r16 verdict
+    * item 4 — the last idiomatic DSv2 streaming surface): with
+    * `max-zones-per-batch 2` over a 4-zone stream, each micro-batch
+    * transfers at most 2 zones (`SupportsAdmissionControl`; zones are
+    * the only subdividable axis — a single transfer is serial by
+    * protocol, and a zone's size is unknowable before transferring).
+    * Selection is round-robin on the persisted nonce, and the
+    * admitted set rides INSIDE the offset, so a WAL-replayed batch
+    * re-plans the same zones. Spark ignores read limits under
+    * Trigger.Once (pinned in AdmissionControlSpec), so the fixture
+    * runs ProcessingTime and stops once all four AXFRs landed; rows
+    * are tagged with their foreachBatch id. The oracle pins the exact
+    * (zone → batch) assignment: batch 0 admits zones {2,3} (nonce 1 ×
+    * limit 2 mod 4), batch 1 admits {0,1}, later batches re-visit
+    * committed zones and transfer NOTHING (empty IXFR) — a source
+    * that over-admits, re-transfers, or loses a carried-over zone
+    * moves a batch_id, duplicates rows, or drops a zone. */
+  def qDnsRatelimit(s: SparkSession, dir: String): DataFrame = {
+   val staged = Scratch.staged("dns_ratelimit_result", dir) { sb =>
+    val port = freshPort("q_dns_ratelimit")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    (0 to 3).foreach { j =>
+      srv.addZone(s"rl$j.graft.",
+        (0 to 1 + j).map(i => ARecord(s"a$i.rl$j.graft.", s"10.7.$j.$i")))
+    }
+    val base = Scratch.fresh("dns_ratelimit", dir)
+    val out = s"$base/out"
+    val ck = s"$base/ck"
+    val q = s.readStream.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "rl0.graft,rl1.graft,rl2.graft,rl3.graft")
+      .option("max-zones-per-batch", "2")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("action"), col("fqdn"), col("ip"), col("zone"),
+            lit(id).as("batch_id"))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      def landed(): Long =
+        if (!new java.io.File(out).exists()) 0L
+        else try s.read.parquet(out).count() catch { case _: Exception => 0L }
+      while (landed() < 14 && System.nanoTime() < deadline) Thread.sleep(100)
+      require(landed() == 14,
+        s"dns ratelimit stream landed ${landed()} of 14 rows in 180 s")
+    } finally { q.stop(); q.awaitTermination() }
+    s.read.parquet(out)
+      .select("action", "fqdn", "ip", "zone", "batch_id")
+      .write.parquet(new java.io.File(sb, "result").toString)
+   }
+   s.read.parquet(new java.io.File(staged, "result").toString)
+     .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsRatelimitOracle: String =
+    """WITH z AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |rows_ AS (
+      |  SELECT j, unnest(generate_series(0, 1 + j)) AS i FROM z)
+      |SELECT 'AXFR' AS action,
+      |       'a'||i||'.rl'||j||'.graft.' AS fqdn,
+      |       '10.7.'||j||'.'||i AS ip,
+      |       'rl'||j||'.graft.' AS zone,
+      |       CAST(CASE WHEN j >= 2 THEN 0 ELSE 1 END AS BIGINT) AS batch_id
+      |FROM rows_ ORDER BY zone, fqdn""".stripMargin
+
   private val qDnsZoneChangeOracle: String =
     """WITH axfr_a AS (
       |  SELECT 'AXFR' AS action, 'a'||i||'.zca.graft.' AS fqdn,
@@ -1267,6 +1340,7 @@ object Connector {
     "q_dns_sql_insert" -> qDnsSqlInsert,
     "q_dns_stream" -> qDnsStream,
     "q_dns_zone_change" -> qDnsZoneChange,
+    "q_dns_ratelimit" -> qDnsRatelimit,
     "q_dns_stream_sink" -> qDnsStreamSink,
     "q_dns_ignore_failures" -> qDnsIgnoreFailures,
     "q_dns_validate" -> qDnsValidate,
@@ -1285,7 +1359,7 @@ object Connector {
     * these two keys' timed passes read the once-per-JVM staged replay
     * result, not a fresh streaming-query lifecycle. */
   val stagedReadbackKeys: Set[String] =
-    Set("q_dns_stream", "q_dns_stream_sink", "q_dns_zone_change")
+    Set("q_dns_stream", "q_dns_stream_sink", "q_dns_zone_change", "q_dns_ratelimit")
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
     * transport and registration surface must never change results. */
@@ -1302,6 +1376,7 @@ object Connector {
     "q_dns_sql_insert" -> qDnsSqlInsertOracle,
     "q_dns_stream" -> qDnsStreamOracle,
     "q_dns_zone_change" -> qDnsZoneChangeOracle,
+    "q_dns_ratelimit" -> qDnsRatelimitOracle,
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
     "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
     "q_dns_validate" -> qDnsValidateOracle,

@@ -90,6 +90,16 @@ final class InMemoryDnsServer {
 
   def dropZone(zone: String): Unit = synchronized { zones -= Fqdn.normalize(zone) }
 
+  /** Bound the IXFR journal the way a real server does (RFC 1995
+    * journals are finite): keep only the newest `keep` deltas, so a
+    * client resuming from an older serial hits the journal gap and is
+    * served a full AXFR — the fallback path `dnsIxfrFallbacks` counts. */
+  def trimJournal(zone: String, keep: Int): Unit = synchronized {
+    val st = state(zone)
+    val drop = st.journal.length - keep
+    if (drop > 0) st.journal.remove(0, drop)
+  }
+
   private def state(zone: String): ZoneState =
     zones.getOrElse(Fqdn.normalize(zone),
       throw new IllegalArgumentException(s"zone transfer failed: unknown zone '$zone'"))

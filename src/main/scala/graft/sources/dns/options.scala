@@ -27,11 +27,14 @@ final case class DnsSourceOptions(common: DnsCommonOptions,
                                   maxKeptCommits: Int,
                                   fixedTimestampMicros: Option[Long],
                                   estimatedZoneBytes: Long,
-                                  estimatedZoneRows: Long) {
+                                  estimatedZoneRows: Long,
+                                  maxZonesPerBatch: Option[Int] = None) {
   require(organization.nonEmpty, "option 'organization' is required")
   require(zones.nonEmpty, "option 'zones' is required (CSV of zone names)")
   require(serial >= 0, s"option 'serial' must be >= 0: $serial")
   require(maxKeptCommits > 0, s"option 'max-kept-commits' must be > 0: $maxKeptCommits")
+  require(maxZonesPerBatch.forall(_ > 0),
+    s"option 'max-zones-per-batch' must be > 0: ${maxZonesPerBatch.get}")
   require(estimatedZoneBytes > 0,
     s"option 'estimated-zone-bytes' must be > 0: $estimatedZoneBytes")
   require(estimatedZoneRows > 0,
@@ -96,7 +99,13 @@ object DnsOptions {
       estimatedZoneBytes = o.get("estimated-zone-bytes").map(_.toLong)
         .getOrElse(DefaultEstimatedZoneBytes),
       estimatedZoneRows = o.get("estimated-zone-rows").map(_.toLong)
-        .getOrElse(DefaultEstimatedZoneRows))
+        .getOrElse(DefaultEstimatedZoneRows),
+      // Streaming admission control (SupportsAdmissionControl): at most
+      // this many ZONES transfer per micro-batch, the rest carry over
+      // to later triggers round-robin. Zones are the only subdividable
+      // axis — a single transfer is serial by protocol. Batch reads
+      // ignore it (a batch is one scan by definition).
+      maxZonesPerBatch = o.get("max-zones-per-batch").map(_.toInt))
   }
 
   def sink(javaMap: java.util.Map[String, String]): DnsSinkOptions =

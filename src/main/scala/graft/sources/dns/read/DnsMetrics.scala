@@ -1,0 +1,47 @@
+package graft.sources.dns.read
+
+import org.apache.spark.sql.connector.metric.{CustomSumMetric, CustomTaskMetric}
+
+/** DSv2 custom metrics for the dns scan (r16 verdict item 8) — the
+  * modern twin of the reference's accumulator-in-UI visibility
+  * (README.md:194: the max-serial accumulator showing in the Spark
+  * UI). Each partition reader reports its transfer's record count,
+  * approximate wire bytes, and IXFR→AXFR fallbacks; Spark sums them
+  * per scan node and renders them in the SQL UI — at fleet scale this
+  * is how an operator sees WHAT a dns scan moved, not just how long
+  * it took. Names are the contract (`DnsMetricsSpec` pins them and
+  * the values against the in-memory server's zone contents). */
+object DnsMetrics {
+  val RecordsName = "dnsTransferRecords"
+  val BytesName = "dnsTransferBytes"
+  val FallbacksName = "dnsIxfrFallbacks"
+}
+
+/** A-records transferred across all zone transfers of this scan. */
+final class DnsRecordsMetric extends CustomSumMetric {
+  override def name(): String = DnsMetrics.RecordsName
+  override def description(): String = "dns records transferred"
+}
+
+/** Approximate wire payload: UTF-8 bytes of each record's fqdn + ip
+  * (the rdata this connector projects — headers/compression excluded,
+  * so the number is transport-independent and exactly reproducible). */
+final class DnsBytesMetric extends CustomSumMetric {
+  override def name(): String = DnsMetrics.BytesName
+  override def description(): String = "dns transfer payload bytes (fqdn+ip)"
+}
+
+/** Transfers that requested an IXFR delta but were served a full AXFR
+  * (RFC 1995 §4 fallback — the server lacked incremental history).
+  * A rising value on a steady stream is the operational smell this
+  * metric exists to surface: deltas silently degrading to snapshots. */
+final class DnsFallbacksMetric extends CustomSumMetric {
+  override def name(): String = DnsMetrics.FallbacksName
+  override def description(): String = "dns IXFR->AXFR fallbacks"
+}
+
+private[read] final class DnsTaskMetric(metricName: String, v: Long)
+  extends CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}

@@ -324,6 +324,14 @@ final class DnsScan(opts: DnsSourceOptions, zones: Seq[String], schema: StructTy
 
   override def readSchema(): StructType = schema
 
+  /** DSv2 custom metrics (DnsMetrics.scala): records / payload bytes /
+    * IXFR→AXFR fallbacks per scan, summed across zone transfers and
+    * shown in the SQL UI — batch AND streaming (the micro-batch reader
+    * factory shares [[DnsPartitionReader]], whose
+    * `currentMetricsValues` reports them). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DnsRecordsMetric, new DnsBytesMetric, new DnsFallbacksMetric)
+
   override def description(): String =
     s"DnsScan(server=${opts.common.server}, zones=${runtimeZones.mkString(",")}, " +
       s"xfr=${opts.xfr}, columns=[${schema.fieldNames.mkString(",")}]" +
@@ -530,6 +538,12 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
   // (reference swallows transfer errors only — DnsZoneRDD.java:83-92).
   private val client = DnsClients.transferClient(opts.common)
 
+  // Custom-metric counters, captured while the transfer materializes
+  // below (reported via currentMetricsValues — DnsMetrics.scala).
+  private var metricRecords = 0L
+  private var metricBytes = 0L
+  private var metricFallbacks = 0L
+
   private val rows: Iterator[InternalRow] = {
     val tsMicros = opts.fixedTimestampMicros
       .getOrElse(System.currentTimeMillis() * 1000L)
@@ -546,15 +560,25 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
         val result = client.transfer(p.zone, p.serial, opts.xfr, opts.common.timeoutSec)
         acc.foreach(_.add(result.serial))
         xferSerial = result.serial
-        result match {
+        val out = result match {
           case AxfrResult(_, records) =>
             xferKind = "AXFR"
+            // RFC 1995 §4: an IXFR request answered with a full zone is
+            // the server falling back — surfaced as a metric (a delta
+            // request from serial 0 legitimately snapshots; not a fallback)
+            if (opts.xfr == XfrType.IXFR && p.serial > 0L) metricFallbacks += 1
             records.map(r => (DnsAction.Axfr, r))
           case IxfrResult(_, deltas) =>
             xferKind = "IXFR"
             deltas.flatMap(_.deletes).map(r => (DnsAction.IxfrDelete, r)) ++
               deltas.flatMap(_.adds).map(r => (DnsAction.IxfrAdd, r))
         }
+        metricRecords = out.length.toLong
+        metricBytes = out.iterator.map { case (_, r) =>
+          (r.fqdn.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
+            r.ip.getBytes(java.nio.charset.StandardCharsets.UTF_8).length).toLong
+        }.sum
+        out
       } catch {
         case _: Exception if opts.ignoreFailures => Nil // swallow → empty zone (DnsZoneRDD.java:83-92)
       }
@@ -671,6 +695,14 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
   }
 
   override def get(): InternalRow = current
+
+  /** Per-task custom metrics — Spark polls these as the task runs and
+    * folds the final values into the scan node's SQL-UI metrics. */
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      new DnsTaskMetric(DnsMetrics.RecordsName, metricRecords),
+      new DnsTaskMetric(DnsMetrics.BytesName, metricBytes),
+      new DnsTaskMetric(DnsMetrics.FallbacksName, metricFallbacks))
 
   override def close(): Unit = ()
 }

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 
 import graft.sources.dns._
 
@@ -22,11 +22,17 @@ import graft.sources.dns._
   * Spark's V2 `Offset.equals` compares the `json()` payload, so the
   * nonce lives inside the JSON.
   */
-final case class DnsOffset(serials: Map[String, Long], nonce: Long) extends Offset {
+final case class DnsOffset(serials: Map[String, Long], nonce: Long,
+                           admitted: Option[Seq[String]] = None) extends Offset {
   override def json(): String = {
     val zs = serials.toSeq.sortBy(_._1)
       .map { case (z, s) => s"${DnsOffset.q(z)}:$s" }.mkString("{", ",", "}")
-    s"""{"nonce":$nonce,"zones":$zs}"""
+    // `admitted` (when rate-limited) names the zones THIS batch may
+    // transfer — recorded before "zones" so the serial parser below
+    // can keep scanning everything after the "zones" marker.
+    val adm = admitted.map(a =>
+      a.map(DnsOffset.q).mkString("\"admitted\":[", ",", "],")).getOrElse("")
+    s"""{"nonce":$nonce,$adm"zones":$zs}"""
   }
 }
 
@@ -35,17 +41,23 @@ object DnsOffset {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Minimal parser for the exact shape `json()` emits (zone names are
-    * DNS names — no escapes in practice, but handled anyway). */
+    * DNS names — no escapes in practice, but handled anyway). Offsets
+    * written before the admission-control field (no "admitted" key)
+    * parse as unlimited — checkpoint-compatible forward. */
   def fromJson(json: String): DnsOffset = {
     val nonce = """"nonce"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad dns offset json: $json"))
+    def unescape(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
     val zone = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
     val zonesPart = json.substring(json.indexOf("\"zones\"") + 7)
     val serials = zone.findAllMatchIn(zonesPart).map { m =>
-      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+      unescape(m.group(1)) -> m.group(2).toLong
     }.toMap
-    DnsOffset(serials, nonce)
+    val admitted = """"admitted"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(g => unescape(g.group(1))).toSeq)
+    DnsOffset(serials, nonce, admitted)
   }
 }
 
@@ -118,7 +130,7 @@ final class ProgressLog(checkpointLocation: String, maxKept: Int) extends Serial
 final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
                                 schema: org.apache.spark.sql.types.StructType,
                                 checkpointLocation: String)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private val log = new ProgressLog(checkpointLocation, opts.maxKeptCommits)
 
@@ -157,6 +169,39 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
     DnsOffset(current.toMap, nonce)
   }
 
+  /** Admission control (`SupportsAdmissionControl`, r16 verdict item
+    * 4): bound ZONES per micro-batch — the only subdividable axis for
+    * this source (a single transfer is serial by protocol; a zone's
+    * size is unknowable before transferring, so row limits cannot be
+    * honored). The default limit comes from the `max-zones-per-batch`
+    * option, expressed as `ReadLimit.maxFiles` (a zone is this
+    * source's unit of admission, exactly as a file is the file
+    * source's). Selection is round-robin keyed on the persisted nonce
+    * — `(nonce × n) mod zones` — so it is deterministic across
+    * restarts and every zone is served within ⌈zones/n⌉ triggers; the
+    * admitted set rides INSIDE the offset (WAL-replayed, so a crashed
+    * batch re-plans the same zones), and un-admitted zones keep their
+    * committed serials — they simply carry over. */
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxZonesPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    absorbAccumulators()
+    nonce += 1
+    val admitted = limit match {
+      case f: ReadMaxFiles if f.maxFiles() < zones.size =>
+        val n = f.maxFiles()
+        val from = ((nonce * n) % zones.size).toInt
+        Some((0 until n).map(i => zones((from + i) % zones.size)))
+      case _ => None // unlimited (or limit ≥ zone count): admit all
+    }
+    DnsOffset(current.toMap, nonce, admitted)
+  }
+
+  override def reportLatestOffset(): Offset = synchronized {
+    DnsOffset(current.toMap, nonce)
+  }
+
   override def deserializeOffset(json: String): Offset = DnsOffset.fromJson(json)
 
   /** Plans from the END offset's serials — the offset that latestOffset
@@ -166,8 +211,16 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
     * its real position after transferring — reference getBatch likewise
     * copies zone params at the end offset, DnsStreamingSource.java:80-94). */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val serials = end.asInstanceOf[DnsOffset].serials
-    zones.zipWithIndex.map { case (zone, i) =>
+    val endOffset = end.asInstanceOf[DnsOffset]
+    val serials = endOffset.serials
+    // Rate-limited batches plan ONLY the admitted zones (the set the
+    // offset itself carries — WAL-replayed, so a recovered batch
+    // re-plans the same zones); the rest transfer in later triggers.
+    val planned = endOffset.admitted match {
+      case Some(adm) => val a = adm.toSet; zones.filter(a)
+      case None => zones
+    }
+    planned.zipWithIndex.map { case (zone, i) =>
       DnsZoneInputPartition(i, zone, serials.getOrElse(zone, opts.serial))
         .asInstanceOf[InputPartition]
     }.toArray

@@ -26,17 +26,47 @@
 #   tr_locale Turkish JVM default locale (-Duser.language=tr): every
 #             default-locale case fold in any path the gate touches
 #             (the i/I pathology) — the full-gate twin of LocaleSpec
-#   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on all but the
-#             26 SF-independent keys (DNS fixtures incl. the r13 pushdown
-#             pair q_dns_pushed_count/q_dns_limit, q_distinct_estimate,
-#             q_dns_runtime_prune, q_tws_metadata, q_dns_metadata_cols,
-#             q_dns_auto_broadcast, q_dns_sql_delete, the r14
-#             fixture key q_dns_overwrite, and the r15 pair
-#             q_dns_topn/q_dns_offset)
+#   negctl    sf0.01 output vs sf0.1 oracles — must FAIL on every key
+#             except the NAMED SF-independent allowance below (pure
+#             DNS/sketch fixtures whose oracles replay a construction,
+#             not parquet data). The allowance is an exact SET, not a
+#             count: an accidentally SF-independent new key (weak gate)
+#             fails the matrix instead of silently consuming headroom,
+#             and a listed key that unexpectedly FAILS surfaces too.
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
-OUT=${1:-MATRIX_r16.json}
+OUT=${1:-MATRIX_r17.json}
+
+# The SF-independent allowance, one key per line (r17: + q_dns_ratelimit,
+# a pure-fixture admission-control streaming lifecycle).
+SF_INDEPENDENT="q_distinct_estimate
+q_dns_auto_broadcast
+q_dns_ignore_failures
+q_dns_ixfr
+q_dns_limit
+q_dns_metadata_cols
+q_dns_offset
+q_dns_overwrite
+q_dns_pushed_count
+q_dns_ratelimit
+q_dns_read
+q_dns_roundtrip
+q_dns_runtime_prune
+q_dns_spj
+q_dns_sql
+q_dns_sql_delete
+q_dns_sql_insert
+q_dns_stream
+q_dns_stream_sink
+q_dns_topn
+q_dns_validate
+q_dns_wire_ixfr
+q_dns_wire_read
+q_dns_wire_roundtrip
+q_dns_zone_change
+q_dns_zone_pruned
+q_tws_metadata"
 mkdir -p "$BASE"
 rc=0
 cells_json=""
@@ -76,24 +106,24 @@ cell aqe_off  /root/testdata/sf0.01  32 "spark.sql.adaptive.enabled=false"
 cell tr_locale /root/testdata/sf0.01 32 "" "-Duser.language=tr -Duser.country=TR"
 
 echo "=== negative control: base output vs sf0.1 oracles (must mass-FAIL) ==="
-nfail=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^FAIL ')
-nok=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null | grep -cE '^OK ')
+negout=$(python3 tools/selfcheck.py /root/testdata/sf0.1 "$BASE/base" 2>/dev/null)
+nfail=$(echo "$negout" | grep -cE '^FAIL ')
+nok=$(echo "$negout" | grep -cE '^OK ')
 echo "negctl: $nfail FAIL / $nok OK"
-# the known SF-independent set is 26 keys (the r12 set of 14 fixture
-# keys + q_dns_runtime_prune + q_tws_metadata + the r13 additions
-# q_dns_metadata_cols / q_dns_auto_broadcast / q_dns_sql_delete /
-# q_dns_pushed_count / q_dns_limit / q_dns_spj + the r14 addition
-# q_dns_overwrite + the r15 pushdown pair q_dns_topn / q_dns_offset +
-# the r16 addition q_dns_zone_change (pure DNS-fixture streaming
-# lifecycle, no parquet input), all pure fixture or
-# replay-construction oracles);
-# a growing OK count means new keys are accidentally SF-independent
-# (weak gate) — flag it
+# SET comparison against the named allowance: OK keys must be exactly
+# the SF-independent list — a new accidentally-SF-independent key OR a
+# listed key that unexpectedly fails both flag the control.
+okkeys=$(echo "$negout" | awk '/^OK /{print $2}' | sort)
+expected=$(echo "$SF_INDEPENDENT" | sort)
 negok=true
-if [ "$nok" -gt 26 ]; then echo "FAIL negctl: $nok SF-independent passes (expected 26)"; rc=1; negok=false; fi
+if [ "$okkeys" != "$expected" ]; then
+  echo "FAIL negctl: SF-independent OK set diverges from the named allowance:"
+  diff <(echo "$expected") <(echo "$okkeys") | sed 's/^/  /'
+  rc=1; negok=false
+fi
 if [ "$nfail" -lt 100 ]; then echo "FAIL negctl: only $nfail wrong-SF failures"; rc=1; negok=false; fi
 
-printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":26},"rc":%s}\n' \
-  "$cells_json" "$negok" "$nfail" "$nok" "$rc" > "$OUT"
+printf '{"cells":{%s},"negctl":{"ok":%s,"fail_count":%s,"sf_independent_ok":%s,"max_sf_independent":%s},"rc":%s}\n' \
+  "$cells_json" "$negok" "$nfail" "$nok" "$(echo "$SF_INDEPENDENT" | wc -l)" "$rc" > "$OUT"
 echo "=== matrix done, rc=$rc -> $OUT ==="
 exit $rc
