@@ -1075,6 +1075,70 @@ object Connector {
      .orderBy("zone", "fqdn")
   }
 
+  /** Trigger.AvailableNow + admission control under the oracle gate —
+    * the SELF-TERMINATING rate-limited catch-up
+    * (`SupportsTriggerAvailableNow`): "available" is unknowable for a
+    * poll-incapable source, so the prepared pass is defined as each
+    * zone transferred exactly once, spread over ⌈zones/limit⌉
+    * batches, after which the source re-mints its last offset
+    * verbatim and Spark ends the query — no manual stop, no polling
+    * loop (contrast [[qDnsRatelimit]], which must stop a
+    * ProcessingTime stream by hand). 4 zones, limit 2 ⇒ exactly two
+    * batches in zone-list order (AvailableNow consumes the REMAINING
+    * set head-first, unlike the steady-state round-robin): batch 0 =
+    * zones {0,1}, batch 1 = {2,3}. The oracle pins the zone→batch
+    * assignment; a source that fails to terminate hangs the gate, one
+    * that re-admits duplicates rows, one that leaks un-admitted zones
+    * into a batch moves a batch_id. */
+  def qDnsAvailableNow(s: SparkSession, dir: String): DataFrame = {
+   val staged = Scratch.staged("dns_available_now_result", dir) { sb =>
+    val port = freshPort("q_dns_available_now")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    (0 to 3).foreach { j =>
+      srv.addZone(s"an$j.graft.",
+        (0 to 1 + j).map(i => ARecord(s"a$i.an$j.graft.", s"10.10.$j.$i")))
+    }
+    val base = Scratch.fresh("dns_available_now", dir)
+    val out = s"$base/out"
+    val ck = s"$base/ck"
+    val q = s.readStream.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft")
+      .option("zones", "an0.graft,an1.graft,an2.graft,an3.graft")
+      .option("max-zones-per-batch", "2")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("action"), col("fqdn"), col("ip"), col("zone"),
+            lit(id).as("batch_id"))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000),
+      "AvailableNow dns stream did not self-terminate")
+    s.read.parquet(out)
+      .select("action", "fqdn", "ip", "zone", "batch_id")
+      .write.parquet(new java.io.File(sb, "result").toString)
+   }
+   s.read.parquet(new java.io.File(staged, "result").toString)
+     .orderBy("zone", "fqdn")
+  }
+
+  private val qDnsAvailableNowOracle: String =
+    """WITH z AS (SELECT unnest(generate_series(0, 3)) AS j),
+      |rows_ AS (
+      |  SELECT j, unnest(generate_series(0, 1 + j)) AS i FROM z)
+      |SELECT 'AXFR' AS action,
+      |       'a'||i||'.an'||j||'.graft.' AS fqdn,
+      |       '10.10.'||j||'.'||i AS ip,
+      |       'an'||j||'.graft.' AS zone,
+      |       CAST(j // 2 AS BIGINT) AS batch_id
+      |FROM rows_ ORDER BY zone, fqdn""".stripMargin
+
   private val qDnsRatelimitOracle: String =
     """WITH z AS (SELECT unnest(generate_series(0, 3)) AS j),
       |rows_ AS (
@@ -1341,6 +1405,7 @@ object Connector {
     "q_dns_stream" -> qDnsStream,
     "q_dns_zone_change" -> qDnsZoneChange,
     "q_dns_ratelimit" -> qDnsRatelimit,
+    "q_dns_available_now" -> qDnsAvailableNow,
     "q_dns_stream_sink" -> qDnsStreamSink,
     "q_dns_ignore_failures" -> qDnsIgnoreFailures,
     "q_dns_validate" -> qDnsValidate,
@@ -1359,7 +1424,8 @@ object Connector {
     * these two keys' timed passes read the once-per-JVM staged replay
     * result, not a fresh streaming-query lifecycle. */
   val stagedReadbackKeys: Set[String] =
-    Set("q_dns_stream", "q_dns_stream_sink", "q_dns_zone_change", "q_dns_ratelimit")
+    Set("q_dns_stream", "q_dns_stream_sink", "q_dns_zone_change", "q_dns_ratelimit",
+      "q_dns_available_now")
 
   /** Wire and SQL variants share the in-memory oracles verbatim —
     * transport and registration surface must never change results. */
@@ -1377,6 +1443,7 @@ object Connector {
     "q_dns_stream" -> qDnsStreamOracle,
     "q_dns_zone_change" -> qDnsZoneChangeOracle,
     "q_dns_ratelimit" -> qDnsRatelimitOracle,
+    "q_dns_available_now" -> qDnsAvailableNowOracle,
     "q_dns_stream_sink" -> qDnsStreamSinkOracle,
     "q_dns_ignore_failures" -> qDnsIgnoreFailuresOracle,
     "q_dns_validate" -> qDnsValidateOracle,

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 
 import graft.sources.dns._
 
@@ -130,7 +130,7 @@ final class ProgressLog(checkpointLocation: String, maxKept: Int) extends Serial
 final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
                                 schema: org.apache.spark.sql.types.StructType,
                                 checkpointLocation: String)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val log = new ProgressLog(checkpointLocation, opts.maxKeptCommits)
 
@@ -185,17 +185,58 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
   override def getDefaultReadLimit: ReadLimit =
     opts.maxZonesPerBatch.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
+  /** Trigger.AvailableNow (`SupportsTriggerAvailableNow`): "all
+    * available" is unknowable for a poll-incapable source (a zone's
+    * content is only learned by transferring), so the prepared pass
+    * is defined as EACH ZONE TRANSFERRED EXACTLY ONCE since prepare —
+    * a full catch-up to the serials current at run time, spread over
+    * ⌈zones/limit⌉ rate-limited batches. Once every zone has been
+    * admitted, [[latestOffset(start:*]] re-mints the LAST offset
+    * verbatim; Spark sees no new offset and terminates the query. A
+    * restart mid-pass prepares afresh over all zones — committed
+    * serials persist, so already-transferred zones contribute an
+    * empty delta, never duplicates. */
+  @volatile private var availableNowRemaining: Option[Set[String]] = None
+  private var lastMinted: DnsOffset = _
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowRemaining = Some(zones.toSet)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
     absorbAccumulators()
-    nonce += 1
-    val admitted = limit match {
-      case f: ReadMaxFiles if f.maxFiles() < zones.size =>
-        val n = f.maxFiles()
-        val from = ((nonce * n) % zones.size).toInt
-        Some((0 until n).map(i => zones((from + i) % zones.size)))
-      case _ => None // unlimited (or limit ≥ zone count): admit all
+    def capped(n: Int, order: Seq[String]): Seq[String] = limit match {
+      case f: ReadMaxFiles if f.maxFiles() < n => order.take(f.maxFiles())
+      case _ => order
     }
-    DnsOffset(current.toMap, nonce, admitted)
+    availableNowRemaining match {
+      case Some(rem) if rem.isEmpty =>
+        // pass complete: re-mint the last offset VERBATIM (absorbed
+        // serials must not leak in — a changed json looks like new
+        // data) so AvailableNow terminates
+        lastMinted
+      case Some(rem) =>
+        nonce += 1
+        val order = zones.filter(rem) // stable option-list order
+        val admitted = capped(order.size, order)
+        availableNowRemaining = Some(rem -- admitted)
+        // ALWAYS carry the admitted set in a prepared pass: the
+        // remaining zones must not be planned even when the limit
+        // exceeds what is left
+        lastMinted = DnsOffset(current.toMap, nonce, Some(admitted))
+        lastMinted
+      case None =>
+        nonce += 1
+        val admitted = limit match {
+          case f: ReadMaxFiles if f.maxFiles() < zones.size =>
+            val n = f.maxFiles()
+            val from = ((nonce * n) % zones.size).toInt
+            Some((0 until n).map(i => zones((from + i) % zones.size)))
+          case _ => None // unlimited (or limit ≥ zone count): admit all
+        }
+        lastMinted = DnsOffset(current.toMap, nonce, admitted)
+        lastMinted
+    }
   }
 
   override def reportLatestOffset(): Offset = synchronized {

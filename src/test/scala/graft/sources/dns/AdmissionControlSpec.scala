@@ -84,6 +84,25 @@ class AdmissionControlSpec extends AnyFunSuite {
     assert(o.admitted.isEmpty)
   }
 
+  test("AvailableNow pass: remaining set drains head-first, then the offset freezes") {
+    val ck = Files.createTempDirectory("dns-adm-ck3").toString
+    val zones = Seq("z0.acme", "z1.acme", "z2.acme", "z3.acme")
+    val s = stream(5465, zones, ck, Some(2))
+    val limit = s.getDefaultReadLimit
+    s.prepareForTriggerAvailableNow()
+    val o1 = s.latestOffset(s.initialOffset(), limit).asInstanceOf[DnsOffset]
+    val o2 = s.latestOffset(o1, limit).asInstanceOf[DnsOffset]
+    // head-first drain in zone-list order, every zone exactly once
+    assert(o1.admitted.get == zones.take(2).map(Fqdn.normalize))
+    assert(o2.admitted.get == zones.drop(2).map(Fqdn.normalize))
+    // pass complete: the offset re-mints VERBATIM (same json), which
+    // is what makes Spark see "no new data" and end the query
+    val o3 = s.latestOffset(o2, limit)
+    assert(o3.json() == o2.json())
+    val o4 = s.latestOffset(o3, limit)
+    assert(o4.json() == o2.json())
+  }
+
   test("engine fact: Trigger.Once ignores the read limit (why the gate uses ProcessingTime)") {
     // Spark's MicroBatchExecution logs "The read limit ... is ignored
     // when Trigger.Once is used." and passes allAvailable — so a

@@ -38,8 +38,8 @@ cd /root/repo
 BASE=/tmp/graft_matrix
 OUT=${1:-MATRIX_r17.json}
 
-# The SF-independent allowance, one key per line (r17: + q_dns_ratelimit,
-# a pure-fixture admission-control streaming lifecycle).
+# The SF-independent allowance, one key per line (r17: + q_dns_ratelimit
+# and q_dns_available_now, pure-fixture admission-control lifecycles).
 SF_INDEPENDENT="q_distinct_estimate
 q_dns_auto_broadcast
 q_dns_ignore_failures
@@ -50,6 +50,7 @@ q_dns_offset
 q_dns_overwrite
 q_dns_pushed_count
 q_dns_ratelimit
+q_dns_available_now
 q_dns_read
 q_dns_roundtrip
 q_dns_runtime_prune
