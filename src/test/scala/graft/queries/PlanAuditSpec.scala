@@ -488,6 +488,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("MapPartitions"), s) // the codec seam is an object seam
   }
 
+  test("q_warc_gz: member split + parse stay at the codec seam — no join") {
+    val p = executed(graft.queries.Storage.qWarcGz(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("MapPartitions"), s) // inflate+verify+parse, one object seam
+  }
+
+  test("q_bpe_bytelevel / q_bpe_roundtrip: native byte expressions in-plan, map-only") {
+    val p1 = executed(TextOps.qBpeBytelevel(spark, dir))
+    val s1 = p1.toString
+    assert(s1.contains("bpe_encode_bytes"), s1) // the remap+heap expression
+    assert(!s1.contains("Join"), s1)
+    assert(!s1.contains("Generate"), s1)
+    val p2 = executed(TextOps.qBpeRoundtrip(spark, dir))
+    val s2 = p2.toString
+    assert(s2.contains("bpe_decode_bytes"), s2) // decode really runs in-plan
+    assert(!s2.contains("Join"), s2)
+  }
+
   test("q_variant_extract: parse-once probe-many is map work — no join, one rollup") {
     val s = planString(Relational.qVariantExtract(spark, dir))
     assert(!s.contains("Join"), s)
