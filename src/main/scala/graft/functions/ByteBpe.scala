@@ -114,10 +114,15 @@ object ByteBpe {
     * Duplicate fold prefixes keep their first rank (the Table's
     * putIfAbsent), matching trained-vocab dedup. */
   val Merges: Seq[(String, String)] = (
-    fold("th") ++ fold("the") ++ fold("in") ++ fold("ing") ++
+    // Space-prefixed folds FIRST: in a real trained vocabulary the
+    // `Ġt`/`Ġth`/`Ġthe` merges rank ahead of the bare letter pairs
+    // (space-prefixed words dominate English text), and rank order is
+    // what makes ` the` encode to the single `Ġthe` token — pinned in
+    // BpePretokenizeSpec's boundary test.
+    fold(" t") ++ fold(" the") ++ fold(" a") ++            // Ġt, Ġth, Ġthe, Ġa
+      fold("th") ++ fold("the") ++ fold("in") ++ fold("ing") ++
       fold("an") ++ fold("and") ++ fold("er") ++ fold("on") ++
       fold("en") ++ fold("ed") ++ fold("re") ++
-      fold(" t") ++ fold(" the") ++ fold(" a") ++          // Ġt, Ġth, Ġthe, Ġa
       fold("é") ++ fold("ñ") ++ fold("ü") ++ fold("ß") ++  // 2-byte Latin-1
       fold("caf") :+ pair("caf", "é") :+                   // café as token⊕token
       pair(" ", "é")                                        // Ġé

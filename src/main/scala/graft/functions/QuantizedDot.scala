@@ -245,6 +245,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeEncodeBytes(children.head, merges)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("bpe_pretokenize"),
+      new ExpressionInfo(classOf[BpePretokenize].getName, "bpe_pretokenize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "bpe_pretokenize expects exactly 1 argument")
+        BpePretokenize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_decode_bytes"),
       new ExpressionInfo(classOf[BpeDecodeBytes].getName, "bpe_decode_bytes"),
       (children: Seq[Expression]) => {
@@ -294,6 +301,11 @@ object GraftFunctions {
   /** Inverse of [[bpeEncodeBytes]] — frames off, bytes back, UTF-8. */
   def bpeDecodeBytes(enc: Column): Column =
     call_function("bpe_decode_bytes", enc)
+
+  /** The GPT-2 pretokenizer split ([[BpePretokenize]]) — pieces that
+    * partition the text, each then byte-level encoded independently. */
+  def bpePretokenize(text: Column): Column =
+    call_function("bpe_pretokenize", text)
 
   def isRegistered(spark: SparkSession): Boolean =
     spark.catalog.functionExists("quantized_dot")

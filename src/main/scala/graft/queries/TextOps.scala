@@ -379,6 +379,89 @@ object TextOps {
         " || coalesce(regexp_extract(lower(text), '[a-z]+', 0), '')"
   }
 
+  /** The pretokenizer fixture: snippets with HAND-WRITTEN expected
+    * piece lists — the oracle never runs any regex; it asserts the
+    * split a reader can verify by eye against the public GPT-2
+    * pattern (contraction suffixes, space-prefixed letter/digit runs,
+    * punctuation runs; `BpePretokenizeSpec` hand-traces the same
+    * cases through the JVM). The doc-varying tail ` word` is a single
+    * ` ?\p{L}+` piece by construction, appended closed-form. Literals
+    * render apostrophes via `chr(39)` ([[graft.queries.Storage.WarcFixture]]'s
+    * CRLF precedent) so one rendering serves both engines. */
+  private[queries] object PretokFixture {
+    val Cases: Seq[(String, Seq[String])] = Seq(
+      "The quick fox" -> Seq("The", " quick", " fox"),
+      "it's 42 degrees" -> Seq("it", "'s", " 42", " degrees"),
+      "hello, world!!" -> Seq("hello", ",", " world", "!!"),
+      "naïve café" -> Seq("naïve", " café"),
+      "日本語 text" -> Seq("日本語", " text"),
+      "mixed123abc" -> Seq("mixed", "123", "abc"),
+      "a 😀 b" -> Seq("a", " 😀", " b"),
+      "don't stop" -> Seq("don", "'t", " stop"))
+
+    /** Dialect-safe string literal (apostrophes via chr(39)). */
+    def qlit(s: String): String =
+      s.split("'", -1).map(p => s"'$p'").mkString(" || chr(39) || ")
+
+    /** The planted doc string — shared verbatim by both engines. */
+    val plantedSql: String =
+      Cases.zipWithIndex.map { case ((t, _), i) => s"WHEN $i THEN ${qlit(t)}" }
+        .mkString("CASE doc_id % 8 ", " ", " END") +
+        " || ' ' || coalesce(regexp_extract(lower(text), '[a-z]+', 0), '')"
+
+    /** Oracle-side list of expected pieces (raw), per snippet. */
+    val piecesSql: String =
+      Cases.zipWithIndex.map { case ((_, ps), i) =>
+        s"WHEN $i THEN [${ps.map(qlit).mkString(", ")}]"
+      }.mkString("CASE doc_id % 8 ", " ", " END")
+
+    /** Same pieces pre-REMAPPED (Scala-computed literals) for the
+      * byte-level chain replay. */
+    val rpiecesSql: String =
+      Cases.zipWithIndex.map { case ((_, ps), i) =>
+        s"WHEN $i THEN [${ps.map(p => qlit(graft.functions.ByteBpe.remap(p))).mkString(", ")}]"
+      }.mkString("CASE doc_id % 8 ", " ", " END")
+  }
+
+  /** Fixture accessor for BpePretokenizeSpec's JVM-side proof that
+    * the hand-written piece lists match the public pattern. */
+  def pretokCases: Seq[(String, Seq[String])] = PretokFixture.Cases
+
+  /** The FULL production tokenize pipeline under one gate: the GPT-2
+    * PRETOKENIZER ([[graft.functions.BpePretokenize]] — the public
+    * regex with contraction suffixes and space-prefixed runs; pieces
+    * PARTITION the text, so BPE merges never cross a piece boundary,
+    * which is why GPT vocabularies have `Ġword` tokens but never
+    * `wordĠnext`) feeding the byte-level encoder per piece. The
+    * oracle runs NO regex: expected pieces are hand-written fixture
+    * data appended with the closed-form ` word` tail, and the encode
+    * half replays the byte chain over the pre-remapped piece
+    * literals — so the pretokenizer's split, the remap, and the
+    * merges must all be bit-right for any of the four gated columns
+    * to match.
+    *
+    * Scale shape: per-row map work end to end — the compiled pattern
+    * is a JVM-static singleton, pieces ride as an in-row array
+    * through `transform(..., bpe_encode_bytes)` HOFs, no explode, no
+    * shuffle beyond the presentation sort. */
+  def qBpePretokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{BpeTokenizer, GraftFunctions}
+    val sep = "\u001f" // unit separator — never in the planted text
+    docs(s, dir)
+      .withColumn("p", expr(PretokFixture.plantedSql))
+      .withColumn("pieces", GraftFunctions.bpePretokenize($"p"))
+      .select($"doc_id",
+        size($"pieces").cast("long").as("n_pieces"),
+        md5(concat_ws(sep, $"pieces")).as("pieces_md5"),
+        aggregate(
+          transform($"pieces", p => BpeTokenizer.tokenCount(GraftFunctions.bpeEncodeBytes(p))),
+          lit(0L), (acc, x) => acc + x).as("n_tokens"),
+        md5(concat_ws(sep, transform($"pieces", p => GraftFunctions.bpeEncodeBytes(p))))
+          .as("enc_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** BYTE-level BPE (r16 verdict item 3) — the GPT-family production
     * alphabet: UTF-8 bytes remapped to 256 printable chars
     * ([[graft.functions.ByteBpe]]), so ANY input tokenizes with zero
@@ -1916,6 +1999,7 @@ object TextOps {
     "q_bpe_encode_native" -> qBpeEncodeNative,
     "q_bpe_bytelevel" -> qBpeBytelevel,
     "q_bpe_roundtrip" -> qBpeRoundtrip,
+    "q_bpe_pretokenize" -> qBpePretokenize,
     "q_sentence_split" -> qSentenceSplit,
     "q_compression_ratio" -> qCompressionRatio,
     "q_bpe_learn" -> qBpeLearn,
@@ -2324,6 +2408,30 @@ object TextOps {
          |e AS (SELECT doc_id, strlen(p) AS n_bytes, $enc AS enc FROM p)
          |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
          |  CAST($tc AS BIGINT) AS n_tokens, md5(enc) AS encoded_md5
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
+    // The pretokenizer oracle runs NO regex: pieces are hand-written
+    // fixture data + the closed-form ` word` tail; the encode half
+    // replays the byte chain over pre-remapped piece literals. Split,
+    // remap, and merges must all be bit-right for any column to match.
+    "q_bpe_pretokenize" -> {
+      val enc = graft.functions.ByteBpe.oracleEncodeSql("p")
+      val tc = graft.functions.BpeTokenizer.oracleTokenCountSql(enc)
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${PretokFixture.piecesSql} AS hp,
+         |    ${PretokFixture.rpiecesSql} AS hr,
+         |    coalesce(regexp_extract(lower(text), '[a-z]+', 0), '') AS w
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |        list_append(hp, ' ' || w) AS pieces,
+         |        list_append(hr, 'Ġ' || w) AS rpieces
+         |      FROM d)
+         |SELECT doc_id,
+         |  CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |  md5(array_to_string(pieces, chr(31))) AS pieces_md5,
+         |  CAST(list_sum(list_transform(rpieces, p -> $tc)) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(list_transform(rpieces, p -> $enc), chr(31))) AS enc_md5
          |FROM e ORDER BY doc_id""".stripMargin
     },
     // The decode audit's oracle never encodes: it md5s the ORIGINAL
