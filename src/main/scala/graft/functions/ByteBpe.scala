@@ -74,8 +74,11 @@ object ByteBpe {
   }
 
   /** Inverse of [[remap]] — fails loudly on any char outside the
-    * remap image (a framed token stream corrupted anywhere upstream
-    * must surface, not silently decode to mojibake). */
+    * remap image AND on recovered bytes that are not valid UTF-8 (a
+    * framed token stream corrupted anywhere upstream must surface,
+    * not silently decode to mojibake — the default String decoder
+    * would substitute U+FFFD, so the decode goes through a REPORTing
+    * CharsetDecoder; review r17). */
   def unremap(s: String): String = {
     val bytes = new Array[Byte](s.length)
     var i = 0
@@ -87,7 +90,16 @@ object ByteBpe {
       bytes(i) = b.toByte
       i += 1
     }
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"byte_bpe: recovered bytes are not valid UTF-8 (${e.getMessage}) — " +
+            "corrupted token stream must surface, not decode to U+FFFD")
+    }
   }
 
   /** Left-fold merge rules that build the remap of `surface` char by

@@ -1060,12 +1060,19 @@ object Connector {
       .start()
     try {
       val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      // transient read races against a concurrent micro-batch commit
+      // poll as 0 and retry; the final require uses the LOOP's last
+      // observation, never a post-loop re-read that could race an
+      // empty batch's commit (review r17)
       def landed(): Long =
         if (!new java.io.File(out).exists()) 0L
         else try s.read.parquet(out).count() catch { case _: Exception => 0L }
-      while (landed() < 14 && System.nanoTime() < deadline) Thread.sleep(100)
-      require(landed() == 14,
-        s"dns ratelimit stream landed ${landed()} of 14 rows in 180 s")
+      var seen = landed()
+      while (seen < 14 && System.nanoTime() < deadline) {
+        Thread.sleep(100); seen = landed()
+      }
+      require(seen == 14,
+        s"dns ratelimit stream landed $seen of 14 rows in 180 s")
     } finally { q.stop(); q.awaitTermination() }
     s.read.parquet(out)
       .select("action", "fqdn", "ip", "zone", "batch_id")

@@ -171,10 +171,19 @@ object PipelineOps {
   def qWarcPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val crlf = "\r\n"
+    // The Column-API twin of Storage.WarcFixture's record builders —
+    // intentionally a different record SHAPE (no record-id header);
+    // both only have to satisfy WarcCodec's grammar. Content-Length is
+    // octet_length (BYTES): the parser slices bytes after the UTF-8
+    // encode, so a character count would mis-frame any non-ASCII text
+    // (review r17 — the byte-vs-char class the compression-ratio
+    // oracle fix closed). WarcFixture keeps char length() because its
+    // string is shared verbatim with DuckDB (no common octet_length
+    // dialect) under an enforced ASCII guard.
     def record(uri: org.apache.spark.sql.Column, payload: org.apache.spark.sql.Column,
         typ: String): org.apache.spark.sql.Column =
       concat(lit(s"WARC/1.0${crlf}WARC-Type: $typ${crlf}WARC-Target-URI: "), uri,
-        lit(s"${crlf}Content-Length: "), length(payload).cast("string"),
+        lit(s"${crlf}Content-Length: "), octet_length(payload).cast("string"),
         lit(s"$crlf$crlf"), payload, lit(s"$crlf$crlf"))
     val d = docs(s, dir).select($"doc_id", ($"doc_id" % 8).as("file_id"),
       crawlUrl($"doc_id").as("url"), $"text")

@@ -609,6 +609,11 @@ object Storage {
       // ISIZE verify), then the ISO 28500 byte parser per member
       GzipMembers.split(bos.toByteArray).map { m =>
         val rs = WarcCodec.parse(fid, m.bytes)
+        // a zero-record member is exactly what recs_in_member gates —
+        // fail with the member's coordinates, not an opaque
+        // NoSuchElementException from rs.head (review r17)
+        require(rs.nonEmpty,
+          s"warc.gz[$fid]: member ${m.member_idx} parsed to zero records")
         (fid, m.member_idx, rs.length.toLong, m.bytes.length.toLong, rs.head)
       }
     })
