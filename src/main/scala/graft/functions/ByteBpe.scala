@@ -73,6 +73,14 @@ object ByteBpe {
     new String(out)
   }
 
+  /** REPORTing UTF-8 decoder, one per executor thread (CharsetDecoder
+    * is stateful and not thread-safe; per-row allocation would be the
+    * hot-path cost). */
+  private val strictUtf8 = ThreadLocal.withInitial[java.nio.charset.CharsetDecoder](() =>
+    java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT))
+
   /** Inverse of [[remap]] — fails loudly on any char outside the
     * remap image AND on recovered bytes that are not valid UTF-8 (a
     * framed token stream corrupted anywhere upstream must surface,
@@ -90,9 +98,8 @@ object ByteBpe {
       bytes(i) = b.toByte
       i += 1
     }
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val dec = strictUtf8.get()
+    dec.reset()
     try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     catch {
       case e: java.nio.charset.CharacterCodingException =>
