@@ -109,8 +109,26 @@ object Bench {
     }
     calibrate() // warm the calib plan like every other query
     val calibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Anchor-drift instrumentation (r17 verdict item 6, opt-in via
+    // SPARK_GRAFT_BENCH_JVMSTATS): per-pass per-key timings (not just
+    // the cross-pass min) plus cumulative JIT-compilation and GC time
+    // sampled at pass boundaries — the within-JVM series that can
+    // attribute a uniform suite smear to JVM state (rising jit/gc
+    // deltas, pass1 ≫ pass3) vs host noise (calib moves) vs real plan
+    // cost (flat everything, higher floor). Analysis in BASELINE.md.
+    val jvmStats = sys.env.contains("SPARK_GRAFT_BENCH_JVMSTATS")
+    val passDumps = scala.collection.mutable.ArrayBuffer.empty[String]
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     (1 to 3).foreach { _ =>
       calibs += calibrate()
+      val passKeys = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val (jit0, gc0) = (jitMs, gcMs)
       names.foreach { case (name, fn) =>
         if (!failed(name)) {
           try {
@@ -119,6 +137,7 @@ object Bench {
             val elapsed = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             if (elapsed < best.getOrElse(name, Double.MaxValue)) best(name) = elapsed
+            if (jvmStats) passKeys += name -> elapsed
           } catch { case e: Throwable =>
             // one failure marks the query failed for good: -1, never a
             // partial min from the passes that did succeed
@@ -129,6 +148,20 @@ object Bench {
           }
         }
       }
+      if (jvmStats) {
+        val ks = passKeys.map { case (k, v) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        }.mkString("{", ",", "}")
+        passDumps += s"""{"calib":${String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(calibs.last))},"jit_ms":${jitMs - jit0},"gc_ms":${gcMs - gc0},"keys":$ks}"""
+      }
+    }
+    if (jvmStats) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_jvmstats.json"),
+        passDumps.mkString("[", ",\n", "]\n"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] jvmstats write failed: ${e.getMessage}") }
     }
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     // The per-query map has grown past what the driver's output tail

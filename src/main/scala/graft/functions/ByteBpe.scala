@@ -64,6 +64,31 @@ object ByteBpe {
     a
   }
 
+  /** True iff `c` is in the remap-alphabet image — the only chars a
+    * byte-level merge-rule side can be built from, since the input is
+    * remapped BEFORE matching ([[BpeEncodeBytes.encodeBytes]]). */
+  def isAlphabetChar(c: Char): Boolean =
+    c.toInt < charToByte.length && charToByte(c.toInt) >= 0
+
+  /** Reject a user-supplied byte-level merge table whose rule sides
+    * contain non-alphabet chars (space, newline, raw multi-byte text):
+    * such a rule can NEVER match the remapped atoms, so it would be
+    * silently dead — the spec contract is that sides are written in
+    * remap space (`Ġt`, not ` t`), and a violation must surface loudly
+    * (advice r17). */
+  def requireAlphabetSpec(merges: Seq[(String, String)]): Seq[(String, String)] = {
+    merges.foreach { case (l, r) =>
+      (l + r).foreach { c =>
+        require(isAlphabetChar(c),
+          s"bpe_encode_bytes: spec rule ('$l','$r') contains U+${"%04X".format(c.toInt)} " +
+            "which is outside the byte-remap alphabet — the rule could never match " +
+            "remapped input. Write byte-level spec sides in remap space " +
+            "(e.g. 0x20 space is 'Ġ' U+0120).")
+      }
+    }
+    merges
+  }
+
   /** UTF-8 bytes of `s`, each remapped to its alphabet char. */
   def remap(s: String): String = {
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

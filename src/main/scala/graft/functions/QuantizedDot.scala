@@ -240,7 +240,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val merges = if (children.size == 1) ByteBpe.Merges else {
           require(children(1).foldable,
             "bpe_encode_bytes: the merge-table spec must be a literal")
-          BpeEncode.parseSpec(String.valueOf(children(1).eval(null)))
+          // Byte-level sides must live in remap space or they are
+          // dead rules against the remapped input (advice r17).
+          ByteBpe.requireAlphabetSpec(
+            BpeEncode.parseSpec(String.valueOf(children(1).eval(null))))
         }
         BpeEncodeBytes(children.head, merges)
       }))
@@ -252,6 +255,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpePretokenize(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncode].getName, "unigram_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "unigram_encode expects unigram_encode(word) or " +
+            "unigram_encode(word, 'piece cost;…' spec literal)")
+        val pieces = if (children.size == 1) UnigramEncode.Pieces else {
+          require(children(1).foldable,
+            "unigram_encode: the piece-table spec must be a literal")
+          UnigramEncode.parseSpec(String.valueOf(children(1).eval(null)))
+        }
+        UnigramEncode(children.head, pieces)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_decode_bytes"),
       new ExpressionInfo(classOf[BpeDecodeBytes].getName, "bpe_decode_bytes"),
       (children: Seq[Expression]) => {
@@ -259,6 +276,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeDecodeBytes(children.head)
       }))
     ext.injectOptimizerRule(_ => graft.plans.QuantizedDotRule)
+    // Collapse V2 FunctionCatalog invocations (graft.fn.*) onto the
+    // same native expression nodes the bare-name registrations above
+    // build — plan-identity between the two surfaces (q_fn_catalog).
+    ext.injectOptimizerRule(_ => V2NativeFunctionRule)
   }
 }
 
@@ -301,6 +322,14 @@ object GraftFunctions {
   /** Inverse of [[bpeEncodeBytes]] — frames off, bytes back, UTF-8. */
   def bpeDecodeBytes(enc: Column): Column =
     call_function("bpe_decode_bytes", enc)
+
+  /** Unigram-LM Viterbi segmentation over the gated default piece
+    * table ([[UnigramEncode.Pieces]]) — framed `|tok||tok|` output. */
+  def unigramEncode(w: Column): Column =
+    call_function("unigram_encode", w)
+
+  def unigramEncode(w: Column, spec: String): Column =
+    call_function("unigram_encode", w, org.apache.spark.sql.functions.lit(spec))
 
   /** The GPT-2 pretokenizer split ([[BpePretokenize]]) — pieces that
     * partition the text, each then byte-level encoded independently. */

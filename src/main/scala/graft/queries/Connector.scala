@@ -837,6 +837,89 @@ object Connector {
       |SELECT * FROM (SELECT * FROM oz UNION ALL SELECT * FROM keep)
       |ORDER BY fqdn, ip""".stripMargin
 
+  /** SQL `MERGE INTO` over the sink (`SupportsRowLevelOperations`,
+    * write/DnsRowLevel.scala) under the gate — the batch twin of IXFR
+    * apply that `q_cdc_apply` demonstrates at query level, now
+    * accepted by the CONNECTOR: a changelog with delete / update /
+    * insert ops lands on live zones in one statement. The operation is
+    * GROUP-BASED, groups = the zones named in the table's `zones`
+    * option: Catalyst joins the operation's zone-state scan (one AXFR
+    * task per zone, rows in the write schema) with the changelog and
+    * hands back the full replacement content; the connector replaces
+    * each configured zone with ONE atomic RFC 2136 wipe+add message
+    * (the DnsTruncateWrite emitter), so each configured zone's serial
+    * advances by exactly 1 per MERGE — pinned via `_serial` — while a
+    * seeded zone OUTSIDE the groups is untouched at its seed serial.
+    * The changelog also carries a matched row no clause accepts
+    * (op='noop'), which must CARRY OVER unchanged — the group
+    * semantics a delta operation wouldn't exercise. */
+  def qDnsMerge(s: SparkSession, dir: String): DataFrame = {
+    val port = freshPort("q_dns_merge")
+    InMemoryDnsServer.reset(Host, port)
+    val srv = InMemoryDnsServer.at(Host, port)
+    srv.addZone("mz.graft.", (0 to 7).map(k => ARecord(s"m$k.mz.graft.", s"10.20.0.$k")))
+    srv.addZone("m2z.graft.", (0 to 3).map(k => ARecord(s"n$k.m2z.graft.", s"10.21.0.$k")))
+    srv.addZone("keep.graft.", (0 to 2).map(k => ARecord(s"k$k.keep.graft.", s"10.22.0.$k")))
+    val tbl = s"graft_dns_merge_$port"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(
+      s"""CREATE TABLE $tbl USING dns_update
+         |OPTIONS (server '$Host', port '$port', zones 'mz.graft,m2z.graft',
+         |  `fixed-timestamp-micros` '$TsMicros')""".stripMargin)
+    s.sql(
+      s"""SELECT * FROM VALUES
+         |  ('del', 'm0.mz.graft.',  '10.20.0.0', CAST(NULL AS STRING)),
+         |  ('del', 'm1.mz.graft.',  '10.20.0.1', CAST(NULL AS STRING)),
+         |  ('upd', 'm2.mz.graft.',  '10.20.0.2', '10.20.9.2'),
+         |  ('upd', 'n1.m2z.graft.', '10.21.0.1', '10.21.9.1'),
+         |  ('noop', 'm3.mz.graft.', '10.20.0.3', CAST(NULL AS STRING)),
+         |  ('add', 'x0.mz.graft.',  '10.20.5.0', CAST(NULL AS STRING)),
+         |  ('add', 'x1.m2z.graft.', '10.21.5.1', CAST(NULL AS STRING))
+         |AS s(op, fqdn, ip, new_ip)""".stripMargin)
+      .createOrReplaceTempView("graft_dns_merge_changes")
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING graft_dns_merge_changes s
+         |ON t.fqdn = s.fqdn AND t.ip = s.ip
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED AND s.op = 'upd' THEN UPDATE SET ip = s.new_ip
+         |WHEN NOT MATCHED AND s.op = 'add' THEN INSERT
+         |  (action, fqdn, ip, timestamp, ttl)
+         |  VALUES ('IXFR_ADD', s.fqdn, s.ip, timestamp_micros(${TsMicros + 1L}), 300)
+         |""".stripMargin)
+    s.read.format("dns")
+      .option("server", Host).option("port", port.toString)
+      .option("organization", "graft").option("zones", "mz.graft,m2z.graft,keep.graft")
+      .option("xfr", "AXFR")
+      .option("fixed-timestamp-micros", TsMicros.toString)
+      .load()
+      .select(col("fqdn"), col("ip"), col("zone"), col("_serial"))
+      .orderBy("fqdn", "ip")
+  }
+
+  /** Final state closed-form: mz loses m0/m1, m2 re-IPs, m3..m7 carry
+    * over, x0 inserted (serial 2); m2z re-IPs n1, x1 inserted
+    * (serial 2); keep untouched (serial 1). */
+  private val qDnsMergeOracle: String =
+    """WITH mz AS (
+      |  SELECT 'm'||i||'.mz.graft.' AS fqdn,
+      |    CASE WHEN i = 2 THEN '10.20.9.2' ELSE '10.20.0.'||i END AS ip
+      |  FROM (SELECT unnest(generate_series(2, 7)) AS i)
+      |  UNION ALL SELECT 'x0.mz.graft.', '10.20.5.0'),
+      |m2z AS (
+      |  SELECT 'n'||i||'.m2z.graft.' AS fqdn,
+      |    CASE WHEN i = 1 THEN '10.21.9.1' ELSE '10.21.0.'||i END AS ip
+      |  FROM (SELECT unnest(generate_series(0, 3)) AS i)
+      |  UNION ALL SELECT 'x1.m2z.graft.', '10.21.5.1'),
+      |labeled AS (
+      |  SELECT fqdn, ip, 'mz.graft.' AS zone, CAST(2 AS BIGINT) AS "_serial" FROM mz
+      |  UNION ALL
+      |  SELECT fqdn, ip, 'm2z.graft.', CAST(2 AS BIGINT) FROM m2z
+      |  UNION ALL
+      |  SELECT 'k'||i||'.keep.graft.', '10.22.0.'||i, 'keep.graft.', CAST(1 AS BIGINT)
+      |  FROM (SELECT unnest(generate_series(0, 2)) AS i))
+      |SELECT fqdn, ip, zone, "_serial" FROM labeled ORDER BY fqdn, ip""".stripMargin
+
   /** The NATIVE streaming sink under the gate: a formulaic update log
     * replayed through the file-stream source into
     * `writeStream.format("dns_update")` (the V2 StreamingWrite — no
@@ -1420,6 +1503,7 @@ object Connector {
     "q_dns_auto_broadcast" -> qDnsAutoBroadcast,
     "q_dns_sql_delete" -> qDnsSqlDelete,
     "q_dns_overwrite" -> qDnsOverwrite,
+    "q_dns_merge" -> qDnsMerge,
     "q_dns_pushed_count" -> qDnsPushedCount,
     "q_dns_limit" -> qDnsLimit,
     "q_dns_topn" -> qDnsTopn,
@@ -1458,6 +1542,7 @@ object Connector {
     "q_dns_auto_broadcast" -> qDnsAutoBroadcastOracle,
     "q_dns_sql_delete" -> qDnsSqlDeleteOracle,
     "q_dns_overwrite" -> qDnsOverwriteOracle,
+    "q_dns_merge" -> qDnsMergeOracle,
     "q_dns_pushed_count" -> qDnsPushedCountOracle,
     "q_dns_limit" -> qDnsLimitOracle,
     "q_dns_topn" -> qDnsTopnOracle,

@@ -179,7 +179,8 @@ object PipelineOps {
     // (review r17 — the byte-vs-char class the compression-ratio
     // oracle fix closed). WarcFixture keeps char length() because its
     // string is shared verbatim with DuckDB (no common octet_length
-    // dialect) under an enforced ASCII guard.
+    // dialect) under the enforced Storage.WarcFixture.asciiGuardSql
+    // (applied where the corpus text enters its builders).
     def record(uri: org.apache.spark.sql.Column, payload: org.apache.spark.sql.Column,
         typ: String): org.apache.spark.sql.Column =
       concat(lit(s"WARC/1.0${crlf}WARC-Type: $typ${crlf}WARC-Target-URI: "), uri,

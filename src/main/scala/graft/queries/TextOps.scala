@@ -118,6 +118,77 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The DSv2 `FunctionCatalog` surface under the gate (r17 verdict
+    * item 2): the SAME native functions [[graft.functions.GraftExtensions]]
+    * registers by bare name, resolved instead through
+    * `graft.fn.<name>(...)` — the idiomatic Spark 4 multi-catalog
+    * registration ([[graft.functions.GraftFunctionCatalog]]). Three
+    * facts gated at once, per doc: (1) the catalog-resolved
+    * nfc_normalize / strip_accents agree with DuckDB's own independent
+    * implementations (md5-pinned, the qUnicodeNormalize corpus); (2)
+    * the catalog call equals the extension-registered bare-name twin
+    * IN THE SAME PLAN (`same_*` columns — and FunctionCatalogSpec
+    * asserts the optimized plans are node-identical via
+    * [[graft.functions.V2NativeFunctionRule]]); (3) the catalog
+    * byte-BPE pair round-trips (decode∘encode = id) and
+    * `graft.fn.quantized_dot` matches closed-form arithmetic the
+    * oracle recomputes without any function at all. Per-row map work,
+    * codegen end to end after the rewrite. */
+  def qFnCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.functions.GraftFunctionCatalog].getName)
+    // decomposed, escape-written like qUnicodeNormalize (no source-
+    // encoding step can silently precompose) so NFC really composes
+    // and strip_accents really strips under the catalog surface too
+    val dec = when($"doc_id" % 4 === 0, lit("e\u0301"))
+      .when($"doc_id" % 4 === 1, lit("A\u030A"))
+      .when($"doc_id" % 4 === 2, lit("o\u0308u\u0308"))
+      .otherwise(lit("ascii"))
+    docs(s, dir)
+      .select($"doc_id", concat($"text", lit(" "), dec).as("raw"))
+      .selectExpr("doc_id",
+        "CAST(conv(substring(md5(graft.fn.nfc_normalize(raw)), 1, 15), 16, 10) AS BIGINT) AS h_norm",
+        "CAST(conv(substring(md5(graft.fn.strip_accents(raw)), 1, 15), 16, 10) AS BIGINT) AS h_strip",
+        "CAST(graft.fn.nfc_normalize(raw) = nfc_normalize(raw) AS BIGINT) AS same_norm",
+        "CAST(graft.fn.strip_accents(raw) = strip_accents(raw) AS BIGINT) AS same_strip",
+        "CAST(graft.fn.bpe_decode_bytes(graft.fn.bpe_encode_bytes(split(raw, ' ')[0])) = split(raw, ' ')[0] AS BIGINT) AS bpe_rt",
+        "graft.fn.quantized_dot(array(doc_id, doc_id + 1L), array(2L, 3L)) AS qd")
+      .orderBy($"doc_id")
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenization under the gate
+    * (r17 verdict item 3) — the Viterbi-segmentation production
+    * tokenizer family beside the complete BPE family (`q_bpe_*`).
+    * Each doc's first word (lowercased, a–z only, capped at 12 chars)
+    * runs the codegen'd [[graft.functions.UnigramEncode]]: suffix DP
+    * over the integer-cost piece table riding the plan as a constant,
+    * longest-first tie-break (pinned in UnigramSpec). Three gated
+    * facts per word: the framed token string itself, the token count,
+    * and the cost ledger — `total_cost` is summed ON THE SPARK SIDE
+    * from the emitted tokens through the same table
+    * ([[graft.functions.UnigramEncode.sqlCostMap]]), while the DuckDB
+    * oracle recomputes the true DP MINIMUM by generated min-plus
+    * relaxation layers and rebuilds the token path with the same
+    * tie-break ([[graft.functions.UnigramEncode.oracleSql]]) — so a
+    * suboptimal segmentation, a wrong tie-break, or a cost-table
+    * drift each moves a gated column. Per-row map work inside
+    * whole-stage codegen; O(len · maxPieceLen) per word. */
+  def qUnigramTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .selectExpr("doc_id",
+        "substring(regexp_replace(lower(split(text, ' ')[0]), '[^a-z]', ''), 1, 12) AS word")
+      .where(length($"word") > 0)
+      .selectExpr("doc_id", "word", "unigram_encode(word) AS toks")
+      .selectExpr("doc_id", "word", "toks",
+        "CAST(size(split(substring(toks, 2, length(toks) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_toks",
+        s"aggregate(transform(split(substring(toks, 2, length(toks) - 2), '\\\\|\\\\|'), " +
+          s"t -> element_at(${graft.functions.UnigramEncode.sqlCostMap}, t)), 0L, " +
+          "(acc, x) -> acc + x) AS total_cost")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus quality stats per (lang, source): doc/word/char volumes and
     * lexical-diversity ratio. Partial-aggregate-friendly groupBy on a
     * low-cardinality key — the canonical 100 TB-safe shape. */
@@ -1994,6 +2065,8 @@ object TextOps {
     "q_text_stats" -> qTextStats,
     "q_unicode_normalize" -> qUnicodeNormalize,
     "q_strip_accents" -> qStripAccents,
+    "q_fn_catalog" -> qFnCatalog,
+    "q_unigram_tokens" -> qUnigramTokens,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
     "q_bpe_encode_native" -> qBpeEncodeNative,
@@ -2299,6 +2372,33 @@ object TextOps {
         |  length(stripped) AS len_stripped,
         |  CAST(CASE WHEN stripped <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
         |  CAST('0x' || substring(md5(stripped), 1, 15) AS BIGINT) AS h
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // The unigram oracle is fully generated layered SQL — DP
+    // relaxation + tie-broken path walk — see UnigramEncode.oracleSql.
+    "q_unigram_tokens" -> graft.functions.UnigramEncode.oracleSql(
+      "substr(regexp_replace(lower(split_part(text, ' ', 1)), '[^a-z]', '', 'g'), 1, 12)",
+      maxWordLen = 12),
+    // Catalog-surface twin gate: DuckDB's own nfc_normalize /
+    // strip_accents answer the md5 columns; the same_* / bpe_rt
+    // identities and the quantized_dot closed form (5*doc_id + 3) are
+    // literal arithmetic — no graft code on the oracle side at all.
+    "q_fn_catalog" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' ' || CASE
+        |    WHEN doc_id % 4 = 0 THEN 'e' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN 'A' || chr(778)
+        |    WHEN doc_id % 4 = 2 THEN 'o' || chr(776) || 'u' || chr(776)
+        |    ELSE 'ascii' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(raw) AS norm,
+        |        strip_accents(raw) AS stripped FROM d)
+        |SELECT doc_id,
+        |  CAST('0x' || substring(md5(norm), 1, 15) AS BIGINT) AS h_norm,
+        |  CAST('0x' || substring(md5(stripped), 1, 15) AS BIGINT) AS h_strip,
+        |  CAST(1 AS BIGINT) AS same_norm,
+        |  CAST(1 AS BIGINT) AS same_strip,
+        |  CAST(1 AS BIGINT) AS bpe_rt,
+        |  CAST(5 * doc_id + 3 AS BIGINT) AS qd
         |FROM n ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """WITH per AS (

@@ -77,7 +77,15 @@ object AvroCodec {
     val r = new DataFileReader(new java.io.File(path),
       new GenericDatumReader[GenericRecord]())
     new Iterator[AvroOrder] {
-      def hasNext: Boolean = { val h = r.hasNext; if (!h) r.close(); h }
+      // hasNext itself decodes the next block header — a corrupt
+      // sync/block boundary throws HERE, not in next(), so it gets
+      // the same close-before-rethrow treatment (advice r17: the r16
+      // leak fix covered only half the decode surface).
+      def hasNext: Boolean = {
+        val h = try r.hasNext catch { case t: Throwable => r.close(); throw t }
+        if (!h) r.close()
+        h
+      }
       // decode failures must not leak the handle (advice r16): close
       // before rethrowing — an abandoned early-stopped iterator still
       // leaks until GC, which is why bulk callers should prefer

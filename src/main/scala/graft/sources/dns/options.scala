@@ -41,7 +41,21 @@ final case class DnsSourceOptions(common: DnsCommonOptions,
     s"option 'estimated-zone-rows' must be > 0: $estimatedZoneRows")
 }
 
-final case class DnsSinkOptions(common: DnsCommonOptions)
+/** Sink options. The three row-level fields exist ONLY for SQL
+  * UPDATE/MERGE INTO (`SupportsRowLevelOperations`): a group-based
+  * rewrite must SCAN current zone state before writing replacements
+  * back, and the append-only write path has no zone list to scan —
+  * so `zones` names the operation's groups, and `fixed-timestamp-
+  * micros` / `scan-ttl` supply the two write-schema fields the server
+  * model does not store per record (the reference's A-record state is
+  * (name, ip) pairs — Xfr.java keeps no per-record timestamp or TTL).
+  * Plain appends/overwrites/deletes ignore all three. */
+final case class DnsSinkOptions(common: DnsCommonOptions,
+                                zones: Seq[String] = Nil,
+                                fixedTimestampMicros: Option[Long] = None,
+                                scanTtl: Int = DnsOptions.DefaultScanTtl) {
+  require(scanTtl >= 0, s"option 'scan-ttl' must be >= 0: $scanTtl")
+}
 
 object DnsOptions {
   val DefaultPort = 53
@@ -67,6 +81,11 @@ object DnsOptions {
     * reference's dnsjava role) — loopback-only in this zero-egress
     * build, but protocol-complete for the connector's record scope. */
   val DefaultClient = "inmemory"
+  /** TTL the row-level scan presents for current records: the server
+    * model stores A records as (name, ip) only (reference parity), so
+    * rows written back by UPDATE/MERGE carry this nominal TTL unless
+    * the statement assigns one. */
+  val DefaultScanTtl = 3600
 
   private def common(o: Map[String, String]): DnsCommonOptions =
     DnsCommonOptions(
@@ -111,7 +130,16 @@ object DnsOptions {
   def sink(javaMap: java.util.Map[String, String]): DnsSinkOptions =
     sink(lowerKeys(javaMap))
 
-  def sink(o: Map[String, String]): DnsSinkOptions = DnsSinkOptions(common(o))
+  def sink(o: Map[String, String]): DnsSinkOptions = DnsSinkOptions(
+    common = common(o),
+    // Same normalize/dedup as the source's zone list; OPTIONAL here —
+    // only row-level operations (UPDATE/MERGE) need it, and they fail
+    // loudly at scan build if it's absent (DnsRowLevel.scala).
+    zones = o.get("zones").toSeq
+      .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+      .map(Fqdn.normalize).distinct,
+    fixedTimestampMicros = o.get("fixed-timestamp-micros").map(_.toLong),
+    scanTtl = o.get("scan-ttl").map(_.toInt).getOrElse(DefaultScanTtl))
 
   private[dns] def lowerKeys(m: java.util.Map[String, String]): Map[String, String] =
     m.asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap

@@ -45,3 +45,26 @@ private[read] final class DnsTaskMetric(metricName: String, v: Long)
   override def name(): String = metricName
   override def value(): Long = v
 }
+
+/** Driver-visible counters for the STREAMING source's per-progress
+  * metrics (`ReportsSourceMetrics`, r17 verdict item 5) — the
+  * scan-level CustomMetrics above surface in the SQL UI per scan
+  * node, but `StreamingQueryProgress.sources[].metrics` is what a
+  * monitoring pipeline actually tails, and it is fed driver-side.
+  * Plain accumulators (the ZoneVersion precedent): executors add the
+  * same per-transfer numbers the task metrics report, Spark ships
+  * them at task success, replays/retries are idempotent only in the
+  * at-least-once sense every Spark accumulator has — acceptable for
+  * MONITORING counters, never used for progress/correctness. */
+final case class DnsStreamCounters(
+    records: org.apache.spark.util.LongAccumulator,
+    bytes: org.apache.spark.util.LongAccumulator,
+    fallbacks: org.apache.spark.util.LongAccumulator)
+
+object DnsStreamCounters {
+  def registered(sc: org.apache.spark.SparkContext): DnsStreamCounters =
+    DnsStreamCounters(
+      sc.longAccumulator("dns.stream.records"),
+      sc.longAccumulator("dns.stream.payloadBytes"),
+      sc.longAccumulator("dns.stream.ixfrFallbacks"))
+}

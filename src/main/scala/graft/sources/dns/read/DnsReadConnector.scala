@@ -508,13 +508,14 @@ final class DnsReaderFactory(opts: DnsSourceOptions, schema: StructType,
                              pushedAgg: Option[PushedCountAgg] = None,
                              pushedLimit: Option[Int] = None,
                              pushedTopN: Option[PushedTopN] = None,
-                             pushedOffset: Option[Int] = None)
+                             pushedOffset: Option[Int] = None,
+                             counters: Option[DnsStreamCounters] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DnsZoneInputPartition]
     new DnsPartitionReader(opts, schema, p, accs.get(p.zone), pushedAgg, pushedLimit,
-      pushedTopN, pushedOffset)
+      pushedTopN, pushedOffset, counters)
   }
 }
 
@@ -530,7 +531,8 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
                                pushedAgg: Option[PushedCountAgg] = None,
                                pushedLimit: Option[Int] = None,
                                pushedTopN: Option[PushedTopN] = None,
-                               pushedOffset: Option[Int] = None)
+                               pushedOffset: Option[Int] = None,
+                               counters: Option[DnsStreamCounters] = None)
   extends PartitionReader[InternalRow] {
 
   // Configuration errors (unknown client name) must always propagate;
@@ -582,6 +584,14 @@ final class DnsPartitionReader(opts: DnsSourceOptions, schema: StructType,
       } catch {
         case _: Exception if opts.ignoreFailures => Nil // swallow → empty zone (DnsZoneRDD.java:83-92)
       }
+    // Streaming per-progress counters ride accumulators to the driver
+    // (ReportsSourceMetrics) — same numbers as the task metrics; a
+    // swallowed-failure zone contributes zeros.
+    counters.foreach { c =>
+      c.records.add(metricRecords)
+      c.bytes.add(metricBytes)
+      c.fallbacks.add(metricFallbacks)
+    }
     // Pushed COUNT(*): the transfer ran above; ship count rows, not
     // record rows. Grouped-by-zone (complete pushdown) emits a group
     // row only when records exist — matching the row path, where an

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, ReportsSourceMetrics, SupportsTriggerAvailableNow}
 
 import graft.sources.dns._
 
@@ -130,9 +130,32 @@ final class ProgressLog(checkpointLocation: String, maxKept: Int) extends Serial
 final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
                                 schema: org.apache.spark.sql.types.StructType,
                                 checkpointLocation: String)
-  extends MicroBatchStream with SupportsTriggerAvailableNow {
+  extends MicroBatchStream with SupportsTriggerAvailableNow
+  with ReportsSourceMetrics {
 
   private val log = new ProgressLog(checkpointLocation, opts.maxKeptCommits)
+
+  /** Per-progress source metrics (`ReportsSourceMetrics`, r17 verdict
+    * item 5) — surfaced in `StreamingQueryProgress.sources[].metrics`,
+    * the stream a monitoring pipeline tails (the scan-level
+    * CustomMetrics are the per-node SQL-UI twin). Cumulative since
+    * stream construction: records/payload bytes/IXFR fallbacks ride
+    * [[DnsStreamCounters]] accumulators from the readers; zonesAdmitted
+    * counts driver-side when a trigger MINTS its offset — not at
+    * planInputPartitions, which Spark may invoke several times per
+    * batch (observed 4x under Trigger.Once). */
+  private val counters = DnsStreamCounters.registered(SparkSession.active.sparkContext)
+  private val zonesAdmittedTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("recordsTransferred", counters.records.value.toString)
+    m.put("payloadBytes", counters.bytes.value.toString)
+    m.put("ixfrFallbacks", counters.fallbacks.value.toString)
+    m.put("zonesAdmitted", zonesAdmittedTotal.get().toString)
+    m
+  }
 
   private val accs: Map[String, ZoneVersion] = {
     val sc = SparkSession.active.sparkContext
@@ -219,6 +242,7 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
         nonce += 1
         val order = zones.filter(rem) // stable option-list order
         val admitted = capped(order.size, order)
+        zonesAdmittedTotal.addAndGet(admitted.size.toLong)
         availableNowRemaining = Some(rem -- admitted)
         // ALWAYS carry the admitted set in a prepared pass: the
         // remaining zones must not be planned even when the limit
@@ -234,6 +258,8 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
             Some((0 until n).map(i => zones((from + i) % zones.size)))
           case _ => None // unlimited (or limit ≥ zone count): admit all
         }
+        zonesAdmittedTotal.addAndGet(
+          admitted.map(_.size).getOrElse(zones.size).toLong)
         lastMinted = DnsOffset(current.toMap, nonce, admitted)
         lastMinted
     }
@@ -268,7 +294,7 @@ final class DnsMicroBatchStream(opts: DnsSourceOptions, zones: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DnsReaderFactory(opts, schema, accs)
+    new DnsReaderFactory(opts, schema, accs, counters = Some(counters))
 
   private def persist(): Unit = {
     absorbAccumulators()

@@ -4,7 +4,7 @@ import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -51,21 +51,39 @@ final class DnsUpdateTableProvider extends TableProvider with DataSourceRegister
 }
 
 final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrite
-  with SupportsRead with SupportsDelete {
+  with SupportsRead with SupportsDelete with SupportsRowLevelOperations {
 
-  /** BATCH_READ is declared ONLY because the analyzer's capability
-    * check requires the DELETE target to be readable, and the
-    * optimizer's scan pushdown BUILDS a scan for the target before the
-    * metadata-only delete rewrite discards it. The scan therefore must
-    * build — but `toBatch` (which a DELETE never reaches) fails fast
-    * with the pointer, so an actual SELECT errors at physical planning
-    * instead of silently returning an empty or stale frame. Reads of
-    * zone state go through `format("dns")`, which needs the
-    * zones/organization options this sink doesn't have. */
+  /** SQL UPDATE / MERGE INTO / non-pushable DELETE — the group-based
+    * operation in [[DnsRowLevel]] (groups = the zones named in the
+    * table's `zones` option). Built unconditionally: the analyzer
+    * routes EVERY DELETE on a row-level table through this shape
+    * before `OptimizeMetadataOnlyDeleteFromTable` restores the
+    * [[deleteWhere]] metadata path for pushable predicates, so the
+    * zones requirement lives at scan materialization, not here. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new DnsRowLevelOperation(opts, info.command)
+
+  /** Without `zones`, BATCH_READ is declared ONLY because the
+    * analyzer's capability check requires the DELETE target to be
+    * readable, and the optimizer's scan pushdown BUILDS a scan for the
+    * target before the metadata-only delete rewrite discards it. The
+    * scan therefore must build — but `toBatch` (which a DELETE never
+    * reaches) fails fast with the pointer, so an actual SELECT errors
+    * at physical planning instead of silently returning an empty or
+    * stale frame; reads of zone state go through `format("dns")`.
+    *
+    * WITH `zones` (a row-level table), the scan is REAL: current zone
+    * state in the write schema ([[DnsRowLevelScan]]). It must be —
+    * Catalyst rewrites an insert-only MERGE into an anti-join of the
+    * source against THIS scan feeding a plain append, not through the
+    * row-level operation at all. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new org.apache.spark.sql.connector.read.Scan {
+        if (opts.zones.nonEmpty) new DnsRowLevelScan(opts)
+        else new org.apache.spark.sql.connector.read.Scan {
           override def readSchema(): StructType = DnsSchemas.write
           override def description(): String =
             "the dns_update sink is write/delete-only; read zone state via " +
@@ -141,11 +159,21 @@ final class DnsUpdateTable(opts: DnsSinkOptions) extends Table with SupportsWrit
 
   override def schema(): StructType = DnsSchemas.write
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.BATCH_READ, // analyzer precondition for DELETE FROM; see newScanBuilder
-      TableCapability.TRUNCATE, // SaveMode.Overwrite / INSERT OVERWRITE → zone-scoped wipe+add (ref ignores the flag — DnsSinkRelation.java:33-42; fixed here, SURVEY §2.3)
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava // columns are matched by name; extras ignored like the ref's bean decode
+      TableCapability.TRUNCATE) // SaveMode.Overwrite / INSERT OVERWRITE → zone-scoped wipe+add (ref ignores the flag — DnsSinkRelation.java:33-42; fixed here, SURVEY §2.3)
+    // ACCEPT_ANY_SCHEMA = the reference's lenient bean decode (columns
+    // matched by name, extras ignored) — but it also sets Catalyst's
+    // `skipSchemaResolution`, under which UPDATE/MERGE assignments are
+    // never aligned and the row-level rewrites never fire (the planner
+    // then reports "does not support UPDATE TABLE"). The two are
+    // mutually exclusive upstream, so the `zones` option — which
+    // row-level ops require anyway — is the switch: a zones table is
+    // strict-schema (SQL UPDATE/MERGE work), a zones-less table keeps
+    // the reference-parity lenient appends.
+    (if (opts.zones.isEmpty) base + TableCapability.ACCEPT_ANY_SCHEMA else base).asJava
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DnsWriteBuilder(opts, info.schema())

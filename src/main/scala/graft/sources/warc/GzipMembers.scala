@@ -35,7 +35,28 @@ object GzipMembers {
     * compressed offsets. `from` starts mid-stream at a member
     * boundary (the resume-point surface; member_idx then counts from
     * 0 at the resume point, offsets stay absolute). */
-  def split(bytes: Array[Byte], from: Int = 0): Seq[GzipMember] = {
+  def split(bytes: Array[Byte], from: Int = 0): Seq[GzipMember] =
+    split(bytes, from, Int.MaxValue)
+
+  /** The RANDOM-ACCESS entry point a CDX index drives: seek to a
+    * known member boundary and parse EXACTLY ONE member — the cost is
+    * that member's bytes, independent of file size (the point-read
+    * half of `q_warc_cdx`; equality with the sequential parse pinned
+    * in WarcGzSpec). Loud on a non-boundary offset like every other
+    * entry point. */
+  def first(bytes: Array[Byte], from: Int): GzipMember = {
+    val one = split(bytes, from, maxMembers = 1)
+    require(one.nonEmpty, s"gz: no member at offset $from") // from == bytes.length
+    one.head
+  }
+
+  private def split(bytes: Array[Byte], from: Int, maxMembers: Int): Seq[GzipMember] = {
+    // A resume offset outside the stream is a caller bug, not a
+    // boundary condition: negative would AIOOBE below, past-the-end
+    // would silently yield zero members — both must surface loudly
+    // like any non-boundary offset (advice r17).
+    require(from >= 0 && from <= bytes.length,
+      s"gz: resume offset $from out of range [0, ${bytes.length}]")
     val out = Seq.newBuilder[GzipMember]
     var pos = from
     var idx = 0L
@@ -45,7 +66,7 @@ object GzipMembers {
     }
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
-    while (pos < bytes.length) {
+    while (pos < bytes.length && idx < maxMembers) {
       val start = pos
       require(u8(pos) == 0x1F && u8(pos + 1) == 0x8B,
         s"gz: bad magic at byte $pos (not a member boundary)")

@@ -496,6 +496,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(s.contains("MapPartitions"), s) // inflate+verify+parse, one object seam
   }
 
+  test("q_warc_cdx: index build + point reads in ONE codec-seam pass — no join") {
+    val p = executed(graft.queries.Storage.qWarcCdx(spark, dir))
+    val s = p.toString
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("MapPartitions"), s) // split + index + seek in one object seam
+  }
+
+  test("q_unigram_tokens: native Viterbi expression in-plan, map-only below the sort") {
+    val p = executed(TextOps.qUnigramTokens(spark, dir))
+    val s = p.toString
+    assert(s.contains("unigram_encode"), s) // the DP expression really runs in-plan
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("Generate"), s) // cost ledger via HOFs, never an explode
+  }
+
+  test("q_fn_catalog: catalog calls collapse to native nodes — no V2 invocation shapes") {
+    val p = executed(TextOps.qFnCatalog(spark, dir))
+    val s = p.toString
+    assert(s.contains("nfc_normalize") && s.contains("strip_accents"), s)
+    assert(!s.contains("ApplyFunctionExpression"), s)
+    assert(!s.contains("Invoke"), s) // V2NativeFunctionRule fired for every call
+    assert(!s.contains("Join"), s)
+  }
+
   test("q_bpe_bytelevel / q_bpe_roundtrip: native byte expressions in-plan, map-only") {
     val p1 = executed(TextOps.qBpeBytelevel(spark, dir))
     val s1 = p1.toString

@@ -115,6 +115,54 @@ class StreamingReadSpec extends AnyFunSuite {
     assert(got.count() == 2)
   }
 
+  test("ReportsSourceMetrics: progress carries records/bytes/fallbacks/zones") {
+    // Two zones with known content; one Trigger.Once batch. The
+    // progress JSON's sources[0].metrics must carry the cumulative
+    // counters, and their values must match what the server actually
+    // served: 3 + 2 records, payloadBytes = Σ |fqdn|+|ip| (the
+    // transport-independent rdata bound DnsMetricsSpec pins for the
+    // scan-level twin), 2 zones admitted, zero fallbacks on a serial-0
+    // snapshot.
+    val port = 5405
+    InMemoryDnsServer.reset("t", port)
+    val srv = InMemoryDnsServer.at("t", port)
+    val recs1 = Seq(
+      ARecord("a.m1.acme.", "10.9.0.1"),
+      ARecord("b.m1.acme.", "10.9.0.2"),
+      ARecord("c.m1.acme.", "10.9.0.3"))
+    val recs2 = Seq(
+      ARecord("a.m2.acme.", "10.9.1.1"),
+      ARecord("b.m2.acme.", "10.9.1.2"))
+    srv.addZone("m1.acme.", recs1)
+    srv.addZone("m2.acme.", recs2)
+    val out = Files.createTempDirectory("dns-metrics-out").toString
+    val ck = Files.createTempDirectory("dns-metrics-ck").toString
+    val q = spark.readStream.format("dns")
+      .option("server", "t").option("port", port.toString)
+      .option("organization", "acme")
+      .option("zones", "m1.acme,m2.acme")
+      .option("fixed-timestamp-micros", "1723400000000000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination(180000)
+    val progresses = q.recentProgress
+    assert(progresses.nonEmpty, "no progress events recorded")
+    val withData = progresses.filter(_.numInputRows > 0)
+    assert(withData.nonEmpty, "no progress with rows")
+    val m = withData.last.sources(0).metrics
+    val expectedBytes = (recs1 ++ recs2)
+      .map(r => r.fqdn.getBytes("UTF-8").length + r.ip.getBytes("UTF-8").length)
+      .sum.toLong
+    assert(m.get("recordsTransferred") == "5", s"metrics were $m")
+    assert(m.get("payloadBytes") == expectedBytes.toString, s"metrics were $m")
+    assert(m.get("ixfrFallbacks") == "0", s"metrics were $m")
+    assert(m.get("zonesAdmitted") == "2", s"metrics were $m")
+  }
+
   test("progress log restores latest serials and retains maxKept commits") {
     import graft.sources.dns.read.ProgressLog
     val ck = Files.createTempDirectory("dns-progress").toString

@@ -58,6 +58,28 @@ class WarcGzSpec extends AnyFunSuite {
     }
   }
 
+  test("read-at-offset: first() reproduces each member and parses ONLY it") {
+    // the q_warc_cdx random-access contract: seeking to a CDX offset
+    // and parsing one member equals the sequential parse of that
+    // member — for EVERY boundary, including the last
+    val bytes = stream
+    val ms = GzipMembers.split(bytes)
+    ms.foreach { m =>
+      val one = GzipMembers.first(bytes, m.comp_offset.toInt)
+      assert(one.bytes.toSeq == m.bytes.toSeq, s"member ${m.member_idx} bytes")
+      assert(one.comp_len == m.comp_len, s"member ${m.member_idx} comp_len")
+      assert(one.comp_offset == m.comp_offset)
+      assert(one.member_idx == 0L, "idx counts from the resume point")
+    }
+    // stops after one member even with the rest of the stream behind it
+    assert(GzipMembers.first(bytes, 0).comp_len == ms.head.comp_len)
+    // out-of-range / end-of-stream offsets are loud
+    intercept[IllegalArgumentException](GzipMembers.first(bytes, bytes.length))
+    intercept[IllegalArgumentException](GzipMembers.first(bytes, -1))
+    intercept[IllegalArgumentException](GzipMembers.split(bytes, -1))
+    intercept[IllegalArgumentException](GzipMembers.split(bytes, bytes.length + 1))
+  }
+
   test("a NON-boundary offset fails loudly, not by resynchronizing") {
     val bytes = stream
     val e = intercept[IllegalArgumentException](GzipMembers.split(bytes, 3))

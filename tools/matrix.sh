@@ -36,15 +36,17 @@
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
-OUT=${1:-MATRIX_r17.json}
+OUT=${1:-MATRIX_r18.json}
 
 # The SF-independent allowance, one key per line (r17: + q_dns_ratelimit
-# and q_dns_available_now, pure-fixture admission-control lifecycles).
+# and q_dns_available_now, pure-fixture admission-control lifecycles;
+# r18: + q_dns_merge, pure-fixture MERGE INTO lifecycle).
 SF_INDEPENDENT="q_distinct_estimate
 q_dns_auto_broadcast
 q_dns_ignore_failures
 q_dns_ixfr
 q_dns_limit
+q_dns_merge
 q_dns_metadata_cols
 q_dns_offset
 q_dns_overwrite
