@@ -125,7 +125,12 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    (1 to 3).foreach { _ =>
+    // Default 3 passes = the driver contract; SPARK_GRAFT_BENCH_PASSES
+    // exists for the JIT-steady-state experiment (BASELINE.md r18): a
+    // 6-pass instrumented run shows whether late passes drop once
+    // jit_ms finally decays — the growing-suite drift attribution.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    (1 to passes).foreach { _ =>
       calibs += calibrate()
       val passKeys = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
       val (jit0, gc0) = (jitMs, gcMs)

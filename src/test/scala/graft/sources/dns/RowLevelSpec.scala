@@ -73,6 +73,30 @@ class RowLevelSpec extends AnyFunSuite {
     assert(srv.serialOf("u.rl.") == serial0 + 1)
   }
 
+  test("UPDATE SET fqdn renames a record — and a cross-zone rename into an unscanned zone is rejected") {
+    val srv = fresh(5610)
+    srv.addZone("rn.rl.", Seq(
+      ARecord("old.rn.rl.", "10.10.0.1"),
+      ARecord("keep.rn.rl.", "10.10.0.2")))
+    srv.addZone("other.rl.", Seq(ARecord("a.other.rl.", "10.10.1.1")))
+    val tbl = mkTable(5610, "rn.rl")
+    spark.sql(s"UPDATE $tbl SET fqdn = 'new.rn.rl.' WHERE fqdn = 'old.rn.rl.'")
+    assert(srv.lookup("old.rn.rl.").isEmpty, "old name gone (group replace)")
+    assert(srv.lookup("new.rn.rl.") == Seq("10.10.0.1"), "record carried its ip")
+    assert(srv.lookup("keep.rn.rl.") == Seq("10.10.0.2"))
+    // renaming INTO a zone outside the groups would silently append to
+    // an unscanned zone — the stray-zone check must fire first
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $tbl SET fqdn = 'new.other.rl.' WHERE fqdn = 'new.rn.rl.'")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("outside the table's zones option")),
+      s"expected stray-zone rejection, got: ${chain(e).mkString(" | ")}")
+    assert(srv.lookup("a.other.rl.") == Seq("10.10.1.1"), "unscanned zone untouched")
+  }
+
   test("non-pushable DELETE predicate takes the group path; empty group wipes") {
     val srv = fresh(5603)
     srv.addZone("g.rl.", Seq(
