@@ -129,7 +129,16 @@ object Bench {
     // exists for the JIT-steady-state experiment (BASELINE.md r18): a
     // 6-pass instrumented run shows whether late passes drop once
     // jit_ms finally decays — the growing-suite drift attribution.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$v'")
+      }
+      // 0 (or negative) would silently skip every timed pass and emit
+      // an all-failed (-1) result file (advice r18) — refuse loudly.
+      require(n >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $n")
+      n
+    }.getOrElse(3)
     (1 to passes).foreach { _ =>
       calibs += calibrate()
       val passKeys = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

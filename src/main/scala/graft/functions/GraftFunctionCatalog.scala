@@ -124,10 +124,29 @@ final case class GraftScalarFn(fnName: String, argTypes: Array[DataType],
   override def isResultNullable: Boolean = true
   override def canonicalName(): String = s"graft.fn.$fnName"
 
-  @transient private lazy val fallbackExpr: Expression =
-    toNative(argTypes.toSeq.zipWithIndex.map {
-      case (t, i) => BoundReference(i, t, nullable = true)
-    })
+  /** Fallback expression cache, keyed by the session conf fingerprint
+    * the native builders read (today: ANSI mode, which decides
+    * `quantized_dot`'s ragged-array semantics). A single frozen lazy
+    * val would capture whichever conf happened to be active when THIS
+    * singleton first evaluated — possibly an executor's defaults — and
+    * then serve that choice to every later session for the JVM's
+    * lifetime (advice r18). Re-reading per invocation and caching per
+    * flag keeps the fallback as cheap as the lazy val on a steady
+    * session while honoring a session that flips ANSI. */
+  @transient private var cachedFallback: (Boolean, Expression) = _
+  private def fallbackExpr: Expression = {
+    val ansi = SQLConf.get.ansiEnabled
+    var c = cachedFallback
+    if (c == null || c._1 != ansi) {
+      // toNative reads SQLConf.get itself where relevant — invoked
+      // here, under the caller's conf, never frozen at class init.
+      c = (ansi, toNative(argTypes.toSeq.zipWithIndex.map {
+        case (t, i) => BoundReference(i, t, nullable = true)
+      }))
+      cachedFallback = c
+    }
+    c._2
+  }
 
   /** Row-boxed fallback for sessions without [[GraftExtensions]]. */
   override def produceResult(input: InternalRow): Any = fallbackExpr.eval(input)

@@ -105,7 +105,17 @@ final class DnsZoneStateReaderFactory(opts: DnsSinkOptions)
         val records = client.transfer(p.zone, 0L, XfrType.AXFR,
           opts.common.timeoutSec) match {
           case AxfrResult(_, recs) => recs
-          case IxfrResult(_, _) => Seq.empty // serial-0 ⇒ AXFR contract
+          case r: IxfrResult =>
+            // A serial-0 request is an AXFR by contract (RFC 1995 §2);
+            // a delta reply here means the client or server broke it.
+            // Mapping it to "empty zone" would make the group-replace
+            // commit silently wipe every carryover record — fail loudly
+            // instead (advice r18; the repo's contract-violation
+            // discipline).
+            throw new IllegalStateException(
+              s"dns_update: zone ${p.zone} answered a serial-0 (full state) " +
+                s"scan with an IXFR delta (serial ${r.serial}) — " +
+                "refusing to treat a delta as zone state")
         }
         val ts = opts.fixedTimestampMicros.getOrElse(0L)
         records.iterator.map { r =>

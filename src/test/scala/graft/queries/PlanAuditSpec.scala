@@ -516,8 +516,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = executed(TextOps.qFnCatalog(spark, dir))
     val s = p.toString
     assert(s.contains("nfc_normalize") && s.contains("strip_accents"), s)
-    assert(!s.contains("ApplyFunctionExpression"), s)
-    assert(!s.contains("Invoke"), s) // V2NativeFunctionRule fired for every call
+    // Typed collection, not substring matching: `!contains("Invoke")`
+    // would also trip on unrelated StaticInvoke nodes Spark introduces
+    // for casts/object expressions in future plan shapes (advice r18).
+    // The pin is exactly the two V2 invocation shapes
+    // V2NativeFunctionRule must have collapsed.
+    val v2Shapes = collectNodes(p).flatMap(_.expressions).flatMap(_.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.ApplyFunctionExpression => a
+      case i: org.apache.spark.sql.catalyst.expressions.objects.Invoke => i
+    })
+    assert(v2Shapes.isEmpty,
+      s"V2 invocation shape survived optimization: ${v2Shapes.mkString(", ")}")
     assert(!s.contains("Join"), s)
   }
 
