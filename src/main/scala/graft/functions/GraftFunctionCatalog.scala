@@ -90,6 +90,8 @@ object GraftFunctionCatalog {
       cs => BpePretokenize(cs.head)),
     GraftScalarFn("unigram_encode", Array(StringType), StringType,
       cs => UnigramEncode(cs.head, UnigramEncode.Pieces)),
+    GraftScalarFn("wordpiece_encode", Array(StringType), StringType,
+      cs => WordpieceEncode(cs.head, WordpieceEncode.Vocab)),
     GraftScalarFn("quantized_dot",
       Array(ArrayType(LongType), ArrayType(LongType)), LongType,
       // ANSI read at rewrite time — the same moment the extension

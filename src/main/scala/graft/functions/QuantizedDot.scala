@@ -269,6 +269,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         UnigramEncode(children.head, pieces)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordpieceEncode].getName, "wordpiece_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "wordpiece_encode expects wordpiece_encode(word) or " +
+            "wordpiece_encode(word, 'piece;piece;…' spec literal)")
+        val vocab = if (children.size == 1) WordpieceEncode.Vocab else {
+          require(children(1).foldable,
+            "wordpiece_encode: the vocabulary spec must be a literal")
+          WordpieceEncode.parseSpec(String.valueOf(children(1).eval(null)))
+        }
+        WordpieceEncode(children.head, vocab)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_decode_bytes"),
       new ExpressionInfo(classOf[BpeDecodeBytes].getName, "bpe_decode_bytes"),
       (children: Seq[Expression]) => {
@@ -330,6 +344,15 @@ object GraftFunctions {
 
   def unigramEncode(w: Column, spec: String): Column =
     call_function("unigram_encode", w, org.apache.spark.sql.functions.lit(spec))
+
+  /** WordPiece greedy longest-match segmentation over the gated
+    * default vocabulary ([[WordpieceEncode.Vocab]]) — framed
+    * `|tok||##tok|` output, `|[UNK]|` for OOV words. */
+  def wordpieceEncode(w: Column): Column =
+    call_function("wordpiece_encode", w)
+
+  def wordpieceEncode(w: Column, spec: String): Column =
+    call_function("wordpiece_encode", w, org.apache.spark.sql.functions.lit(spec))
 
   /** The GPT-2 pretokenizer split ([[BpePretokenize]]) — pieces that
     * partition the text, each then byte-level encoded independently. */

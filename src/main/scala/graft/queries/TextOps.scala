@@ -189,6 +189,48 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Word source shared by the WordPiece gate's Spark side and (as
+    * [[WordpieceWordSqlDuck]]) its DuckDB oracle: each doc's first
+    * word, lowercased a–z, capped at 12 chars — the unigram gate's
+    * derivation — except every 31st doc, which PLANTS `quartz`: `q`
+    * has no vocabulary piece (bare or `##`), so the word forces the
+    * all-or-nothing `[UNK]` path at a known density. Real first words
+    * containing q/x/z exercise it too; the plant guarantees coverage
+    * at any SF. */
+  private val WordpieceWordSql =
+    "CASE WHEN doc_id % 31 = 0 THEN 'quartz' ELSE " +
+      "substring(regexp_replace(lower(split(text, ' ')[0]), '[^a-z]', ''), 1, 12) END"
+  private val WordpieceWordSqlDuck =
+    "CASE WHEN doc_id % 31 = 0 THEN 'quartz' ELSE " +
+      "substr(regexp_replace(lower(split_part(text, ' ', 1)), '[^a-z]', '', 'g'), 1, 12) END"
+
+  /** WordPiece (BERT-family) tokenization under the gate (r18 verdict
+    * item 3) — the third production tokenizer family, completing
+    * BPE + unigram. Each word runs the codegen'd
+    * [[graft.functions.WordpieceEncode]]: greedy longest-match-first
+    * over the `##`-continuation vocabulary riding the plan as a
+    * constant, whole-word `[UNK]` when any position has no match
+    * (every 31st doc plants `quartz` to force it). Gated facts per
+    * word: the framed token string, the token count, and the OOV
+    * flag; the DuckDB oracle replays the ENTIRE greedy walk as
+    * generated forward layers — longest-match via row_number over
+    * bare-length, the no-match NULL row becoming `[UNK]`
+    * ([[graft.functions.WordpieceEncode.oracleSql]]) — so a wrong
+    * greedy order, a partial cover, or a vocabulary drift each moves
+    * a gated column. Per-row map work inside whole-stage codegen;
+    * O(len · maxPieceLen) hash probes per word. */
+  def qWordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .selectExpr("doc_id", s"$WordpieceWordSql AS word")
+      .where(length($"word") > 0)
+      .selectExpr("doc_id", "word", "wordpiece_encode(word) AS toks")
+      .selectExpr("doc_id", "word", "toks",
+        "CAST(size(split(substring(toks, 2, length(toks) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_toks",
+        "CAST(toks = '|[UNK]|' AS BIGINT) AS is_unk")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus quality stats per (lang, source): doc/word/char volumes and
     * lexical-diversity ratio. Partial-aggregate-friendly groupBy on a
     * low-cardinality key — the canonical 100 TB-safe shape. */
@@ -2067,6 +2109,7 @@ object TextOps {
     "q_strip_accents" -> qStripAccents,
     "q_fn_catalog" -> qFnCatalog,
     "q_unigram_tokens" -> qUnigramTokens,
+    "q_wordpiece_tokens" -> qWordpieceTokens,
     "q_token_count" -> qTokenCount,
     "q_bpe_tokens" -> qBpeTokens,
     "q_bpe_encode_native" -> qBpeEncodeNative,
@@ -2378,6 +2421,11 @@ object TextOps {
     "q_unigram_tokens" -> graft.functions.UnigramEncode.oracleSql(
       "substr(regexp_replace(lower(split_part(text, ' ', 1)), '[^a-z]', '', 'g'), 1, 12)",
       maxWordLen = 12),
+    // The WordPiece oracle is fully generated layered SQL — the
+    // greedy longest-match walk with the no-match → [UNK] rule — see
+    // WordpieceEncode.oracleSql.
+    "q_wordpiece_tokens" -> graft.functions.WordpieceEncode.oracleSql(
+      WordpieceWordSqlDuck, maxWordLen = 12),
     // Catalog-surface twin gate: DuckDB's own nfc_normalize /
     // strip_accents answer the md5 columns; the same_* / bpe_rt
     // identities and the quantized_dot closed form (5*doc_id + 3) are
