@@ -280,6 +280,52 @@ object StreamingOps {
     s2.table("graft_stream_dedup")
    }.orderBy(col("user_id"), col("event_type"))
 
+  /** The BUILT-IN streaming dedup operator under the oracle gate
+    * (r18 verdict item 6): `dropDuplicatesWithinWatermark` over a
+    * 2-slice at-least-once landing — slice 1 delivers every event,
+    * slice 2 REDELIVERS the final hour's events (ts ≥ Jan 30 23:00Z,
+    * non-empty at every SF) as poisoned duplicates: same event_id and
+    * ts but value+1000 and event_type 'dup', so a duplicate that
+    * survives changes gated values, never just a count. After batch 1
+    * the watermark stands at max(ts)−2h; the duplicates' event times
+    * sit inside that horizon, so their first-occurrence state is
+    * still live (state expires at ts + delay, all ≥ Jan 31 01:00Z)
+    * and every redelivery is dropped — output = each event exactly
+    * once with its FIRST occurrence's payload, which is precisely the
+    * batch table the DuckDB oracle states. The eviction edge (a
+    * beyond-horizon redelivery re-emitting) is pinned in
+    * StreamingOpsSpec; `q_streaming_dedup` gates the
+    * flatMapGroupsWithState CUSTOM-state form of the same dedup.
+    * State is (event rate × horizon) per executor — bounded at any
+    * scale, the property that lets this run forever. */
+  def qStreamingDedupWm(s: SparkSession, dir: String): DataFrame =
+   stagedReplay(s, dir, "dedup_wm") {
+    import s.implicits._
+    val cutUs = 1706655600L * 1000000L // 2024-01-30T23:00:00Z
+    val landing = stagedLanding(s, dir, "dedup_wm") { raw =>
+      Seq(raw,
+        raw.filter(unix_micros($"ts") >= cutUs)
+          .withColumn("value", $"value" + 1000)
+          .withColumn("event_type", lit("dup")))
+    }
+    // NoTimeout on emission: first-seen rows emit in their data batch;
+    // the trailing no-data batch only evicts state — pure store-commit
+    // overhead in a replay-to-termination harness.
+    val s2 = replaySession(s)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = s2.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+        $"event_type", $"value")
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("graft_stream_dedup_wm").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(180000), "watermark-dedup stream did not terminate")
+    lastReplayProgress = q.recentProgress.toSeq
+    s2.table("graft_stream_dedup_wm")
+   }.orderBy(col("event_id"))
+
   /** Oracle-gated stream-stream interval join: [[purchaseErrorJoin]]
     * over the single-file replay. INNER stream-stream joins emit each
     * match as soon as both sides hold the rows (no watermark wait —
@@ -1435,6 +1481,7 @@ object StreamingOps {
     "q_streaming_hourly" -> qStreamingHourly,
     "q_streaming_sliding" -> qStreamingSliding,
     "q_streaming_dedup" -> qStreamingDedup,
+    "q_streaming_dedup_wm" -> qStreamingDedupWm,
     "q_streaming_late" -> qStreamingLate,
     "q_streaming_join" -> qStreamingJoin,
     "q_streaming_outer_join" -> qStreamingOuterJoin,
@@ -1459,6 +1506,7 @@ object StreamingOps {
     * output so downstream comparisons don't misread them. */
   val stagedReadbackKeys: Set[String] = Set(
     "q_streaming_hourly", "q_streaming_sliding", "q_streaming_dedup",
+    "q_streaming_dedup_wm",
     "q_streaming_late", "q_streaming_join", "q_streaming_outer_join",
     "q_cdc_stream", "q_tws_profile", "q_tws_sessions", "q_tws_lastk",
     "q_tws_counts", "q_tws_initial", "q_tws_state", "q_tws_metadata",
@@ -1479,6 +1527,14 @@ object StreamingOps {
         |  FROM events)
         |SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Batch first-touch truth for the built-in watermark dedup: every
+    // redelivery arrived inside the watermark horizon, so the output
+    // is each event exactly once with its FIRST payload — the raw
+    // table. A surviving duplicate adds a row AND flips event_type/
+    // value (the poison), so the hash breaks either way.
+    "q_streaming_dedup_wm" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // The late-drop contract, stated in batch SQL: only the early+recent
     // slices count (the middle slice arrived beyond the watermark and
     // was dropped), and only windows finalized by the final watermark

@@ -80,6 +80,63 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.groupBy($"event_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark: beyond-horizon redelivery re-emits (eviction edge)") {
+    import spark.implicits._
+    // The gate (q_streaming_dedup_wm) plants every duplicate INSIDE
+    // the watermark horizon, so all are dropped; this pins the other
+    // side of the contract — state is evicted once the watermark
+    // passes its expiry, after which a redelivery of the same key is
+    // indistinguishable from a new event and MUST re-emit (the
+    // operator guarantees dedup only within the horizon), while a
+    // redelivery below the watermark is dropped as late.
+    val d = java.nio.file.Files.createTempDirectory("events-dedupwm-evict")
+    val t0 = 1704067200L * 1000000L // 2024-01-01T00:00Z
+    val h = 3600L * 1000000L
+    def stage(rows: Seq[(Long, Long, Long, String, Double)],
+        name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dedupwm-slice")
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .select($"event_id", expr("timestamp_micros(ts_us)").as("ts"), $"user_id",
+          $"event_type", $"value", lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(d.toFile, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(mtime): Unit
+    }
+    stage(Seq((1L, t0, 10L, "a", 1.0), (2L, t0, 11L, "a", 1.0)),
+      "f1.parquet", 1700000000000L)
+    // watermark advancer: after this batch wm = t0+8h > the t0+2h
+    // expiry of ids 1/2
+    stage(Seq((3L, t0 + 10 * h, 12L, "a", 1.0)), "f2.parquet", 1700000060000L)
+    // a second advancer batch: eviction trails the watermark by a
+    // batch (the operator may over-dedup PAST the horizon — the
+    // guarantee is one-way), so give the evictor one batch at
+    // wm = t0+8h before the redelivery arrives
+    stage(Seq((4L, t0 + 10 * h + 60000000L, 12L, "a", 1.0)),
+      "f3.parquet", 1700000120000L)
+    // id 1 redelivered ABOVE the watermark with no state → re-emits;
+    // id 2 redelivered at its original (now-late) time → dropped late
+    stage(Seq((1L, t0 + 10 * h, 10L, "dup", 2.0), (2L, t0, 11L, "dup", 2.0)),
+      "f4.parquet", 1700000180000L)
+    val q = spark.readStream.schema(StreamingOps.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"event_type")
+      .writeStream.format("memory").queryName("dedupwm_evict")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "eviction-edge stream did not terminate")
+    val out = spark.table("dedupwm_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(
+      (1L, t0, "a"), (2L, t0, "a"), (3L, t0 + 10 * h, "a"),
+      (4L, t0 + 10 * h + 60000000L, "a"),
+      (1L, t0 + 10 * h, "dup")),
+      s"eviction edge mis-played: $out")
+  }
+
   test("stream-stream join under RocksDB: result-identical, state watermark-bounded") {
     import spark.implicits._
     // The stream-stream join is the operator with the LARGEST state
