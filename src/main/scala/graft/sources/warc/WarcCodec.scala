@@ -3,10 +3,18 @@ package graft.sources.warc
 /** One parsed WARC record, field names = gate output columns. The
   * payload travels as a decoded string (the fixture corpus is ASCII;
   * Content-Length is in BYTES and the slice happens before decode, so
-  * a UTF-8 corpus parses identically). */
+  * a UTF-8 corpus parses identically). `record_id` / `refers_to` /
+  * `payload_digest` carry the record-identity headers (ISO 28500
+  * §5.2/§5.11/§5.9) that make `revisit` records resolvable — empty
+  * when the record does not carry them (only `refers_to` and the
+  * digest are optional in real corpora; record ids are mandatory but
+  * the parser stays lenient on absence and lets the RESOLVER decide
+  * loudly, since a missing id only matters when something refers to
+  * the record). */
 final case class WarcRecord(
     file_id: Long, rec_idx: Long, warc_type: String, target_uri: String,
-    rec_offset: Long, content_length: Long, payload: String)
+    rec_offset: Long, content_length: Long, payload: String,
+    record_id: String = "", refers_to: String = "", payload_digest: String = "")
 
 /** A real ISO 28500 (WARC/1.0) record parser over concatenated record
   * bytes — the carrier format every public crawl corpus (Common Crawl
@@ -58,6 +66,9 @@ object WarcCodec {
       var typ = ""
       var uri = ""
       var clen = -1L
+      var recId = ""
+      var refersTo = ""
+      var digest = ""
       var line = readLine()
       while (line.nonEmpty) {
         val i = line.indexOf(':')
@@ -68,7 +79,10 @@ object WarcCodec {
           case "warc-type" => typ = v
           case "warc-target-uri" => uri = v
           case "content-length" => clen = v.toLong
-          case _ => () // record-id, content-type, ... — consumed, not projected
+          case "warc-record-id" => recId = v
+          case "warc-refers-to" => refersTo = v
+          case "warc-payload-digest" => digest = v
+          case _ => () // content-type, date, ... — consumed, not projected
         }
         line = readLine()
       }
@@ -84,7 +98,8 @@ object WarcCodec {
         s"warc[$fileId]: record at byte $off missing CRLFCRLF separator " +
           s"after declared Content-Length $clen")
       pos += 4
-      out += WarcRecord(fileId, idx, typ, uri, off.toLong, clen, payload)
+      out += WarcRecord(fileId, idx, typ, uri, off.toLong, clen, payload,
+        recId, refersTo, digest)
       idx += 1
     }
     out.result()
