@@ -734,6 +734,104 @@ object Storage {
       .orderBy($"file_id", $"member_idx")
   }
 
+  /** Stage the [[WarcFixture]] corpus as REAL record-per-member
+    * `.warc.gz` files on disk (f0..f7) with [[graft.sources.warc.CdxSidecar]]
+    * indexes beside them — the input `format("warc")` reads. Staged
+    * once per (JVM, SF) ([[Scratch.staged]]); content is byte-for-byte
+    * the `q_warc_gz` corpus, so the closed-form oracle carries over.
+    * Each executor task writes its files attempt-scoped and renames
+    * into place (the q_avro_roundtrip atomicity discipline). */
+  private def warcSourceCorpus(s: SparkSession, dir: String): java.io.File =
+    Scratch.staged("warc_source", dir) { b =>
+      import s.implicits._
+      import graft.sources.warc.{CdxSidecar, GzipMembers}
+      val d = t(s, dir, "documents")
+        .where(WarcFixture.asciiGuardSql)
+        .selectExpr(
+          "doc_id", "doc_id % 8 AS file_id",
+          s"${WarcFixture.respPayloadSql} AS rp",
+          s"${WarcFixture.reqPayloadSql} AS qp")
+      val resp = d.selectExpr("file_id", "doc_id", "1 AS kind",
+        s"${WarcFixture.respRecordSql} AS rec")
+      val req = d.where("doc_id % 4 = 0").selectExpr("file_id", "doc_id", "0 AS kind",
+        s"${WarcFixture.reqRecordSql} AS rec")
+      val base = b.getAbsolutePath
+      resp.unionByName(req)
+        .groupBy($"file_id")
+        .agg(expr("transform(array_sort(collect_list(struct(doc_id, kind, rec))), x -> x.rec)")
+          .as("recs"))
+        .select($"file_id".cast("long").as("file_id"), $"recs")
+        .as[(Long, Seq[String])]
+        .foreachPartition { (it: Iterator[(Long, Seq[String])]) =>
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          it.foreach { case (fid, recs) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            (WarcFixture.infoRecord +: recs).foreach(r =>
+              bos.write(GzipMembers.gzipMember(r.getBytes(utf8))))
+            val bytes = bos.toByteArray
+            val gz = new java.io.File(base, s"f$fid.warc.gz")
+            val gzTmp = new java.io.File(base, s"f$fid.warc.gz.attempt_$attempt")
+            java.nio.file.Files.write(gzTmp.toPath, bytes)
+            require(gzTmp.renameTo(gz), s"warc_source: rename failed for $gzTmp")
+            // the sidecar a crawl archive ships: built in the same
+            // sequential pass the q_warc_cdx gate verifies
+            val cdxTmp = new java.io.File(base, s"f$fid.warc.gz.cdx.attempt_$attempt")
+            CdxSidecar.write(cdxTmp, CdxSidecar.build(bytes))
+            require(cdxTmp.renameTo(CdxSidecar.fileFor(gz)),
+              s"warc_source: rename failed for $cdxTmp")
+          }
+        }
+    }
+
+  /** Derive the numeric file id the oracle groups by from the `file`
+    * NAME column (`f3.warc.gz` → 3) — names are the stable identity;
+    * absolute paths would embed per-JVM scratch roots in results. */
+  private val warcFileIdSql =
+    "CAST(regexp_extract(file, '^f(\\\\d+)\\\\.warc\\\\.gz$', 1) AS BIGINT) AS file_id"
+
+  /** `format("warc")` full scan (r18 verdict item 1): the crawl
+    * corpus read as a first-class DSv2 table
+    * ([[graft.sources.warc.read.WarcTableProvider]]) — one
+    * InputPartition per file running the codec seam where the bytes
+    * live — and gated against the SAME closed form as `q_warc_gz`:
+    * the connector path and the query-level path must be
+    * byte-indistinguishable. Scan-shape (8 whole-file partitions,
+    * zero point reads) pinned in WarcSourceSpec. */
+  def qWarcSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = warcSourceCorpus(s, dir)
+    s.read.format("warc").load(base.getAbsolutePath)
+      .selectExpr(warcFileIdSql, "member_idx", "warc_type", "target_uri",
+        "content_length", "md5(payload) AS payload_md5")
+      .orderBy($"file_id", $"member_idx")
+  }
+
+  /** Index-driven point reads under the gate: a pushed `target_uri`
+    * IN-predicate ([[graft.sources.warc.read.WarcScanBuilder]])
+    * consults each file's CDX sidecar at PLANNING time — only the two
+    * matching files plan partitions, and those partitions seek
+    * straight to the three matching members' offsets
+    * ([[graft.sources.warc.GzipMembers.first]]) instead of splitting
+    * the stream: the transfer/parse count is 3 members regardless of
+    * corpus size (counter-pinned in WarcSourceSpec, the
+    * `q_dns_zone_pruned` discipline; statistics shrink with the
+    * prune, the auto-broadcast payoff). Pushdown is pruning, never
+    * filtering — Spark re-evaluates the predicate above the scan, so
+    * an index lie could only cost I/O, not correctness. doc 40
+    * (request + response — every 31st... every 4th doc carries a
+    * request, and 40 ≡ 0 mod 4) and doc 3 (response only) exist at
+    * every SF. */
+  def qWarcSourcePruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = warcSourceCorpus(s, dir)
+    s.read.format("warc").load(base.getAbsolutePath)
+      .where($"target_uri".isin("http://example.com/doc/40", "http://example.com/doc/3"))
+      .selectExpr(warcFileIdSql, "member_idx", "warc_type", "target_uri",
+        "content_length", "md5(payload) AS payload_md5")
+      .orderBy($"file_id", $"member_idx")
+  }
+
   /** WARC `revisit` resolution (r18 verdict item 5) — the dedup-aware
     * crawl storage shape: a recrawl whose content was unchanged stores
     * a payload-less `revisit` record carrying `WARC-Refers-To` (the
@@ -808,6 +906,8 @@ object Storage {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_warc_source" -> qWarcSource,
+    "q_warc_source_pruned" -> qWarcSourcePruned,
     "q_warc_revisit" -> qWarcRevisit,
     "q_warc_cdx" -> qWarcCdx,
     "q_warc_gz" -> qWarcGz,
@@ -839,6 +939,61 @@ object Storage {
     // over its own emitted lengths) and point_ok = 1 on every 5th
     // member (the index-driven seek + parse-one read reproduced the
     // sequential digest; a wrong offset dies on the gzip magic check).
+    // The format("warc") oracle IS the q_warc_gz closed form (same
+    // corpus bytes, connector read path) minus the member-shape
+    // columns the gate doesn't project; the pruned twin filters the
+    // SAME construction to the two pushed URIs — the index-driven
+    // point reads must reproduce exactly what the sequential parse
+    // would have produced for those members.
+    "q_warc_source" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS file_id, text,
+         |             ${WarcFixture.respPayloadSql} AS rp,
+         |             ${WarcFixture.reqPayloadSql} AS qp
+         |           FROM documents),
+         |recs AS (
+         |  SELECT file_id, doc_id, 1 AS kind, 'response' AS warc_type,
+         |         ${WarcFixture.uriSql} AS target_uri,
+         |         ${WarcFixture.respRecordSql} AS rec, rp AS payload
+         |  FROM d
+         |  UNION ALL
+         |  SELECT file_id, doc_id, 0, 'request', ${WarcFixture.uriSql},
+         |         ${WarcFixture.reqRecordSql}, qp
+         |  FROM d WHERE doc_id % 4 = 0),
+         |o AS (SELECT *,
+         |        row_number() OVER (PARTITION BY file_id ORDER BY doc_id, kind) AS rn
+         |      FROM recs)
+         |SELECT file_id, CAST(0 AS BIGINT) AS member_idx,
+         |       'warcinfo' AS warc_type, '' AS target_uri,
+         |       CAST(${WarcFixture.infoPayload.length} AS BIGINT) AS content_length,
+         |       md5(${WarcFixture.sqlLit(WarcFixture.infoPayload)}) AS payload_md5
+         |FROM (SELECT DISTINCT file_id FROM d)
+         |UNION ALL
+         |SELECT file_id, CAST(rn AS BIGINT), warc_type, target_uri,
+         |       CAST(length(payload) AS BIGINT), md5(payload)
+         |FROM o
+         |ORDER BY file_id, member_idx""".stripMargin,
+    "q_warc_source_pruned" ->
+      s"""WITH d AS (SELECT doc_id, doc_id % 8 AS file_id, text,
+         |             ${WarcFixture.respPayloadSql} AS rp,
+         |             ${WarcFixture.reqPayloadSql} AS qp
+         |           FROM documents),
+         |recs AS (
+         |  SELECT file_id, doc_id, 1 AS kind, 'response' AS warc_type,
+         |         ${WarcFixture.uriSql} AS target_uri,
+         |         ${WarcFixture.respRecordSql} AS rec, rp AS payload
+         |  FROM d
+         |  UNION ALL
+         |  SELECT file_id, doc_id, 0, 'request', ${WarcFixture.uriSql},
+         |         ${WarcFixture.reqRecordSql}, qp
+         |  FROM d WHERE doc_id % 4 = 0),
+         |o AS (SELECT *,
+         |        row_number() OVER (PARTITION BY file_id ORDER BY doc_id, kind) AS rn
+         |      FROM recs)
+         |SELECT file_id, CAST(rn AS BIGINT) AS member_idx, warc_type, target_uri,
+         |       CAST(length(payload) AS BIGINT) AS content_length, md5(payload) AS payload_md5
+         |FROM o
+         |WHERE target_uri IN ('http://example.com/doc/40', 'http://example.com/doc/3')
+         |ORDER BY file_id, member_idx""".stripMargin,
     // The revisit oracle rebuilds all four record kinds closed-form:
     // responses/requests resolve to their OWN payload md5, revisits
     // resolve to the REFERRED response's payload md5 with digest_ok=1

@@ -512,6 +512,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Generate"), s) // cost ledger via HOFs, never an explode
   }
 
+  test("q_warc_source_pruned: uri predicate pushed to the warc scan, partitions pruned") {
+    val df = Storage.qWarcSourcePruned(spark, dir)
+    val p = executed(df)
+    val s = p.toString
+    assert(s.contains("PushedPredicates"), s) // index-driven point reads planned
+    val scans = collectNodes(p).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // 2 of 8 files survive planning — the pruned partition count is
+    // the plan-level fact (member-level point-read counts are pinned
+    // in WarcSourceSpec)
+    assert(scans.head.inputRDD.getNumPartitions == 2, s)
+  }
+
   test("q_fn_catalog: catalog calls collapse to native nodes — no V2 invocation shapes") {
     val p = executed(TextOps.qFnCatalog(spark, dir))
     val s = p.toString
