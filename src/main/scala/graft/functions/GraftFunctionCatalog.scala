@@ -97,7 +97,10 @@ object GraftFunctionCatalog {
       // ANSI read at rewrite time — the same moment the extension
       // registration reads it for the bare-name form.
       cs => QuantizedDot(cs.head, cs(1), SQLConf.get.ansiEnabled)),
-  ).map(f => f.fnName -> (f: UnboundFunction)).toMap
+  ).map(f => f.fnName -> (f: UnboundFunction)).toMap ++
+    // the V2 AggregateFunction surface (GraftAggCatalog.scala):
+    // top_k / min_k / bitset_agg — the typed Aggregators' catalog form
+    GraftAggFns.Functions
 }
 
 /** One catalog function: unbound + bound in one object (the arity and

@@ -294,6 +294,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // same native expression nodes the bare-name registrations above
     // build — plan-identity between the two surfaces (q_fn_catalog).
     ext.injectOptimizerRule(_ => V2NativeFunctionRule)
+    // ... and the aggregate shape (V2Aggregator → ScalaAggregator),
+    // making graft.fn.top_k/min_k/bitset_agg plan-identical to the
+    // functions.udaf twins (GraftAggCatalog.scala).
+    ext.injectOptimizerRule(_ => V2NativeAggRule)
   }
 }
 

@@ -189,6 +189,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** The V2 `AggregateFunction` catalog surface under the gate (r18
+    * verdict item 2): `graft.fn.top_k` / `graft.fn.min_k` — the typed
+    * Aggregators ([[graft.functions.TopKAgg]]/[[graft.functions.MinKAgg]])
+    * resolved through [[graft.functions.GraftFunctionCatalog]] instead
+    * of a `functions.udaf` call site. [[graft.functions.V2NativeAggRule]]
+    * collapses the analyzer's V2Aggregator wrapper onto the SAME
+    * ScalaAggregator node the udaf twin plans (plan-shape identity +
+    * partial-agg legality asserted in AggCatalogSpec), so the catalog
+    * surface inherits the map-side combine that makes arg-top-k scale
+    * (shuffle volume = groups × k, the q_topk_per_group story). The
+    * oracle answers top-3 with the window form (the same closed form
+    * q_topk_per_group pins, including the score-DESC/id-ASC
+    * tie-break) and min-4 with an ordered-list slice — so a rewrite
+    * that broke ordering, trimming, or the merge law moves a gated
+    * column. */
+  def qFnAggCatalog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.functions.GraftFunctionCatalog].getName)
+    Tables.t(s, dir, "part")
+      .groupBy($"p_brand")
+      .agg(
+        expr("graft.fn.top_k(p_partkey, CAST(round(p_retailprice * 100) AS BIGINT), 3)")
+          .as("tops"),
+        expr("graft.fn.min_k(CAST(round(p_retailprice * 100) AS BIGINT), 4)")
+          .as("mins"))
+      .select($"p_brand", posexplode($"tops"),
+        expr("array_join(transform(mins, x -> CAST(x AS STRING)), ',')").as("mins_csv"))
+      .select($"p_brand", ($"pos" + 1).cast("long").as("rn"),
+        $"col._1".as("p_partkey"), $"col._2".as("price_cents"), $"mins_csv")
+      .orderBy($"p_brand", $"rn")
+  }
+
   /** Word source shared by the WordPiece gate's Spark side and (as
     * [[WordpieceWordSqlDuck]]) its DuckDB oracle: each doc's first
     * word, lowercased a–z, capped at 12 chars — the unigram gate's
@@ -2108,6 +2141,7 @@ object TextOps {
     "q_unicode_normalize" -> qUnicodeNormalize,
     "q_strip_accents" -> qStripAccents,
     "q_fn_catalog" -> qFnCatalog,
+    "q_fn_agg_catalog" -> qFnAggCatalog,
     "q_unigram_tokens" -> qUnigramTokens,
     "q_wordpiece_tokens" -> qWordpieceTokens,
     "q_token_count" -> qTokenCount,
@@ -2426,6 +2460,22 @@ object TextOps {
     // WordpieceEncode.oracleSql.
     "q_wordpiece_tokens" -> graft.functions.WordpieceEncode.oracleSql(
       WordpieceWordSqlDuck, maxWordLen = 12),
+    // Catalog-aggregate twin gate: top-3 answered by the window form
+    // (the q_topk_per_group closed form, same tie-break), min-4 by an
+    // ordered-list slice (duplicates kept — the MinKAgg contract).
+    "q_fn_agg_catalog" ->
+      """WITH p AS (SELECT p_brand, p_partkey,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+        |r AS (SELECT p_brand, p_partkey, cents,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY cents DESC, p_partkey) AS rn FROM p),
+        |m AS (SELECT p_brand,
+        |    array_to_string((list(cents ORDER BY cents))[1:4], ',') AS mins_csv
+        |  FROM p GROUP BY p_brand)
+        |SELECT r.p_brand, CAST(rn AS BIGINT) AS rn, p_partkey,
+        |  cents AS price_cents, mins_csv
+        |FROM r JOIN m USING (p_brand)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
     // Catalog-surface twin gate: DuckDB's own nfc_normalize /
     // strip_accents answer the md5 columns; the same_* / bpe_rt
     // identities and the quantized_dot closed form (5*doc_id + 3) are
