@@ -78,6 +78,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // recognize the dns scan's KeyGroupedPartitioning (storage-partitioned joins)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // The generated-class cache (CodeGenerator.cache) defaults to 100
+      // entries; this suite plans ~216 keys × several codegen units per
+      // pass (~1k+ distinct generated sources), so at the default every
+      // pass evicts everything and re-Janino-compiles the whole suite —
+      // the ~45-75 s/pass of HotSpot JIT churn the r18 instrumentation
+      // measured (BASELINE.md). Sized to hold the whole suite, repeat
+      // passes cache-hit instead (static conf — must be set at builder
+      // time). Measured effect recorded in BASELINE.md r19.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

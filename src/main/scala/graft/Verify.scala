@@ -27,6 +27,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // recognize the dns scan's KeyGroupedPartitioning (storage-partitioned joins)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // suite-sized generated-class cache (see Bench.scala — the
+      // 100-entry default thrashes at 216 keys and re-compiles every
+      // plan every pass)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

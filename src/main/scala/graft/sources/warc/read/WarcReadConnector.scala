@@ -169,9 +169,9 @@ final class WarcScanBuilder(path: String) extends ScanBuilder
 /** One planned slice of one file: either the whole file (sequential
   * member split — `points` empty, the no-index / no-predicate path)
   * or the index-driven point reads (`points` = matching members'
-  * (member_idx, comp_offset)). */
+  * (member_idx, comp_offset, comp_len) from the sidecar). */
 final case class WarcInputPartition(fileName: String, filePath: String,
-    points: Seq[(Long, Long)], whole: Boolean) extends InputPartition
+    points: Seq[(Long, Long, Long)], whole: Boolean) extends InputPartition
 
 final class WarcScan(path: String, schema: StructType,
     wantedUris: Option[Set[String]], pushedPreds: Array[Predicate])
@@ -199,7 +199,7 @@ final class WarcScan(path: String, schema: StructType,
     wantedUris match {
       case Some(uris) if sidecar.exists() =>
         val points = CdxSidecar.read(sidecar).zipWithIndex.collect {
-          case (e, i) if uris.contains(e.uri) => (i.toLong, e.compOffset)
+          case (e, i) if uris.contains(e.uri) => (i.toLong, e.compOffset, e.compLen)
         }
         if (points.isEmpty) None
         else Some(WarcInputPartition(f.getName, f.getAbsolutePath, points, whole = false))
@@ -246,26 +246,48 @@ final class WarcReaderFactory(schema: StructType) extends PartitionReaderFactory
     new WarcPartitionReader(schema, partition.asInstanceOf[WarcInputPartition])
 }
 
-/** Executor-side reader: reads the file's bytes once (at 100 TB this
-  * is the distributed-FS stream of exactly this file — the same
-  * one-task-per-file seam as every WARC gate), then either splits
-  * members sequentially (whole-file scan) or seeks straight to the
-  * planned offsets ([[GzipMembers.first]] — one member's bytes per
-  * point, the CDX payoff). Only the pruned columns materialize. */
+/** Executor-side reader. Whole-file mode streams the file's bytes
+  * once and splits members sequentially (the one-task-per-file codec
+  * seam every WARC gate runs). Point mode NEVER reads the whole file:
+  * it seeks to each planned member's `comp_offset` and reads exactly
+  * `comp_len` bytes (the sidecar carries both), so a point read costs
+  * one member's I/O regardless of file size — the CDX payoff, and at
+  * 100 TB the ranged GET a distributed FS serves. The member's own
+  * header/CRC verification still runs on the slice, so a lying index
+  * fails loudly at the gzip magic check, never by mis-parsing. Only
+  * the pruned columns materialize. */
 final class WarcPartitionReader(schema: StructType, p: WarcInputPartition)
   extends PartitionReader[InternalRow] {
 
   private val rows: Iterator[InternalRow] = {
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(p.filePath))
-    WarcSourceCounters.filesOpened.incrementAndGet()
     val fileId = 0L // file identity rides the `file` column, not the parse
     val members: Iterator[(Long, graft.sources.warc.GzipMember)] =
-      if (p.whole)
+      if (p.whole) {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.filePath))
+        WarcSourceCounters.filesOpened.incrementAndGet()
         GzipMembers.split(bytes).iterator.map(m => (m.member_idx, m))
-      else p.points.iterator.map { case (idx, off) =>
-        WarcSourceCounters.pointReads.incrementAndGet()
-        (idx, GzipMembers.first(bytes, off.toInt))
+      } else {
+        WarcSourceCounters.filesOpened.incrementAndGet()
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(p.filePath),
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          p.points.map { case (idx, off, len) =>
+            WarcSourceCounters.pointReads.incrementAndGet()
+            val slice = java.nio.ByteBuffer.allocate(len.toInt)
+            var read = 0
+            while (read < len && ch.read(slice, off + read) >= 0)
+              read = slice.position()
+            require(read == len,
+              s"warc[${p.fileName}]: short read at offset $off (want $len, got $read)")
+            val m = GzipMembers.first(slice.array(), 0)
+            require(m.comp_len == len,
+              s"warc[${p.fileName}]: index comp_len $len != parsed ${m.comp_len} at $off")
+            // re-stamp the ABSOLUTE offset: the slice parse sees 0
+            (idx, m.copy(comp_offset = off))
+          }.iterator
+        } finally ch.close()
       }
     members.flatMap { case (idx, m) =>
       WarcSourceCounters.membersParsed.incrementAndGet()

@@ -36,7 +36,7 @@
 set -u
 cd /root/repo
 BASE=/tmp/graft_matrix
-OUT=${1:-MATRIX_r18.json}
+OUT=${1:-MATRIX_r19.json}
 
 # The SF-independent allowance, one key per line (r17: + q_dns_ratelimit
 # and q_dns_available_now, pure-fixture admission-control lifecycles;
