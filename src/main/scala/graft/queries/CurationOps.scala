@@ -309,8 +309,14 @@ object CurationOps {
     import s.implicits._
     val tok = docs(s, dir)
       .select($"doc_id", explode(expr(Hashing.wordHashSql)).as("th"))
+    // The postings ARE the index — build them in ONE tokenize pass and
+    // materialize (r19: post, dl and df each re-derived the token
+    // stream, 5 FileScans of documents in the executed plan). Document
+    // length is Σ tf over the doc's postings — no second token pass —
+    // and df is a rollup of the same materialized frame.
     val post = tok.groupBy($"th", $"doc_id").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
+    val dl = post.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val nn = dl.agg(count(lit(1)).as("n"),
       expr("sum(dl) DIV count(1)").as("avgdl"))
     val df = post.groupBy($"th").agg(count(lit(1)).as("df"))
@@ -352,7 +358,20 @@ object CurationOps {
     * (query, doc, pos+1). Candidates bound every stage: the adjacency
     * join's sides are term-df-sized, never corpus-sized.
     */
-  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+  /** The role-tagged phrase-term pull, PRE-checkpoint — one broadcast
+    * equi-join on the term hash over the positional postings, so the
+    * pulled volume is ∝ df of the phrase terms. Exposed separately so
+    * PlanAuditSpec audits this exact shape (qPhraseSearch checkpoints
+    * it, which truncates the lineage to an RDD scan). */
+  private[queries] def phrasePullPlan(tokpos: DataFrame, ph: DataFrame): DataFrame = {
+    val phTerms = ph.select(col("query_id"), col("th1").as("pth"), lit(1).as("role"))
+      .unionByName(ph.select(col("query_id"), col("th2").as("pth"), lit(2).as("role")))
+    tokpos.join(broadcast(phTerms), tokpos("th") === col("pth"))
+      .select(col("query_id"), col("role"), col("doc_id"), col("pos"))
+  }
+
+  /** [[qPhraseSearch]]'s two input frames, shared with the plan audit. */
+  private[queries] def phraseInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val tokpos = docs(s, dir)
       .select($"doc_id", posexplode(expr(Hashing.wordHashSql)).as(Seq("pos", "th")))
@@ -367,10 +386,23 @@ object CurationOps {
         expr(s"element_at(${Hashing.wordHashSql}, 1)").as("th1"),
         expr(s"element_at(${Hashing.wordHashSql}, 2)").as("th2"))
       .distinct()
-    val m1 = tokpos.join(broadcast(ph.select($"query_id", $"th1")),
-      tokpos("th") === $"th1").select($"query_id", $"doc_id", $"pos")
-    val m2 = tokpos.join(broadcast(ph.select($"query_id", $"th2")),
-      tokpos("th") === $"th2")
+    (tokpos, ph)
+  }
+
+  def qPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tokpos, ph) = phraseInputs(s, dir)
+    // Both term pulls ride ONE tokenize pass: the phrase terms join
+    // the positional postings once with a role tag (r19: m1 and m2
+    // each re-tokenized the corpus — 4 FileScans in the executed
+    // plan), and the df-sized match frame is checkpointed so the two
+    // role filters below don't replay the pull. Work stays ∝ df of
+    // the phrase terms. The pull shape itself (keyed on th, broadcast
+    // terms) is audited on [[phrasePullPlan]] — the checkpoint hides
+    // it behind an RDD scan in the final plan.
+    val m = phrasePullPlan(tokpos, ph).localCheckpoint()
+    val m1 = m.filter($"role" === 1).select($"query_id", $"doc_id", $"pos")
+    val m2 = m.filter($"role" === 2)
       .select($"query_id".as("q2"), $"doc_id".as("d2"), ($"pos" - 1).as("p2"))
     m1.join(m2, $"query_id" === $"q2" && $"doc_id" === $"d2" && $"pos" === $"p2")
       .groupBy($"query_id", $"doc_id")

@@ -733,11 +733,20 @@ object PipelineOps {
     * deployment shape, not this demo plan. */
   def qBloomGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // One fingerprint pass feeds BOTH gate sides: the corpus/batch
+    // split is on the DERIVED bucket column, so neither side's filter
+    // can prune the parquet scan — un-materialized, each consumer
+    // re-scanned and re-hashed every doc (5 FileScans in the r19
+    // executed plan). The corpus fingerprint table (the standing dedup
+    // index) is materialized too: the bloom build and the exact verify
+    // join both read it.
     val fp = docs(s, dir)
       .select($"doc_id", $"lang", bucket.as("b"),
         expr(Hashing.prefixFingerprintSql(8)).as("fingerprint"))
+      .localCheckpoint()
     val corpus = fp.filter($"b" < 80)
       .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing"))
+      .localCheckpoint()
     val bitset = udaf(new graft.functions.BitSetAgg(BloomBits))
     val bloom = corpus
       .select(explode(array((0 until BloomK).map(i => expr(bloomPosSql(i))): _*)).as("pos"))
@@ -812,11 +821,20 @@ object PipelineOps {
     def bucketJ(j: Int) =
       expr(s"CAST(conv(substring(md5(token), ${8 * j + 1}, 8), 16, 10) AS BIGINT) % $W")
     val buckets = array((0 until 4).map(bucketJ): _*)
-    val sketch = toks.select(posexplode(buckets).as(Seq("j", "bucket")))
-      .groupBy($"j", $"bucket").agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy($"token").agg(count(lit(1)).as("true_count"))
-      .orderBy($"true_count".desc, $"token").limit(20)
-    val n = toks.agg(count(lit(1)).as("n_tokens"))
+    // ONE tokenize pass: the token-count table (vocab-cardinality,
+    // checkpointed) is a sufficient statistic for everything here —
+    // each CMS cell is Σ true_count over the tokens hashing into it,
+    // the heavy hitters are its top rows, and the stream length is
+    // Σ true_count. The r19 shape re-exploded the full token STREAM
+    // per consumer (3 FileScans) and ran the 4 md5 bucket hashes once
+    // per token INSTANCE; now they run once per distinct token.
+    val tokCounts = toks.groupBy($"token").agg(count(lit(1)).as("true_count"))
+      .localCheckpoint()
+    val sketch = tokCounts.select($"true_count",
+        posexplode(buckets).as(Seq("j", "bucket")))
+      .groupBy($"j", $"bucket").agg(sum($"true_count").as("cell"))
+    val top = tokCounts.orderBy($"true_count".desc, $"token").limit(20)
+    val n = tokCounts.agg(sum($"true_count").as("n_tokens"))
     top.select($"token", $"true_count", posexplode(buckets).as(Seq("j", "bucket")))
       .join(sketch, Seq("j", "bucket"))
       .groupBy($"token", $"true_count")
@@ -854,10 +872,14 @@ object PipelineOps {
           .as("nstop"),
         md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"),
         bucket.as("b"))
+    // quality survivors feed the canon agg AND the semi-join side —
+    // materialize the (text-free, per-doc metadata) frame once instead
+    // of re-running the stopword filter + md5 scan per consumer
     val quality = stats
       .filter($"nw" >= 20)
       .withColumn("stop_bp", expr("(10000 * nstop) DIV nw"))
       .filter($"stop_bp" >= 500)
+      .localCheckpoint()
     val canon = quality.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = quality.join(canon.select($"doc_id"), Seq("doc_id"), "left_semi")
     val nearDupDrops = graft.queries.TextOps.nearDupPairs(s, dir)
@@ -949,16 +971,9 @@ object PipelineOps {
     * instances across docs, and merge diagonal runs into maximal
     * spans. Returns one row per (doc_a, doc_b, span) with `n_win`
     * (windows in the span) and `span_words` (= n_win + k − 1). */
-  private def sharedSpanFrame(s: SparkSession, dir: String, k: Int): DataFrame = {
+  private def sharedSpanFrame(s: SparkSession, base: DataFrame, k: Int): DataFrame = {
     import s.implicits._
-    val win = docs(s, dir)
-      .select($"doc_id", expr(s"$wordHashSql").as("hs"))
-      // loud guard for the oracle's unroll bound (the generated k=8/k=4
-      // chains enumerate positions with generate_series) — see
-      // [[Hashing.WordUnrollCap]]
-      .filter(expr(s"coalesce(assert_true(size(hs) <= ${Hashing.WordUnrollCap}, " +
-        s"'q_shared_spans: doc exceeds Hashing.WordUnrollCap=${Hashing.WordUnrollCap} words; " +
-        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)"))
+    val win = base
       .filter(size($"hs") >= k)
       .select($"doc_id", posexplode(expr(
         s"""transform(sequence(0, size(hs) - $k),
@@ -982,7 +997,25 @@ object PipelineOps {
 
   def qSharedSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val main = sharedSpanFrame(s, dir, 8)
+    // The tokenized (doc_id, hs) base feeds both tier passes (k=8 and
+    // k=4), and inside each pass both self-join sides — four
+    // scan+tokenize replays in the r19 executed plan (the whash
+    // ReusedExchange the pair stage relies on at scale cannot fire
+    // locally, where the build side becomes a BroadcastExchange). One
+    // localCheckpoint = one pass of the split/md5 word-hash work; the
+    // per-tier shingle explodes then read the materialized arrays.
+    // The WordUnrollCap guard rides the base, so it still fails loudly
+    // exactly once per oversized doc.
+    val base = docs(s, dir)
+      .select($"doc_id", expr(s"$wordHashSql").as("hs"))
+      // loud guard for the oracle's unroll bound (the generated k=8/k=4
+      // chains enumerate positions with generate_series) — see
+      // [[Hashing.WordUnrollCap]]
+      .filter(expr(s"coalesce(assert_true(size(hs) <= ${Hashing.WordUnrollCap}, " +
+        s"'q_shared_spans: doc exceeds Hashing.WordUnrollCap=${Hashing.WordUnrollCap} words; " +
+        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)"))
+      .localCheckpoint()
+    val main = sharedSpanFrame(s, base, 8)
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_spans"),
         sum($"n_win").as("n_shared_windows"),
@@ -1006,7 +1039,7 @@ object PipelineOps {
     // pass. On this corpus the tiers select DISJOINT pair sets: the
     // near-dup pairs share one long region, the tail pairs share
     // short phrases. Growth per tier measured in SCALE.md at 10x.
-    val tail = sharedSpanFrame(s, dir, 4)
+    val tail = sharedSpanFrame(s, base, 4)
       .filter($"span_words" <= 15)
       .withColumn("tier",
         when($"span_words" >= 6, lit("tail")).otherwise(lit("tail_noise")))
@@ -1265,6 +1298,15 @@ object PipelineOps {
     * distinct per source by construction). */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The distinct (source, whash) shingle frame feeds FOUR consumers
+    // (per-source counts, the bottom-K sketch, and both sides of the
+    // exact-intersection self-join). Un-materialized, each consumer
+    // replays the scan + tokenize + trigram explode + distinct — the
+    // r19 executed plan showed SIX FileScans of documents.parquet, i.e.
+    // six passes of the expensive text work per run. One
+    // localCheckpoint makes it one pass; the frame itself is the
+    // distinct shingle set (far smaller than the exploded stream), the
+    // same edge-cardinality materialization discipline as the CC loop.
     val w = docs(s, dir)
       .select($"source", expr(s"$wordHashSql").as("hs"))
       .filter(size($"hs") >= 3)
@@ -1273,7 +1315,7 @@ object PipelineOps {
           |  i -> aggregate(slice(hs, i + 1, 3), CAST(0 AS BIGINT),
           |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
         .as("whash"))
-      .distinct()
+      .distinct().localCheckpoint()
     val counts = w.groupBy($"source").agg(count(lit(1)).as("n"))
     val rk = Window.partitionBy($"source").orderBy($"whash")
     val sk = w.withColumn("rn", row_number().over(rk)).filter($"rn" <= 64)

@@ -846,36 +846,58 @@ object Relational {
     def verdict(df: DataFrame): DataFrame =
       df.select($"constraint", $"violations",
         when($"violations" === 0L, "PASS").otherwise("FAIL").as("status"))
-    val unique = orders.agg(
-      (count(lit(1)) - countDistinct($"o_orderkey")).as("violations"))
+    // The three non-distinct scan-local rules share ONE aggregation
+    // pass (r19: the union-of-single-rule-aggs shape scanned orders
+    // five times — two full scans more than the arithmetic needs at
+    // 100 TB); stack() unpivots the 1-row result back into the
+    // per-rule rows. The uniqueness rule is the duplicate count
+    // Σ_key (cnt − 1) over its own keyed partial agg — same value as
+    // count(1) − countDistinct(key) without either a second rollup
+    // input or the mixed distinct/non-distinct Expand rewrite (2× the
+    // scan rows through the aggregate). Referential integrity keeps
+    // its LEFT ANTI join — the one rule that genuinely needs a second
+    // input.
+    val scanRules = orders.agg(
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("custkey_complete"),
+      sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L)).as("totalprice_positive"),
+      sum(when(!$"o_orderstatus".isin("O", "F"), 1L).otherwise(0L))
+        .as("orderstatus_legacy_domain"))
+      .select(expr(
+        """stack(3,
+          |  'custkey_complete', custkey_complete,
+          |  'totalprice_positive', totalprice_positive,
+          |  'orderstatus_legacy_domain', orderstatus_legacy_domain
+          |) AS (constraint, violations)""".stripMargin))
+    val unique = orders.groupBy($"o_orderkey")
+      .agg((count(lit(1)) - 1L).as("dups"))
+      .agg(coalesce(sum($"dups"), lit(0L)).as("violations"))
       .select(lit("orderkey_unique").as("constraint"), $"violations")
-    val complete = orders.agg(
-      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("violations"))
-      .select(lit("custkey_complete").as("constraint"), $"violations")
     val referential = orders
       .join(t(s, dir, "customer").select($"c_custkey"),
         $"o_custkey" === $"c_custkey", "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("custkey_referential").as("constraint"), $"violations")
-    val positive = orders.agg(
-      sum(when($"o_totalprice" <= 0.0, 1L).otherwise(0L)).as("violations"))
-      .select(lit("totalprice_positive").as("constraint"), $"violations")
-    val domain = orders.agg(
-      sum(when(!$"o_orderstatus".isin("O", "F"), 1L).otherwise(0L)).as("violations"))
-      .select(lit("orderstatus_legacy_domain").as("constraint"), $"violations")
-    verdict(unique.unionAll(complete).unionAll(referential)
-        .unionAll(positive).unionAll(domain))
+    verdict(scanRules.unionAll(unique).unionAll(referential))
       .orderBy($"constraint")
   }
 
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // INTERSECT/EXCEPT/EXCEPT as three separate set ops scanned each
+    // input three times and shuffled three joins (r19 plan: 6
+    // FileScans). All three counts come out of ONE full-outer join
+    // over the two distinct id sets — presence flags classify every
+    // id into shared / left-only / right-only in a single pass. The
+    // <=> join key preserves set-op NULL semantics (INTERSECT matches
+    // NULL with NULL; an equi full-outer would not).
     val e = t(s, dir, "events").select($"user_id").distinct()
     val c = t(s, dir, "customer").select($"c_custkey".as("user_id")).distinct()
-    val shared = e.intersect(c).agg(count(lit(1)).as("n_shared"))
-    val eOnly = e.except(c).agg(count(lit(1)).as("n_events_only"))
-    val cOnly = c.except(e).agg(count(lit(1)).as("n_customers_only"))
-    shared.crossJoin(broadcast(eOnly)).crossJoin(broadcast(cOnly))
+    e.select($"user_id".as("eid"), lit(1).as("in_e"))
+      .join(c.select($"user_id".as("cid"), lit(1).as("in_c")),
+        $"eid" <=> $"cid", "full_outer")
+      .agg(count(when($"in_e" === 1 && $"in_c" === 1, 1)).as("n_shared"),
+        count(when($"in_c".isNull, 1)).as("n_events_only"),
+        count(when($"in_e".isNull, 1)).as("n_customers_only"))
   }
 
   /** CDC changelog apply (the MERGE INTO / upsert shape, and the batch
@@ -988,21 +1010,29 @@ object Relational {
     val k = 8
     val cust = t(s, dir, "customer").select($"c_custkey", $"c_nationkey", $"c_mktsegment")
     val nat = t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    // Every output number is CLASS-cardinality algebra over the fine
+    // class-size table: per-segment rows = Σ fsz, generalized rows =
+    // Σ fsz over sub-k classes, the coarse class sizes = the same sums
+    // re-keyed by region, suppressed rows = Σ csz over sub-k coarse
+    // classes. The r19 rewrite derives them all from ONE customer scan
+    // (the fine agg, checkpointed at ≤ nations×segments rows) — the
+    // previous row-level formulation re-joined the class sizes back
+    // onto the row table and re-scanned customer per consumer (6
+    // FileScans in the r19 executed plan) to count what the class
+    // sizes already knew.
     val fine = cust.groupBy($"c_nationkey", $"c_mktsegment")
-      .agg(count(lit(1)).as("fsz"))
-    val rows = cust.join(broadcast(fine), Seq("c_nationkey", "c_mktsegment"))
-    val gen = rows.filter($"fsz" < k)
+      .agg(count(lit(1)).as("fsz")).localCheckpoint()
+    val coarse = fine.filter($"fsz" < k)
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
-    val coarse = gen.groupBy($"n_regionkey", $"c_mktsegment")
-      .agg(count(lit(1)).as("csz"))
-    val gen2 = gen.join(broadcast(coarse), Seq("n_regionkey", "c_mktsegment"))
-    val seg = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("n_rows"))
+      .groupBy($"n_regionkey", $"c_mktsegment")
+      .agg(sum($"fsz").as("csz"))
+    val seg = fine.groupBy($"c_mktsegment").agg(sum($"fsz").as("n_rows"))
     val fstats = fine.groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_fine_classes"),
         sum(when($"fsz" < k, 1L).otherwise(0L)).as("n_fine_violations"))
-    val gstats = gen2.groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_generalized"),
-        sum(when($"csz" < k, 1L).otherwise(0L)).as("n_suppressed"))
+    val gstats = coarse.groupBy($"c_mktsegment")
+      .agg(sum($"csz").as("n_generalized"),
+        sum(when($"csz" < k, $"csz").otherwise(0L)).as("n_suppressed"))
     seg.join(fstats, Seq("c_mktsegment"))
       .join(gstats, Seq("c_mktsegment"), "left")
       .select($"c_mktsegment".as("mktsegment"), $"n_rows",
@@ -1033,22 +1063,30 @@ object Relational {
       .select($"c_custkey", $"c_nationkey", $"c_mktsegment",
         floor($"c_acctbal" / 500).cast("long").as("sens"))
     val nat = t(s, dir, "nation").select($"n_nationkey", $"n_regionkey")
+    // The class-size tables come out of ONE customer scan (fine,
+    // checkpointed at QI cardinality; coarse = the same sums re-keyed
+    // by region — no row-level pass, same algebra as [[qKAnonymity]]'s
+    // r19 rewrite); the ONE genuinely row-level pass (sens values per
+    // released class) then classifies every row in a single scan with
+    // both tiny tables broadcast. The previous shape re-scanned
+    // customer per branch (9 FileScans in the r19 executed plan).
     val fine = cust.groupBy($"c_nationkey", $"c_mktsegment")
-      .agg(count(lit(1)).as("fsz"))
-    val r = cust.join(broadcast(fine), Seq("c_nationkey", "c_mktsegment"))
+      .agg(count(lit(1)).as("fsz")).localCheckpoint()
+    val coarse = fine.filter($"fsz" < k)
       .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
-    val coarse = r.filter($"fsz" < k)
-      .groupBy($"n_regionkey", $"c_mktsegment").agg(count(lit(1)).as("csz"))
-    val released =
-      r.filter($"fsz" >= k)
-        .select(concat(lit("N"), $"c_nationkey".cast("string"), lit("|"),
-          $"c_mktsegment").as("qi"), $"c_mktsegment", $"sens")
-        .unionByName(
-          r.filter($"fsz" < k)
-            .join(broadcast(coarse), Seq("n_regionkey", "c_mktsegment"))
-            .filter($"csz" >= k)
-            .select(concat(lit("R"), $"n_regionkey".cast("string"), lit("|"),
-              $"c_mktsegment").as("qi"), $"c_mktsegment", $"sens"))
+      .groupBy($"n_regionkey", $"c_mktsegment").agg(sum($"fsz").as("csz"))
+    val released = cust
+      .join(broadcast(fine), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(coarse), Seq("n_regionkey", "c_mktsegment"), "left")
+      .filter($"fsz" >= k || coalesce($"csz", lit(0L)) >= k)
+      .select(
+        when($"fsz" >= k,
+          concat(lit("N"), $"c_nationkey".cast("string"), lit("|"), $"c_mktsegment"))
+          .otherwise(
+            concat(lit("R"), $"n_regionkey".cast("string"), lit("|"), $"c_mktsegment"))
+          .as("qi"),
+        $"c_mktsegment", $"sens")
     released.groupBy($"qi", $"c_mktsegment")
       .agg(count(lit(1)).as("sz"), countDistinct($"sens").as("ldiv"))
       .groupBy($"c_mktsegment".as("mktsegment"))

@@ -881,10 +881,16 @@ object Storage {
       .mapPartitions(_.flatMap { case (fid, b) =>
         graft.sources.warc.WarcCodec.parse(fid, b) })
       .toDF()
-    // digests leave the codec seam; payload bytes never shuffle
+    // digests leave the codec seam; payload bytes never shuffle. The
+    // digest frame feeds THREE consumers (responses, the revisit join
+    // side, others) — un-materialized, each replays the whole fixture
+    // build + gzip-free parse + md5 (r19 executed plan: 9 FileScans =
+    // 3 consumers × the 3 record branches). One localCheckpoint of the
+    // small digest rows makes it one pass.
     val recs = parsed.select($"file_id", $"rec_idx", $"warc_type",
       $"target_uri", $"content_length", md5($"payload").as("own_md5"),
       $"record_id", $"refers_to", $"payload_digest")
+      .localCheckpoint()
     val responses = recs.where($"warc_type" === "response")
       .select($"record_id".as("ref_id"), $"own_md5".as("ref_md5"))
     val resolved = recs.where($"warc_type" === "revisit")

@@ -1365,14 +1365,18 @@ object TextOps {
   def qDedupFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = docs(s, dir).select(count(lit(1)).as("n_raw"))
-    val exact = qFingerprintDedup(s, dir)
-      .select(count(lit(1)).as("n_exact_unique"))
     // survivors of exact dedup = min doc_id per fingerprint; of those,
     // greedily drop any doc appearing as the LARGER side of a verified
-    // near-dup pair
+    // near-dup pair. The canon table is fingerprint-cardinality and
+    // feeds BOTH the exact-unique count and the near-dup join —
+    // materialize it once (r19: the funnel additionally re-ran the
+    // whole qFingerprintDedup scan just to count rows canon already
+    // holds).
     val canon = docs(s, dir)
       .select($"doc_id", md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"))
       .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .localCheckpoint()
+    val exact = canon.select(count(lit(1)).as("n_exact_unique"))
     val dropped = nearDupPairs(s, dir)
       .join(canon, canon("doc_id") === $"doc_b")
       .select($"doc_b").distinct()
@@ -2062,7 +2066,14 @@ object TextOps {
       .select($"doc_id", explode(expr(
         "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("b"))
       .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    // The bigram model is vocab²-cardinality (bigram TYPES, sublinear
+    // in the corpus) — checkpoint it so the unigram rollup and the
+    // scoring join read the materialized model instead of replaying
+    // the tokenize+count train pass (r19: 3 FileScans; train+score =
+    // the honest 2). The score pass keeps its own corpus scan — that
+    // two-pass is the production shape.
     val model = bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
     val ux = model.groupBy($"w1").agg(sum($"n_xy").as("nx"))
     bigrams
       .join(model, Seq("w1", "w2"))
@@ -2113,8 +2124,12 @@ object TextOps {
     import s.implicits._
     def toks = d.select($"doc_id", $"lang", isTarget.as("tgt"),
       explode(wordsCol).as("w"))
+    // vocab-sized model, materialized once: the totals rollup and the
+    // scoring join both read it (un-checkpointed, each replayed the
+    // tokenize+train pass — 3 corpus scans where train+score needs 2)
     val model = toks.groupBy($"w")
       .agg(count(lit(1)).as("nr"), count(when($"tgt", 1)).as("nt"))
+      .localCheckpoint()
     val totals = model.agg(sum($"nr").as("tot_r"), sum($"nt").as("tot_t"),
       count(lit(1)).as("vocab"))
     toks.join(model, Seq("w"))

@@ -433,14 +433,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q_phrase_search: term pulls broadcast on th, adjacency stays equi") {
-    // both phrase-term pulls must be keyed on the term hash (work ∝
+    // the phrase-term pull must be keyed on the term hash (work ∝
     // df, the positional-index economics) and the adjacency join is
-    // equi on (query, doc, pos) — an unkeyed stage would be positions²
+    // equi on (query, doc, pos) — an unkeyed stage would be positions².
+    // The pull is audited PRE-checkpoint (qPhraseSearch materializes
+    // the df-sized match frame once, which truncates the final plan's
+    // lineage to an RDD scan — the r19 single-pass rewrite).
+    val (tokpos, ph) = CurationOps.phraseInputs(spark, dir)
+    val pull = planString(CurationOps.phrasePullPlan(tokpos, ph))
+    assert(!pull.contains("CartesianProduct"), pull)
+    assert(!pull.contains("BroadcastNestedLoopJoin"), pull)
+    assert(pull.contains("BroadcastHashJoin [th")
+      || pull.contains("hashpartitioning(th"), pull)
     val s = planString(CurationOps.qPhraseSearch(spark, dir))
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
-    assert(s.contains("BroadcastHashJoin [th")
-      || s.contains("hashpartitioning(th"), s)
   }
 
   test("q_postings_merge: pure union-of-aggregates — no join anywhere") {
