@@ -70,7 +70,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CONF="k=v;k=v" overlays builder confs, same contract
+    // as Verify's — how config experiments (e.g. join-strategy A/Bs)
+    // are measured on the real bench without code edits. Applied last;
+    // unset (the driver's case) leaves the builder exactly as below.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,7 +98,10 @@ object Bench {
       // time). Measured effect recorded in BASELINE.md r19.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
+    if (extraConf.nonEmpty)
+      System.err.println(s"[bench] extra conf: ${extraConf.map(kv => kv._1 + "=" + kv._2).mkString(";")}")
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup pass: compile/JIT every plan shape once, untimed. A

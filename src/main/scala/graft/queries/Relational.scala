@@ -708,16 +708,25 @@ object Relational {
       // (session-zone dependent, would fail the timezone matrix cell).
       s"${pad("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)")} AS o_orderdate",
       "o_orderpriority")
+    // Two-level on purpose: min/max over STRING columns have immutable
+    // agg buffers, which forces SortAggregate — as one flat agg, Spark
+    // SORTED the full 6×N stacked value stream at the partial level
+    // (r19 executed plan: 4 SortAggregates, the innermost over every
+    // stacked row). Level 1 below is a plain count by (column, value)
+    // — string GROUP KEYS hash fine — so the only SortAggregate left
+    // runs over the distinct (column, value) pairs, and every rollup
+    // (rows, nulls, distinct, min, max) is algebra over that table.
     repr.select(expr(
       """stack(6,
         |  'o_orderkey', o_orderkey, 'o_custkey', o_custkey,
         |  'o_orderstatus', o_orderstatus, 'o_totalprice', o_totalprice,
         |  'o_orderdate', o_orderdate, 'o_orderpriority', o_orderpriority)
         |AS (column_name, v)""".stripMargin))
+      .groupBy($"column_name", $"v").agg(count(lit(1)).as("cnt"))
       .groupBy($"column_name")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when($"v".isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct($"v").as("n_distinct"),
+      .agg(sum($"cnt").as("n_rows"),
+        coalesce(sum(when($"v".isNull, $"cnt")), lit(0L)).as("n_null"),
+        count(when($"v".isNotNull, 1)).as("n_distinct"),
         min($"v").as("min_repr"),
         max($"v").as("max_repr"))
       .orderBy($"column_name")
