@@ -30,7 +30,8 @@ object Bench {
     * compact form existed). */
   private[graft] def resultLines(
       results: Seq[(String, Double)], staged: Set[String],
-      calibs: Seq[Double], errors: List[String], sfDir: String): (String, String) = {
+      calibs: Seq[Double], errors: List[String], sfDir: String,
+      cpus: String = "?"): (String, String) = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full JSON escaping (incl. control chars): exception messages are
@@ -48,7 +49,10 @@ object Bench {
     // streaming gate keys): their minima are NOT streaming throughput
     // and must not be compared as such (r14 advice).
     val stagedJson = staged.toSeq.sorted.map(Json.quote).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"staged_readback":$stagedJson,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // "cpus" makes each committed artifact self-describing: the c32 and
+    // c8 official files differ only in it and in the numbers, so a
+    // consumer never has to infer the core count from the file name.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":${Json.quote(cpus)},"queries":$qs,"staged_readback":$stagedJson,"calib":$calibJson,"errors":$errJson,"sf":"$sfDir"}"""
     // "compact":true disambiguates this line from the full one above
     // for any consumer that greps by metric instead of taking the
     // absolute last line — both lines share "metric":"total".
@@ -77,6 +81,10 @@ object Bench {
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
       .map { kv =>
+        // a '='-less token would otherwise die as an opaque MatchError
+        // at startup (r19 advice) — name the bad token instead
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_CONF entry (expected key=value): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         (k, v)
       }
@@ -104,6 +112,15 @@ object Bench {
       System.err.println(s"[bench] extra conf: ${extraConf.map(kv => kv._1 + "=" + kv._2).mkString(";")}")
     spark.sparkContext.setLogLevel("WARN")
 
+    // clearCache() drops registered table caches but NOT the RDD blocks
+    // that eager localCheckpoint() fences leave in the BlockManager
+    // (r19 advice): ~15 checkpointed frames per suite pass × 4 passes
+    // accumulate MEMORY_AND_DISK blocks until ContextCleaner GC and
+    // smear later-pass timings with memory pressure. Release them
+    // deterministically after every query, outside the timed region.
+    def releaseBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     // Warmup pass: compile/JIT every plan shape once, untimed. A
     // warmup failure is never fatal here (the timed pass records it as
     // -1 + errors), but it IS surfaced immediately for humans tailing
@@ -112,6 +129,7 @@ object Bench {
       try fn(spark, sfDir).count() catch { case e: Throwable =>
         System.err.println(s"[bench] warmup of $name failed: ${e.getMessage}") }
       spark.catalog.clearCache() // intra-query caches must not leak across queries
+      releaseBlocks()
     }
 
     var errors = List.empty[String]
@@ -172,6 +190,7 @@ object Bench {
             fn(spark, sfDir).count()
             val elapsed = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
+            releaseBlocks()
             if (elapsed < best.getOrElse(name, Double.MaxValue)) best(name) = elapsed
             if (jvmStats) passKeys += name -> elapsed
           } catch { case e: Throwable =>
@@ -181,6 +200,7 @@ object Bench {
             failed += name
             best.remove(name)
             spark.catalog.clearCache()
+            releaseBlocks()
           }
         }
       }
@@ -208,7 +228,7 @@ object Bench {
     // at 250+ keys). The full line still goes out first on both streams
     // and to bench.json for humans and for the per-query history.
     val (line, compact) = resultLines(results, SparkEntry.stagedReadbackKeys,
-      calibs.toSeq, errors.reverse, sfDir)
+      calibs.toSeq, errors.reverse, sfDir, cpus)
     // The driver extracts this JSON from process output; sbt wraps
     // stdout lines in [info]/[success] noise that has drowned it three
     // rounds running. Emit it on all three channels: stdout, a known
@@ -236,11 +256,23 @@ object Bench {
             java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
           .takeWhile(_ != null)
           .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        // The full-machine run is THE official anchor
+        // (BENCH_OFFICIAL.json); a reduced-core run (the driver's
+        // scaling pass, SPARK_GRAFT_CPUS below the machine) writes a
+        // per-core-count twin instead — so a c8 scaling run can never
+        // clobber the c32 anchor, and the driver/judge's per-query and
+        // scaling comparisons read committed FILES, never the 2 KB
+        // output tail that truncated the r19 per-query map
+        // (PERF_r19.json n_common=0).
+        val machineCores = Runtime.getRuntime.availableProcessors.toString
+        val officialName =
+          if (cpus == machineCores) "BENCH_OFFICIAL.json"
+          else s"BENCH_OFFICIAL_c$cpus.json"
         repoRoot match {
           case Some(root) => java.nio.file.Files.writeString(
-            root.resolve("BENCH_OFFICIAL.json"), line + "\n")
+            root.resolve(officialName), line + "\n")
           case None => System.err.println(
-            "[bench] no build.sbt above CWD; skipping BENCH_OFFICIAL.json")
+            s"[bench] no build.sbt above CWD; skipping $officialName")
         }
       }
     } catch { case e: Throwable => // the file is a convenience channel;

@@ -16,6 +16,8 @@ object Verify {
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
       .map { kv =>
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_CONF entry (expected key=value): '$kv'")
         val Array(k, v) = kv.split("=", 2)
         (k, v)
       }

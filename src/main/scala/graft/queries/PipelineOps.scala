@@ -740,13 +740,13 @@ object PipelineOps {
     // executed plan). The corpus fingerprint table (the standing dedup
     // index) is materialized too: the bloom build and the exact verify
     // join both read it.
-    val fp = docs(s, dir)
+    val fp = Fences.rowScale(docs(s, dir)
       .select($"doc_id", $"lang", bucket.as("b"),
-        expr(Hashing.prefixFingerprintSql(8)).as("fingerprint"))
-      .localCheckpoint()
-    val corpus = fp.filter($"b" < 80)
-      .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing"))
-      .localCheckpoint()
+        expr(Hashing.prefixFingerprintSql(8)).as("fingerprint")),
+      budget = "doc_id + lang + bucket + 16-char fingerprint ~ 45 B/doc")
+    val corpus = Fences.rowScale(fp.filter($"b" < 80)
+      .groupBy($"fingerprint").agg(count(lit(1)).as("n_existing")),
+      budget = "fingerprint + count ~ 30 B per distinct corpus fingerprint")
     val bitset = udaf(new graft.functions.BitSetAgg(BloomBits))
     val bloom = corpus
       .select(explode(array((0 until BloomK).map(i => expr(bloomPosSql(i))): _*)).as("pos"))
@@ -875,11 +875,11 @@ object PipelineOps {
     // quality survivors feed the canon agg AND the semi-join side —
     // materialize the (text-free, per-doc metadata) frame once instead
     // of re-running the stopword filter + md5 scan per consumer
-    val quality = stats
+    val quality = Fences.rowScale(stats
       .filter($"nw" >= 20)
       .withColumn("stop_bp", expr("(10000 * nstop) DIV nw"))
-      .filter($"stop_bp" >= 500)
-      .localCheckpoint()
+      .filter($"stop_bp" >= 500),
+      budget = "per-doc metadata row (ids + counts + 32-char fp) ~ 70 B/doc")
     val canon = quality.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
     val exact = quality.join(canon.select($"doc_id"), Seq("doc_id"), "left_semi")
     val nearDupDrops = graft.queries.TextOps.nearDupPairs(s, dir)
@@ -1006,15 +1006,16 @@ object PipelineOps {
     // per-tier shingle explodes then read the materialized arrays.
     // The WordUnrollCap guard rides the base, so it still fails loudly
     // exactly once per oversized doc.
-    val base = docs(s, dir)
+    val base = Fences.rowScale(docs(s, dir)
       .select($"doc_id", expr(s"$wordHashSql").as("hs"))
       // loud guard for the oracle's unroll bound (the generated k=8/k=4
       // chains enumerate positions with generate_series) — see
       // [[Hashing.WordUnrollCap]]
       .filter(expr(s"coalesce(assert_true(size(hs) <= ${Hashing.WordUnrollCap}, " +
         s"'q_shared_spans: doc exceeds Hashing.WordUnrollCap=${Hashing.WordUnrollCap} words; " +
-        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)"))
-      .localCheckpoint()
+        "the DuckDB oracle unroll would truncate — raise the shared cap'), true)")),
+      budget = "doc_id + word-hash array ~ 8 B/word — the widest fence; " +
+        "text-free but token-linear, the first to swap to a reliable dir")
     val main = sharedSpanFrame(s, base, 8)
       .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_spans"),
@@ -1307,7 +1308,7 @@ object PipelineOps {
     // localCheckpoint makes it one pass; the frame itself is the
     // distinct shingle set (far smaller than the exploded stream), the
     // same edge-cardinality materialization discipline as the CC loop.
-    val w = docs(s, dir)
+    val w = Fences.rowScale(docs(s, dir)
       .select($"source", expr(s"$wordHashSql").as("hs"))
       .filter(size($"hs") >= 3)
       .select($"source", explode(expr(
@@ -1315,7 +1316,8 @@ object PipelineOps {
           |  i -> aggregate(slice(hs, i + 1, 3), CAST(0 AS BIGINT),
           |                 (acc, h) -> (acc * 31 + h) % 1000000007))""".stripMargin))
         .as("whash"))
-      .distinct().localCheckpoint()
+      .distinct(),
+      budget = "source + 8-B whash per distinct (source, shingle) ~ 30 B/row")
     val counts = w.groupBy($"source").agg(count(lit(1)).as("n"))
     val rk = Window.partitionBy($"source").orderBy($"whash")
     val sk = w.withColumn("rn", row_number().over(rk)).filter($"rn" <= 64)
@@ -1401,9 +1403,16 @@ object PipelineOps {
     * alone would not trigger it). */
   def qDatasetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The per-source size table feeds BOTH the w_total rollup and the
+    // per-source target join — un-fenced, each consumer re-scanned
+    // docs (3 FileScans in the r20 before-plan). Sources-cardinality
+    // frame: fence it once. The ranked scan below is the one
+    // remaining docs pass; it cannot share this scan because the cap
+    // window needs (source, doc_id) rows while this is their rollup.
     val sized = docs(s, dir)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
       .withColumn("w", expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+      .localCheckpoint() // sub-linear: ≤ #sources rows
     val total = sized.agg(sum($"w").as("w_total"))
     val perSource = sized.crossJoin(broadcast(total))
       .withColumn("target_k", greatest(lit(1L), expr("(w * 1000) DIV w_total")))
@@ -1505,8 +1514,8 @@ object PipelineOps {
     * a real pipeline runs — the list arrives as a table (here derived
     * from a closed form so the oracle can replay membership), gets
     * BROADCAST (erasure requests are minuscule next to the corpus),
-    * and survivors come out of a left-anti join: per-row map work
-    * against a broadcast hash set, no shuffle of the 100 TB side.
+    * and survivorship is decided row-locally against the broadcast
+    * hash set — per-row map work, no shuffle of the 100 TB side.
     * The XOR fingerprint over survivors proves the scrub removed
     * exactly the erased users' rows and left every other row intact —
     * over- or under-deletion flips it. (At 100 TB the accounting pass
@@ -1516,22 +1525,26 @@ object PipelineOps {
     import s.implicits._
     val ev = events(s, dir).select($"event_id", $"user_id", $"event_type")
     val erased = ev.select($"user_id").filter($"user_id" % 53 === 0).distinct()
-    val survivors = ev.join(broadcast(erased), Seq("user_id"), "left_anti")
-    val before = ev.groupBy($"event_type").agg(count(lit(1)).as("n_before"))
-    val after = survivors.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_after"),
-        expr("bit_xor(CAST(conv(substring(md5(concat_ws('|', " +
+    // ONE accounting+scrub pass (r19 plan: 3 FileScans of events — the
+    // delete-list build, the `before` counts, and the anti-joined
+    // survivor rollup each re-scanned the log). The broadcast delete
+    // list now attaches as a LEFT-join flag and before/after/checksum
+    // are conditional aggregates over the SAME rows: survivors are the
+    // flag-null rows (identical to the left-anti semantics — a NULL
+    // user_id matches nothing either way), erased rows contribute 0 to
+    // the XOR (its identity), and an all-erased type keeps its group
+    // (n_after = 0, checksum 0) without the extra before⋈after join.
+    // Only the narrow delete-list scan remains beside the main pass.
+    val flagged = ev.join(
+      broadcast(erased.withColumn("erased", lit(1))), Seq("user_id"), "left")
+    flagged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_before"),
+        count($"erased").as("n_deleted"),
+        count(when($"erased".isNull, 1)).as("n_after"),
+        expr("bit_xor(CASE WHEN erased IS NULL THEN " +
+          "CAST(conv(substring(md5(concat_ws('|', " +
           "CAST(event_id AS STRING), CAST(user_id AS STRING))), 1, 15), " +
-          "16, 10) AS BIGINT))").as("survivor_checksum"))
-    // LEFT join from `before`: an event type whose rows are ALL
-    // erased has no survivor group — it must still appear with
-    // n_after = 0 and checksum 0 (the oracle XORs literal zeros for
-    // it), not vanish from the accounting.
-    before.join(after, Seq("event_type"), "left")
-      .select($"event_type", $"n_before",
-        ($"n_before" - coalesce($"n_after", lit(0L))).as("n_deleted"),
-        coalesce($"n_after", lit(0L)).as("n_after"),
-        coalesce($"survivor_checksum", lit(0L)).as("survivor_checksum"))
+          "16, 10) AS BIGINT) ELSE CAST(0 AS BIGINT) END)").as("survivor_checksum"))
       .orderBy($"event_type")
   }
 

@@ -192,10 +192,18 @@ object Relational {
 
   /** LWW dedup in aggregation form — same contract as
     * [[qLwwDedupEvents]] but via `max_by` (reference's
-    * groupingBy+maxBy shape, DnsUpdate.java:46-54): one hash aggregate
-    * with map-side partial `max_by`, no per-partition sort. At 100 TB
-    * this beats the window form whenever per-key history is long —
-    * state is one record per key instead of a sorted run. */
+    * groupingBy+maxBy shape, DnsUpdate.java:46-54): one aggregation
+    * with map-side partial `max_by`. The struct-typed buffer (payload
+    * struct + struct tiebreak) is not mutable-width, so it plans as a
+    * SortAggregate — each partition sorts by the GROUP key first (r20
+    * sweep; the q_tws_counts primitive-split trick does not apply
+    * because the tiebreak itself must be a struct: ts_ns collides and
+    * no bounded packing of (ts_ns, event_id) into one long is safe at
+    * scale). The claim that survives is the state/shuffle one: ≤ 1
+    * record per key partial-aggregated map-side, so at 100 TB this
+    * still beats the window form whenever per-key history is long —
+    * shuffle is keys, not history, and the map-side sort is by group
+    * key, not a per-key history sort. */
   def qLwwMaxBy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // Tiebreak: max_by alone has no defined winner on equal ts_ns, and
@@ -877,6 +885,12 @@ object Relational {
           |  'totalprice_positive', totalprice_positive,
           |  'orderstatus_legacy_domain', orderstatus_legacy_domain
           |) AS (constraint, violations)""".stripMargin))
+    // NOT NULL assumption (r19 advice): Σ_key (cnt − 1) counts a NULL
+    // key group as n − 1 violations, while the pinned oracle's
+    // count(*) − count(DISTINCT key) counts every NULL row as one.
+    // o_orderkey is never null in this schema, so the two agree here —
+    // but reusing this rule on a NULLABLE key requires an explicit
+    // null-key count term to stay oracle-equivalent.
     val unique = orders.groupBy($"o_orderkey")
       .agg((count(lit(1)) - 1L).as("dups"))
       .agg(coalesce(sum($"dups"), lit(0L)).as("violations"))

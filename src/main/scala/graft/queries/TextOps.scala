@@ -1263,11 +1263,18 @@ object TextOps {
     // enc's per-token md5s would otherwise also run inside the scan's
     // pushed data filter — doubling the encoding work in all branches.
     // The two are equivalent (one char per split element, always).
-    val enc = docs(s, dir)
+    // The encoding frame feeds FOUR consumers (the segment index, the
+    // probe substrings, and both verify-side payload joins) — un-fenced,
+    // each re-ran the scan + split + per-token md5 (4 FileScans in the
+    // r20 before-plan). One fence = one tokenize/encode pass; the frame
+    // is one printable char per token + doc_id — far narrower than the
+    // text it encodes.
+    val enc = Fences.rowScale(docs(s, dir)
       .filter(size(split($"text", "\\s+")) >= 8)
       .select($"doc_id", expr(
         s"array_join(transform(${Hashing.wordHashSql}, h -> chr(33 + h % 94)), '')").as("enc"))
-      .select($"doc_id", $"enc", length($"enc").as("n"))
+      .select($"doc_id", $"enc", length($"enc").as("n")),
+      budget = "doc_id + 1-byte-per-token encoding ~ n_tokens B/doc")
     val bucketW = Window.partitionBy($"l", $"seg", $"sub")
     val idx = enc
       .select($"doc_id".as("id_short"), $"n".as("l"), explode(expr(
@@ -1372,10 +1379,10 @@ object TextOps {
     // materialize it once (r19: the funnel additionally re-ran the
     // whole qFingerprintDedup scan just to count rows canon already
     // holds).
-    val canon = docs(s, dir)
+    val canon = Fences.rowScale(docs(s, dir)
       .select($"doc_id", md5(lower(regexp_replace($"text", "\\s+", " "))).as("fp"))
-      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
-      .localCheckpoint()
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id")),
+      budget = "32-char fp + doc_id ~ 50 B per distinct fingerprint")
     val exact = canon.select(count(lit(1)).as("n_exact_unique"))
     val dropped = nearDupPairs(s, dir)
       .join(canon, canon("doc_id") === $"doc_b")

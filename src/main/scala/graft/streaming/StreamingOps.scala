@@ -1405,14 +1405,22 @@ object StreamingOps {
     * equal the one-shot batch group-by over the whole log. */
   def qTwsCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Two PRIMITIVE max_by's instead of one struct-valued max_by: a
+    // struct in the aggregation buffer is not mutable-width, which
+    // forced the whole reduction into a SortAggregate (per-partition
+    // sort by the group key before aggregating — r20 before-plan).
+    // With (long, long) buffers both functions hash-aggregate. The
+    // split is exact, not approximate: u0 is the entry's own update
+    // counter, strictly increasing per (user, type) entry update, so
+    // each emission of a key carries a DISTINCT u0 and both max_by's
+    // pick the same (final) emission — no tie is possible.
     twsEmissions(s, dir)
       .select($"user_id",
         explode(arrays_zip($"t_types", $"t_ns", $"t_cents", $"t_upds")).as("e"))
       .select($"user_id", $"e.t_types".as("event_type"), $"e.t_ns".as("n0"),
         $"e.t_cents".as("c0"), $"e.t_upds".as("u0"))
       .groupBy($"user_id", $"event_type")
-      .agg(max_by(struct($"n0", $"c0"), $"u0").as("f"))
-      .select($"user_id", $"event_type", $"f.n0".as("n"), $"f.c0".as("cents"))
+      .agg(max_by($"n0", $"u0").as("n"), max_by($"c0", $"u0").as("cents"))
       .orderBy($"user_id", $"event_type")
   }
 

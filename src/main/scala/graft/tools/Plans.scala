@@ -30,8 +30,11 @@ object Plans {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(outDir)
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
       try {
+        // inside the try (r19 advice): one mistyped name must print
+        // PLANS FAILED and continue, not abort the whole dump run
+        val fn = graft.SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query key '$name'"))
         val df = fn(spark, sfDir)
         // Execute first so AQE-finalized subplans and localCheckpoint
         // fences reflect what the bench actually times, then dump the

@@ -21,7 +21,8 @@ class BenchSpec extends AnyFunSuite {
       staged = Set("q_dns_stream", "q_cdc_stream"),
       calibs = Seq(0.083, 0.413, 0.28),
       errors = errors,
-      sfDir = "/root/testdata/sf0.1")
+      sfDir = "/root/testdata/sf0.1",
+      cpus = "32")
 
   test("compact line stays under the driver capture limit at 250 keys") {
     val (_, compact) = lines(250, Nil)
@@ -46,6 +47,14 @@ class BenchSpec extends AnyFunSuite {
     assert(full.contains("q_synthetic_key_with_a_long_name_003"))
     assert(compact.contains("\"compact\":true"))
     assert(!compact.contains("\"queries\""))
+  }
+
+  test("full line self-describes its core count (official c32/c8 twins)") {
+    // BENCH_OFFICIAL.json vs BENCH_OFFICIAL_c8.json differ only in the
+    // numbers; the cpus field is what lets a consumer confirm which run
+    // it is reading without trusting the file name.
+    val (full, _) = lines(5, Nil)
+    assert(full.contains("\"cpus\":\"32\""), full.take(200))
   }
 
   test("multi-line error messages stay on one escaped line in both forms") {
