@@ -457,7 +457,11 @@ object CurationOps {
     import s.implicits._
     val anchors = docs(s, dir).select($"doc_id",
       expr("array_join(slice(split(text, '\\\\s+'), 1, 2), ' ')").as("anchor"))
-    val cnt = linkEdges(s, dir).where($"dst" < 13)
+    // the (v, n) node frame is read twice by the closed-form edge
+    // build (ids + the count attach) — fence it once like
+    // qLinkPagerank already does, so the only other docs scan is the
+    // anchor-text pull itself (3 FileScans → 2 in the r20 plan)
+    val cnt = linkEdgesOf(graphNodes(s, dir).localCheckpoint()).where($"dst" < 13)
       .join(anchors, $"doc_id" === $"src")
       .groupBy($"dst", $"anchor").agg(count(lit(1)).as("c"))
     cnt.groupBy($"dst".as("hub"))

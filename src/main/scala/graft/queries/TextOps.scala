@@ -34,8 +34,8 @@ object TextOps {
     * skew. Oversized buckets lose recall by construction; that loss is
     * deliberate (an undiscriminative bucket carries almost no signal)
     * and bounded per bucket, never silent blow-up. */
-  private val MinhashBucketCap = 256
-  private val NgramBlockCap = 128
+  private[queries] val MinhashBucketCap = 256
+  private[queries] val NgramBlockCap = 128
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
 
@@ -1083,7 +1083,7 @@ object TextOps {
   /** The capped minhash band rows WITH the verify payload (n, hs) —
     * the candidate-generation half shared by the Jaccard and
     * containment keys. */
-  private def minhashBandRows(s: SparkSession, dir: String): DataFrame =
+  private[queries] def minhashBandRows(s: SparkSession, dir: String): DataFrame =
     bandRowsOf(s, docs(s, dir))
 
   /** The band-index construction over an arbitrary document slice —
@@ -1193,6 +1193,16 @@ object TextOps {
     * word-bigram Jaccard >= 0.3, reported as exact integers. */
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    Banding.verifiedPairs(capBuckets(ngramBandRows(s, dir), NgramBlockCap), "doc_id",
+        "doc_a", "doc_b", keep = "p -> p.inter * 10 >= (p.sz - p.inter) * 3") // jaccard >= 0.3
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[qNgramJaccard]]'s PRE-cap band rows — extracted so the skew
+    * audit (tools/SkewAudit) can measure raw bucket cardinality before
+    * the cap truncates it. Same frame the query caps and verifies. */
+  private[queries] def ngramBandRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // Hash bigrams at the map stage (same rationale as `shingles`):
     // band signatures read md5 chunks, verify joins compare 60-bit ints.
     val hb = docs(s, dir)
@@ -1212,14 +1222,10 @@ object TextOps {
     // Band rows carry the (n, hs) verify payload into the buckets —
     // bucket-local exact Jaccard, no pair×payload join (see
     // qMinhashPairs for the 100× rationale).
-    val bands = perDoc.select($"doc_id", $"n", $"hs", explode(array(
+    perDoc.select($"doc_id", $"n", $"hs", explode(array(
       (0 until 4).map(b =>
         concat($"lang", lit("|"), $"source", lit(s"|$b:"), col(s"m$b"))): _*
     )).as("band"))
-
-    Banding.verifiedPairs(capBuckets(bands, NgramBlockCap), "doc_id",
-        "doc_a", "doc_b", keep = "p -> p.inter * 10 >= (p.sz - p.inter) * 3") // jaccard >= 0.3
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** Token-level edit-distance near-dup pairs (ed ≤ 2) — the EDIT
@@ -1259,43 +1265,12 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = 2
-    // Min-length on the TOKEN COUNT (cheap split), not on length(enc):
-    // enc's per-token md5s would otherwise also run inside the scan's
-    // pushed data filter — doubling the encoding work in all branches.
-    // The two are equivalent (one char per split element, always).
-    // The encoding frame feeds FOUR consumers (the segment index, the
-    // probe substrings, and both verify-side payload joins) — un-fenced,
-    // each re-ran the scan + split + per-token md5 (4 FileScans in the
-    // r20 before-plan). One fence = one tokenize/encode pass; the frame
-    // is one printable char per token + doc_id — far narrower than the
-    // text it encodes.
-    val enc = Fences.rowScale(docs(s, dir)
-      .filter(size(split($"text", "\\s+")) >= 8)
-      .select($"doc_id", expr(
-        s"array_join(transform(${Hashing.wordHashSql}, h -> chr(33 + h % 94)), '')").as("enc"))
-      .select($"doc_id", $"enc", length($"enc").as("n")),
-      budget = "doc_id + 1-byte-per-token encoding ~ n_tokens B/doc")
+    val (enc, idxRaw, probeRaw) = tokenEditFrames(s, dir, k)
     val bucketW = Window.partitionBy($"l", $"seg", $"sub")
-    val idx = enc
-      .select($"doc_id".as("id_short"), $"n".as("l"), explode(expr(
-        """transform(sequence(0, 2), i -> named_struct(
-          |  'seg', i,
-          |  'sub', substring(enc, (i*n div 3) + 1, ((i+1)*n div 3) - (i*n div 3))))""".stripMargin))
-        .as("sg"))
-      .select($"id_short", $"l", $"sg.seg".as("seg"), $"sg.sub".as("sub"))
+    val idx = idxRaw
       .withColumn("rn", row_number().over(bucketW.orderBy($"id_short")))
       .filter($"rn" <= MinhashBucketCap).drop("rn")
-    val probe = enc
-      .select($"doc_id".as("id_long"), $"n", $"enc", explode(expr(
-        s"""flatten(flatten(transform(sequence(greatest(8, n - $k), n), l ->
-           |  transform(sequence(0, 2), i ->
-           |    transform(sequence(${-k}, $k), sh -> named_struct(
-           |      'l', l, 'seg', i,
-           |      'pos0', (i*l div 3) + sh,
-           |      'slen', ((i+1)*l div 3) - (i*l div 3)))))))""".stripMargin)).as("c"))
-      .filter($"c.pos0" >= 0 && $"c.pos0" + $"c.slen" <= $"n")
-      .select($"id_long", $"c.l".as("l"), $"c.seg".as("seg"),
-        expr("substring(enc, c.pos0 + 1, c.slen)").as("sub"))
+    val probe = probeRaw
       .withColumn("rn", row_number().over(bucketW.orderBy($"id_long")))
       .filter($"rn" <= MinhashBucketCap).drop("rn")
     val cand = idx.join(probe, Seq("l", "seg", "sub"))
@@ -1313,6 +1288,51 @@ object TextOps {
         $"tokens_a".cast("long"), $"tokens_b".cast("long"))
       .filter($"ed" <= k)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** [[qTokenEditPairs]]'s building blocks, extracted so the skew
+    * audit can measure the PRE-cap (l, seg, sub) join-bucket
+    * cardinalities: (enc, index side, probe side). The query applies
+    * the MinhashBucketCap windows on top of exactly these frames.
+    *
+    * Min-length on the TOKEN COUNT (cheap split), not on length(enc):
+    * enc's per-token md5s would otherwise also run inside the scan's
+    * pushed data filter — doubling the encoding work in all branches.
+    * The two are equivalent (one char per split element, always).
+    * The encoding frame feeds FOUR consumers (the segment index, the
+    * probe substrings, and both verify-side payload joins) — un-fenced,
+    * each re-ran the scan + split + per-token md5 (4 FileScans in the
+    * r20 before-plan). One fence = one tokenize/encode pass; the frame
+    * is one printable char per token + doc_id — far narrower than the
+    * text it encodes. */
+  private[queries] def tokenEditFrames(s: SparkSession, dir: String, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val enc = Fences.rowScale(docs(s, dir)
+      .filter(size(split($"text", "\\s+")) >= 8)
+      .select($"doc_id", expr(
+        s"array_join(transform(${Hashing.wordHashSql}, h -> chr(33 + h % 94)), '')").as("enc"))
+      .select($"doc_id", $"enc", length($"enc").as("n")),
+      budget = "doc_id + 1-byte-per-token encoding ~ n_tokens B/doc")
+    val idxRaw = enc
+      .select($"doc_id".as("id_short"), $"n".as("l"), explode(expr(
+        """transform(sequence(0, 2), i -> named_struct(
+          |  'seg', i,
+          |  'sub', substring(enc, (i*n div 3) + 1, ((i+1)*n div 3) - (i*n div 3))))""".stripMargin))
+        .as("sg"))
+      .select($"id_short", $"l", $"sg.seg".as("seg"), $"sg.sub".as("sub"))
+    val probeRaw = enc
+      .select($"doc_id".as("id_long"), $"n", $"enc", explode(expr(
+        s"""flatten(flatten(transform(sequence(greatest(8, n - $k), n), l ->
+           |  transform(sequence(0, 2), i ->
+           |    transform(sequence(${-k}, $k), sh -> named_struct(
+           |      'l', l, 'seg', i,
+           |      'pos0', (i*l div 3) + sh,
+           |      'slen', ((i+1)*l div 3) - (i*l div 3)))))))""".stripMargin)).as("c"))
+      .filter($"c.pos0" >= 0 && $"c.pos0" + $"c.slen" <= $"n")
+      .select($"id_long", $"c.l".as("l"), $"c.seg".as("seg"),
+        expr("substring(enc, c.pos0 + 1, c.slen)").as("sub"))
+    (enc, idxRaw, probeRaw)
   }
 
   /** Leakage-safe train/val/test assignment — the evaluation-integrity

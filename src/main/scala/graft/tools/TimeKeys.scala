@@ -17,7 +17,16 @@ object TimeKeys {
     val passes = args(1).toInt
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // same overlay contract as Bench/Verify — config A/Bs per key
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        require(kv.contains("="),
+          s"bad SPARK_GRAFT_CONF entry (expected key=value): '$kv'")
+        val Array(k, v) = kv.split("=", 2)
+        (k, v)
+      }
+    val builder = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +35,7 @@ object TimeKeys {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def releaseBlocks(): Unit =

@@ -1180,4 +1180,81 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning(l_orderkey"), s)
     assert(!s.contains("Exchange hashpartitioning(o_orderkey"), s)
   }
+
+  /** Every key whose plan may contain a BroadcastNestedLoopJoin, with
+    * the reason it is INTENTIONAL (r19 verdict item 6: zero
+    * blessed-by-silence nested loops). Two classes only:
+    *  - 1-row scalar attach: crossJoin(broadcast(1-row aggregate)) —
+    *    corpus count, totals, trained model/codebook metadata, bloom
+    *    bitset, per-dim stats. Constant broadcast, linear scan.
+    *  - labeled asymmetric scan: the ANN/recall family's deliberate
+    *    brute-force scoring pass — every corpus vector scored against
+    *    the BROADCAST bounded query set (and the exact-truth pass the
+    *    recalls are measured against). The whole point of those keys
+    *    is to measure approximations against this scan.
+    * Anything else planning a nested loop fails this sweep. */
+  private val IntentionalBnlj: Set[String] = Set(
+    // 1-row scalar attaches
+    "q_anchor_text", "q_bloom_gate", "q_bm25_topk", "q_cms_heavy_hitters",
+    "q_collocations", "q_compaction", "q_dataset_mix", "q_dedup_funnel",
+    "q_dsir_weights", "q_epoch_shuffle", "q_hll_union_audit",
+    "q_link_pagerank", "q_scd2_lookup", "q_source_overlap",
+    // labeled asymmetric scans (query-broadcast scoring / exact truth)
+    "q_ann_recall", "q_ivf_ann", "q_ivf_recall", "q_ivfpq_ann",
+    "q_ivfpq_residual", "q_kmeans_clusters", "q_knn_brute", "q_pq_ann",
+    "q_pq_mog_residual", "q_pq_recall", "q_pq_rerank", "q_rp_recall",
+    "q_sq8_recall", "q_semantic_dedup", "q_embed_neardup",
+    "q_neardup_xmodal", "q_dedup_agreement", "q_ann_filtered", "q_ann_lsh",
+    "q_audio_fingerprint", "q_image_phash",
+  )
+
+  test("global BNLJ sweep: nested loops appear ONLY in the asserted-intentional keys") {
+    // Executes every declared query at sf0.001 and inspects the final
+    // adaptive plan. A BroadcastNestedLoopJoin outside the allowlist is
+    // a quadratic pair stage that crept in unlabeled — the class of
+    // regression the per-key audits above cannot catch for keys they
+    // do not cover.
+    val unknown = IntentionalBnlj -- graft.SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"allowlist names unknown keys: $unknown")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // collectNodes (not plan toString) so nested-loop joins inside
+      // AQE query stages and subqueries are seen too
+      val nodes = collectNodes(executed(fn(spark, dir))).map(_.nodeName)
+      spark.catalog.clearCache()
+      if (nodes.exists(_.contains("BroadcastNestedLoopJoin")) && !IntentionalBnlj(name))
+        offenders += name
+      if (nodes.exists(_.contains("CartesianProduct")))
+        offenders += s"$name(cartesian)"
+    }
+    assert(offenders.isEmpty,
+      s"unasserted nested loops/cartesians in: ${offenders.mkString(", ")}")
+  }
+
+  test("fence vacuity guard: no fenced key's audited plan collapses to a bare RDD read") {
+    // Eager localCheckpoint fences truncate lineage to an RDD scan, so
+    // a plan audit pointed at the POST-fence plan can silently stop
+    // seeing the operators it asserts about (r19 verdict item 9 — the
+    // q_phrase_search pull audit needed its pre-fence seam for exactly
+    // this). This guard pins, for every fenced key, that the plan the
+    // audits read still contains real operators ABOVE the fence; if a
+    // future refactor fences the whole query result, this fails and
+    // the audit must move to a pre-fence seam.
+    val fencedKeys = Seq(
+      "q_source_overlap", "q_shared_spans", "q_bm25_topk", "q_phrase_search",
+      "q_lm_surprisal", "q_dsir_weights", "q_bloom_gate", "q_dedup_funnel",
+      "q_cms_heavy_hitters", "q_corpus_pipeline", "q_warc_revisit",
+      "q_token_edit_pairs", "q_dataset_mix", "q_set_ops", "q_k_anonymity",
+      "q_l_diversity", "q_data_constraints", "q_link_pagerank")
+    fencedKeys.foreach { name =>
+      val p = executed(graft.SparkEntry.queries(name)(spark, dir))
+      val nodes = collectNodes(p).map(_.nodeName)
+      val real = nodes.exists(n => n.contains("Aggregate") || n.contains("Join")
+        || n.contains("Window") || n.contains("Generate") || n.contains("Expand"))
+      spark.catalog.clearCache()
+      assert(real, s"$name's audited plan holds no aggregate/join/window above " +
+        s"its fence — audits of it are vacuous; audit the pre-fence seam. Nodes: " +
+        nodes.distinct.mkString(", "))
+    }
+  }
 }
